@@ -1,0 +1,220 @@
+"""Deduplication operators for large-scale corpus cleaning.
+
+All candidate generation is expressed as explode → hash-partitioned
+joins/groupBys — never a driver-side loop or an O(n²) cross join — so
+each variant scales linearly(ish) in corpus size with shuffle keyed on
+shingle / band-signature / bucket. Hashing uses md5 hex strings so the
+DuckDB correctness oracle can reproduce signatures byte-for-byte
+(lexicographic min over equal-length hex == numeric min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_demo_real_time_city_mood_tracker_spark.functions import vectors
+from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import fingerprint, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per normalized-text fingerprint.
+
+    One shuffle on the md5 key; map-side partial ``min`` keeps the
+    shuffle tiny. Returns the surviving rows' ids + the group size.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, shingle) distinct pairs — the base for Jaccard math."""
+    return (
+        df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram (word k-shingle) Jaccard near-dup pairs ≥ threshold.
+
+    candidate generation: pairs sharing ≥1 shingle (shuffle keyed on
+    shingle), then exact |A∩B| via groupBy pair, with |A|,|B| joined in.
+    Emits (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = _shingle_table(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """(id, h0..h{n-1}) minhash signature via md5("{i}:{shingle}").
+
+    min over hex strings == min over 128-bit ints (equal-length hex),
+    so the DuckDB oracle reproduces signatures exactly. One explode +
+    one groupBy (map-side partial min) — a single shuffle.
+    """
+    sh = _shingle_table(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: band signature = md5(concat of r minhashes);
+    pair is a candidate if any band matches. P(candidate) =
+    1-(1-s^r)^b. Shuffle keyed on (band, signature).
+    """
+    sig = minhash_signatures(df, text_col, id_col, k, bands * rows_per_band)
+    band_cols = []
+    for bidx in range(bands):
+        parts = [F.col(f"h{bidx * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(bidx).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("sig"))
+        )
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard ≥ threshold."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, k, bands, rows_per_band)
+    sh = _shingle_table(df, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, nbits: int = 32) -> DataFrame:
+    """32-bit SimHash from token xxhash64 bit votes (JVM-side only;
+    xxhash64 is not portable to the oracle → rows-only check).
+
+    explode tokens → per-(id, bit) vote sums → fold bits. All shuffles
+    keyed on id; map-side partial sums keep them small.
+    """
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens
+
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = tok.select("id", F.xxhash64("tok").alias("h"))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(nbits)
+    ]
+    votes = h.groupBy("id").agg(*bit_votes)
+    sim = F.lit(0).cast("long")
+    for i in range(nbits):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return votes.select("id", sim.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    nbits: int = 8,
+) -> DataFrame:
+    """Embedding near-dups: sign-LSH bucket prefilter → in-bucket
+    pairwise cosine ≥ threshold. Shuffle keyed on bucket; avoids the
+    O(n²) cross join (documented recall tradeoff of 1-bucket LSH).
+    """
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("bucket", vectors.sign_bucket(F.col("vec"), nbits))
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            vectors.cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

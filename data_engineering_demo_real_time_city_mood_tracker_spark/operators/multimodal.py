@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+payloads + typed metadata, processed in Arrow batches via mapInPandas.
+
+The Spark-side machinery (schema, batch iteration, partition-preserving
+transform) is real and tested; the actual decode (PIL/ffmpeg/librosa)
+is NOT available in this container, so ``decode_stub`` derives
+deterministic fake features from the payload bytes — clearly marked.
+At scale, the pattern is: keep payloads in parquet binary columns,
+`repartition` so each Arrow batch fits executor memory, decode inside
+mapInPandas (one Python worker per core, Arrow transfer amortized).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, n_bytes long, checksum string, "
+    "width int, height int, duration_ms int"
+)
+
+
+def synthesize_media(df: DataFrame, id_col: str, payload_src: str, kind: str) -> DataFrame:
+    """Build a media table from any string column (deterministic fake
+    payloads for tests — real pipelines read binary parquet directly).
+    """
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col(payload_src), "utf-8").alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB: deterministic pseudo-features in lieu of a real decoder.
+
+    A real deployment replaces this with PIL.Image.open /
+    av.open(BytesIO(payload)) etc. — signature and batch shape stay
+    identical, which is the part under test.
+    """
+    h = hashlib.md5(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    duration_ms = int.from_bytes(h[2:4], "big")
+    return width, height, duration_ms
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """mapInPandas decode: payload binary → typed features.
+
+    Arrow-batched; no shuffle (narrow transform over the scan).
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "checksum": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "duration_ms": [f[2] for f in feats],
+                }
+            )
+            yield out
+
+    return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: expand each media row into frame
+    timestamps (decode stubbed). Demonstrates the explode-side of the
+    pipeline: rows stay co-partitioned with their media file.
+    """
+    decoded = decode_media(df)
+    return decoded.select(
+        "media_id",
+        "kind",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

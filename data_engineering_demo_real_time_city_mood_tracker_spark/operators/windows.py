@@ -1,0 +1,103 @@
+"""Temporal / window operators: sliding windows, per-key top-k,
+as-of join.
+
+The as-of join is the Spark-lacks-it operator implemented as a
+composition of built-ins: union both sides, single window pass with
+``last(..., ignoreNulls=True)`` carry-forward — one shuffle on the key,
+no range-explode, state bounded per key. (DuckDB expresses the same
+thing natively as ASOF JOIN, which is the oracle.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    window_dur: str = "5 minutes",
+    slide: str = "1 minute",
+) -> DataFrame:
+    """Built-in F.window sliding aggregation (count + exact-decimal avg)."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_dur, slide).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+                / F.count(value_col)
+            ).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def topk_per_key(
+    df: DataFrame, key_col: str, order_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """row_number top-k per key, deterministic tie-break on id."""
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(key_col, id_col, order_col, "rnk")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    right_ts_alias: str = "right_ts",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right.ts <= left.ts on the same key (as-of backward join).
+
+    Implementation: tag + union both sides, one window sorted by
+    (ts, side) per key with last(ignoreNulls) carry-forward, then keep
+    left rows. Exactly one shuffle on key_col; no per-row range scan.
+    Right rows sort before left rows at equal ts so ties are inclusive
+    (matches ASOF JOIN ... ON left.ts >= right.ts).
+    """
+    lcols = [c for c in left.columns]
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("timestamp").alias(right_ts_alias),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    r_tag = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (key_col, ts_col)],
+        F.lit(0).alias("_side"),
+        F.col(ts_col).alias(right_ts_alias),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    ).select(*l_tag.columns)
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("_side"),
+        F.last(right_ts_alias, ignorenulls=True).over(w).alias(right_ts_alias),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")

@@ -1,0 +1,941 @@
+"""Query registry: every capability from SURVEY.md §2 as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible)
+a DuckDB oracle producing byte-identical values.
+
+Engine-parity rules used throughout (see SURVEY.md §3/§5):
+- money/metric sums go through ``CAST(x AS DECIMAL(18,s))`` so the sum
+  is exact and partition-order independent; the final value is cast to
+  DOUBLE (deterministic) in both engines.
+- averages are exact-sum / count — one IEEE division, bitwise equal.
+- "first" aggregates are ``min_by``/``arg_min`` keyed on a unique id.
+- hashes are md5 hex strings (identical in both engines); minhash uses
+  lexicographic min over equal-length hex == numeric min.
+- vector math folds left with a 0.0 seed in Spark and mirrors it with
+  DuckDB ``list_reduce`` (0.0+x1 == x1, so folds agree bitwise).
+
+The ``events`` table stands in for the reference's three Kafka streams
+(clicks→traffic, views→weather, errors→news); see schemas in
+/root/reference/jobs/spark_mood_tracker.py:11-26.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
+from data_engineering_demo_real_time_city_mood_tracker_spark.functions import vectors as V
+from data_engineering_demo_real_time_city_mood_tracker_spark.functions.scoring import (
+    mood_label,
+    mood_label_sql,
+    traffic_condition,
+    traffic_condition_sql,
+)
+from data_engineering_demo_real_time_city_mood_tracker_spark.functions.sentiment import sentiment, sentiment_sql
+from data_engineering_demo_real_time_city_mood_tracker_spark.operators import dedup, multimodal, similarity, windows
+from data_engineering_demo_real_time_city_mood_tracker_spark.session import ensure_shipped
+from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # make package modules importable on executor Python
+            # workers regardless of who built the SparkSession
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# shared helpers
+
+# Weather code taxonomy — order matches the reference producer's map
+# (/root/reference/weather_producer.py:17-40).
+WEATHER_CODES = [
+    "clear",
+    "mainly_clear",
+    "partly_cloudy",
+    "overcast",
+    "fog",
+    "depositing_rime_fog",
+    "drizzle_light",
+    "drizzle_moderate",
+    "drizzle_dense",
+    "rain_slight",
+    "rain_moderate",
+    "rain_heavy",
+    "snow_slight",
+    "snow_moderate",
+    "snow_heavy",
+    "rain_showers_slight",
+    "rain_showers_moderate",
+    "rain_showers_heavy",
+    "snow_showers_slight",
+    "snow_showers_heavy",
+    "thunderstorm",
+    "thunderstorm_with_hail",
+]
+_CODES_SQL = "[" + ", ".join(f"'{c}'" for c in WEATHER_CODES) + "]"
+
+
+def dsum(c, scale: int = 2):
+    """exact decimal sum → double (partition-order independent)."""
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(c, scale: int = 6):
+    """exact-sum / count average — bitwise equal across engines."""
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
+
+
+def davg_sql(x: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({x} AS DECIMAL(18,{scale}))) AS DOUBLE)/COUNT({x})"
+
+
+def _clicks(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.date_trunc("minute", "ts").alias("minute"),
+        F.concat(F.lit("int_"), (F.col("user_id") % 4).cast("string")).alias(
+            "intersection"
+        ),
+        F.col("value").alias("speed"),
+    )
+
+
+def _views(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.date_trunc("minute", "ts").alias("minute"),
+        F.col("value").alias("temp"),
+        F.element_at(F.array(*[F.lit(c) for c in WEATHER_CODES]), (k % 22) + 1).alias(
+            "weather"
+        ),
+    )
+
+
+def _errors(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.date_trunc("minute", "ts").alias("minute"),
+        F.when(F.col("value") < 150, "negative")
+        .when(F.col("value") < 300, "neutral")
+        .otherwise("positive")
+        .alias("sentiment"),
+    )
+
+
+# events.ts is TIMESTAMP_NS in parquet; truncate to micros to match
+# Spark's reader (see sources/batch.py:load_table).
+EVENTS_CTE = f"""
+events_us AS (
+  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+),
+clicks AS (
+  SELECT event_id, ts, user_id, date_trunc('minute', ts) AS minute,
+         'int_' || CAST(user_id % 4 AS VARCHAR) AS intersection,
+         value AS speed
+  FROM events_us WHERE event_type = 'click'
+),
+views AS (
+  SELECT event_id, ts, user_id, date_trunc('minute', ts) AS minute, value AS temp,
+         ({_CODES_SQL})[(CAST(json_extract_string(props, '$.k') AS INT) % 22) + 1] AS weather
+  FROM events_us WHERE event_type = 'view'
+),
+errors AS (
+  SELECT event_id, date_trunc('minute', ts) AS minute,
+         CASE WHEN value < 150 THEN 'negative'
+              WHEN value < 300 THEN 'neutral'
+              ELSE 'positive' END AS sentiment
+  FROM events_us WHERE event_type = 'error'
+)"""
+
+MOOD_CTE = f"""{EVENTS_CTE},
+traffic_g AS (
+  SELECT minute, intersection, {davg_sql('speed')} AS avg_speed
+  FROM clicks GROUP BY minute, intersection
+),
+weather_g AS (
+  SELECT minute, {davg_sql('temp')} AS avg_temp,
+         arg_min(weather, event_id) AS weather
+  FROM views GROUP BY minute
+),
+news_g AS (
+  SELECT minute, arg_min(sentiment, event_id) AS sentiment
+  FROM errors GROUP BY minute
+),
+mood AS (
+  SELECT t.minute AS event_time, t.intersection, t.avg_speed,
+         w.avg_temp, w.weather, n.sentiment,
+         {mood_label_sql('t.avg_speed', 'w.weather', 'n.sentiment')} AS mood
+  FROM traffic_g t
+  LEFT JOIN weather_g w ON t.minute = w.minute
+  LEFT JOIN news_g n ON t.minute = n.minute
+)"""
+
+
+def _mood_df(spark, sf_dir) -> DataFrame:
+    """Flagship mood pipeline (batch analog of the reference's
+    spark_mood_tracker.py streaming job; see streaming/mood_pipeline.py
+    for the Structured Streaming form).
+
+    Plan shape: one scan of events, three filtered branch aggs (each a
+    single shuffle with map-side partial agg), then two left joins in
+    which the per-minute weather/news sides are tiny relative to the
+    per-(minute, intersection) traffic side — AQE broadcasts them.
+    """
+    traffic_g = (
+        _clicks(spark, sf_dir)
+        .groupBy("minute", "intersection")
+        .agg(davg(F.col("speed")).alias("avg_speed"))
+    )
+    weather_g = (
+        _views(spark, sf_dir)
+        .groupBy("minute")
+        .agg(
+            davg(F.col("temp")).alias("avg_temp"),
+            F.min_by("weather", "event_id").alias("weather"),
+        )
+    )
+    news_g = (
+        _errors(spark, sf_dir)
+        .groupBy("minute")
+        .agg(F.min_by("sentiment", "event_id").alias("sentiment"))
+    )
+    joined = traffic_g.join(weather_g, "minute", "left").join(news_g, "minute", "left")
+    return joined.select(
+        F.col("minute").alias("event_time"),
+        "intersection",
+        "avg_speed",
+        "avg_temp",
+        "weather",
+        "sentiment",
+        mood_label(F.col("avg_speed"), F.col("weather"), F.col("sentiment")).alias(
+            "mood"
+        ),
+    )
+
+
+def _docs_norm_sql() -> str:
+    return T.normalize_sql("text")
+
+
+# --------------------------------------------------------------------------
+# streaming-core semantics (batch-verified analogs)
+
+
+@register(
+    "traffic_scoring",
+    f"""WITH {EVENTS_CTE}
+SELECT event_id, speed, {traffic_condition_sql('speed')} AS traffic_condition
+FROM clicks""",
+)
+def q_traffic_scoring(spark, sf_dir):
+    """speed→condition rules (ref jobs/spark_traffic_consumer.py:27-32)."""
+    return _clicks(spark, sf_dir).select(
+        "event_id",
+        "speed",
+        traffic_condition(F.col("speed")).alias("traffic_condition"),
+    )
+
+
+@register(
+    "news_sentiment",
+    f"""SELECT doc_id, {sentiment_sql('text')} AS sentiment FROM documents""",
+)
+def q_news_sentiment(spark, sf_dir):
+    """keyword sentiment (ref jobs/spark_news_consumer.py:27-34)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", sentiment(F.col("text")).alias("sentiment"))
+
+
+@register(
+    "minute_agg_traffic",
+    f"""WITH {EVENTS_CTE}
+SELECT minute AS event_time, intersection, {davg_sql('speed')} AS avg_speed
+FROM clicks GROUP BY minute, intersection""",
+)
+def q_minute_agg_traffic(spark, sf_dir):
+    """per-minute per-intersection avg speed (ref spark_mood_tracker.py:64-65)."""
+    return (
+        _clicks(spark, sf_dir)
+        .groupBy("minute", "intersection")
+        .agg(davg(F.col("speed")).alias("avg_speed"))
+        .select(F.col("minute").alias("event_time"), "intersection", "avg_speed")
+    )
+
+
+@register(
+    "minute_agg_weather",
+    f"""WITH {EVENTS_CTE}
+SELECT minute AS event_time, {davg_sql('temp')} AS avg_temp,
+       arg_min(weather, event_id) AS weather
+FROM views GROUP BY minute""",
+)
+def q_minute_agg_weather(spark, sf_dir):
+    """per-minute weather agg; deterministic min_by replaces the
+    reference's nondeterministic first() (spark_mood_tracker.py:67-71)."""
+    return (
+        _views(spark, sf_dir)
+        .groupBy("minute")
+        .agg(
+            davg(F.col("temp")).alias("avg_temp"),
+            F.min_by("weather", "event_id").alias("weather"),
+        )
+        .select(F.col("minute").alias("event_time"), "avg_temp", "weather")
+    )
+
+
+@register("mood_pipeline", f"WITH {MOOD_CTE} SELECT * FROM mood")
+def q_mood_pipeline(spark, sf_dir):
+    return _mood_df(spark, sf_dir)
+
+
+@register(
+    "daily_summary",
+    f"""WITH {MOOD_CTE}
+SELECT CAST(event_time AS DATE) AS event_date, intersection, mood,
+       COUNT(*) AS records_count,
+       {davg_sql('avg_speed')} AS avg_speed,
+       {davg_sql('avg_temp')} AS avg_temp
+FROM mood GROUP BY 1, 2, 3""",
+)
+def q_daily_summary(spark, sf_dir):
+    """groupBy(intersection, mood) daily rollup (ref
+    my_airflow/dags/daily_summary_report.py:35-40)."""
+    return (
+        _mood_df(spark, sf_dir)
+        .groupBy(
+            F.to_date("event_time").alias("event_date"), "intersection", "mood"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("records_count"),
+            davg(F.col("avg_speed")).alias("avg_speed"),
+            davg(F.col("avg_temp")).alias("avg_temp"),
+        )
+    )
+
+
+@register(
+    "quality_filter",
+    f"""WITH {MOOD_CTE}
+SELECT CAST(event_time AS DATE) AS event_date, COUNT(*) AS valid_records
+FROM mood
+WHERE event_time IS NOT NULL AND intersection IS NOT NULL
+  AND weather IS NOT NULL AND avg_speed > 0
+GROUP BY 1""",
+)
+def q_quality_filter(spark, sf_dir):
+    """validity predicate (ref my_airflow/dags/mongo_to_storage.py
+    load_to_postgres: non-null event_time/intersection/weather,
+    avg_speed > 0)."""
+    m = _mood_df(spark, sf_dir)
+    return (
+        m.filter(
+            F.col("event_time").isNotNull()
+            & F.col("intersection").isNotNull()
+            & F.col("weather").isNotNull()
+            & (F.col("avg_speed") > 0)
+        )
+        .groupBy(F.to_date("event_time").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("valid_records"))
+    )
+
+
+@register(
+    "mood_distribution",
+    f"""WITH {MOOD_CTE}
+SELECT mood, COUNT(*) AS n, {davg_sql('avg_speed')} AS avg_speed
+FROM mood GROUP BY mood""",
+)
+def q_mood_distribution(spark, sf_dir):
+    """mood histogram (ref mood_quality_check.py gate + summary)."""
+    return (
+        _mood_df(spark, sf_dir)
+        .groupBy("mood")
+        .agg(F.count(F.lit(1)).alias("n"), davg(F.col("avg_speed")).alias("avg_speed"))
+    )
+
+
+# --------------------------------------------------------------------------
+# general OLAP
+
+
+@register(
+    "pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(l_quantity) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary. Scan-heavy single-shuffle agg;
+    filter + column pruning push into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
+    charge = disc_price.cast("decimal(18,4)") * (F.lit(1) + dec2("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity").cast("double") / F.count("l_quantity")).alias(
+                "avg_qty"
+            ),
+            (dsum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias(
+                "avg_price"
+            ),
+            (dsum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_customers",
+    """SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, c_custkey
+LIMIT 20""",
+)
+def q_top_customers(spark, sf_dir):
+    """Q10-style revenue top-N. customer is tiny relative to lineitem →
+    broadcast; sort is on exact decimals so the LIMIT is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(rev.alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", F.col("rev_dec").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "regional_revenue",
+    """SELECT r_name AS region, EXTRACT(YEAR FROM o_orderdate) AS order_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, EXTRACT(YEAR FROM o_orderdate)""",
+)
+def q_regional_revenue(spark, sf_dir):
+    """Q5-style star join; nation/region/customer broadcast so the only
+    shuffle is lineitem⋈orders + the final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(rev.cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority""",
+)
+def q_order_priority(spark, sf_dir):
+    """Q4-style EXISTS → left-semi join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# window / temporal
+
+
+@register(
+    "sliding_window_events",
+    f"""SELECT window_start, event_type,
+       COUNT(*) AS n_events, {davg_sql('value')} AS avg_value
+FROM (
+  SELECT date_trunc('minute', ts) - o * INTERVAL 1 MINUTE AS window_start,
+         event_type, value
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS o) offs
+) sub
+GROUP BY window_start, event_type""",
+)
+def q_sliding_window(spark, sf_dir):
+    """5-minute window / 1-minute slide via built-in F.window (the
+    reference's minute windows generalized; Structured-Streaming-ready)."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.sliding_window_agg(ev, "ts", "event_type", "value")
+
+
+@register(
+    "window_rank",
+    """SELECT user_id, event_id, value, rnk FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+  FROM events
+) t WHERE rnk <= 3""",
+)
+def q_window_rank(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.topk_per_key(ev, "user_id", "value", "event_id", 3)
+    return out.select("user_id", "event_id", "value", F.col("rnk").cast("long").alias("rnk"))
+
+
+@register(
+    "asof_join",
+    f"""WITH {EVENTS_CTE}
+SELECT c.event_id, c.user_id, c.ts, c.speed,
+       v.ts AS right_ts, v.temp AS asof_temp
+FROM clicks c
+ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts""",
+)
+def q_asof_join(spark, sf_dir):
+    """as-of (backward) join: latest view reading at or before each
+    click, per user. Spark lacks ASOF JOIN → union + window
+    carry-forward, one shuffle (operators/windows.py:asof_join)."""
+    clicks = _clicks(spark, sf_dir).select("event_id", "user_id", "ts", "speed")
+    views = _views(spark, sf_dir).select("user_id", "ts", "temp")
+    out = windows.asof_join(clicks, views, "user_id", "ts", ["temp"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "speed",
+        "right_ts",
+        F.col("asof_temp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# deduplication
+
+
+@register(
+    "dedup_exact",
+    f"""SELECT md5({_docs_norm_sql()}) AS fp, MIN(doc_id) AS keep_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY 1""",
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+_SH3 = T.word_shingles_sql("text", 3)
+
+@register(
+    "dedup_ngram_topk",
+    f"""WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+         n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM inter
+  JOIN sizes sa ON id_a = sa.id
+  JOIN sizes sb ON id_b = sb.id
+)
+SELECT id_a, id_b, jaccard FROM scored
+ORDER BY jaccard DESC, id_a, id_b LIMIT 50""",
+)
+def q_dedup_ngram_topk(spark, sf_dir):
+    """top-50 most similar pairs by exact 3-shingle Jaccard (candidate
+    pairs share ≥1 shingle → shuffle keyed on shingle, never O(n²))."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.0)
+    return pairs.orderBy(
+        F.col("jaccard").desc(), F.col("id_a"), F.col("id_b")
+    ).limit(50)
+
+
+@register(
+    "minhash_signatures",
+    f"""WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
+)
+SELECT id, """
+    + ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
+    )
+    + " FROM sh GROUP BY id",
+)
+def q_minhash_signatures(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "text", "doc_id", k=3, num_hashes=8)
+
+
+@register(
+    "dedup_minhash_pairs",
+    f"""WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
+),
+sig AS (
+  SELECT id, """
+    + ", ".join(f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(8))
+    + """ FROM sh GROUP BY id
+),
+banded AS (
+  SELECT id, b.band, b.sig FROM sig, LATERAL (
+    SELECT * FROM (VALUES
+      (0, md5(h0 || '|' || h1)), (1, md5(h2 || '|' || h3)),
+      (2, md5(h4 || '|' || h5)), (3, md5(h6 || '|' || h7))
+    ) AS v(band, sig)
+  ) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE i.n_common / (sa.n_sh + sb.n_sh - i.n_common) >= 0.2""",
+)
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH (b=4 bands × r=2 rows) candidates verified with
+    exact Jaccard ≥ 0.2. md5-string minhash is reproduced exactly by
+    the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", k=3, bands=4, rows_per_band=2, threshold=0.2
+    )
+
+
+@register("dedup_simhash")  # xxhash64 not oracle-portable → rows-only check
+def q_dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text", "doc_id", nbits=32)
+
+
+@register(
+    "dedup_embedding",
+    f"""WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+         {V.sign_bucket_sql('embedding', 8)} AS bucket
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       list_reduce(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]), (acc, x) -> acc + x)
+       / (sqrt(list_reduce(list_transform(a.vec, x -> x * x), (acc, x) -> acc + x))
+          * sqrt(list_reduce(list_transform(b.vec, x -> x * x), (acc, x) -> acc + x))) AS cos_sim
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+WHERE list_reduce(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]), (acc, x) -> acc + x)
+      / (sqrt(list_reduce(list_transform(a.vec, x -> x * x), (acc, x) -> acc + x))
+         * sqrt(list_reduce(list_transform(b.vec, x -> x * x), (acc, x) -> acc + x))) >= 0.5""",
+)
+def q_dedup_embedding(spark, sf_dir):
+    """embedding near-dups: sign-LSH bucket prefilter then in-bucket
+    cosine ≥ 0.5 (documents vectors; avoids O(n²) cross join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.5, nbits=8)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+
+_COS_SQL = (
+    "list_reduce(list_transform(range(1, 65), i -> q.vec[i] * c.vec[i]), (acc, x) -> acc + x)"
+    " / (sqrt(list_reduce(list_transform(q.vec, x -> x * x), (acc, x) -> acc + x))"
+    " * sqrt(list_reduce(list_transform(c.vec, x -> x * x), (acc, x) -> acc + x)))"
+)
+
+
+@register(
+    "embedding_topk",
+    f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_COS_SQL} AS cos_sim
+  FROM v q JOIN v c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, corpus_id, cos_sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rnk
+  FROM scored
+) t WHERE rnk <= 5""",
+)
+def q_embedding_topk(spark, sf_dir):
+    """brute-force exact cosine top-5 for query vectors vec_id < 10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5
+    )
+    return out.select(
+        "query_id", "corpus_id", "cos_sim", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+@register(
+    "embedding_ann_lsh",
+    f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+         {V.sign_bucket_sql('embedding', 4)} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_COS_SQL} AS cos_sim
+  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, corpus_id, cos_sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rnk
+  FROM scored
+) t WHERE rnk <= 5""",
+)
+def q_embedding_ann_lsh(spark, sf_dir):
+    """sign-LSH ANN top-5 (probes only the query's bucket — the 100 TB
+    path; approximate by design, oracle implements the same bucketing)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5, nbits=4
+    )
+    return out.select(
+        "query_id", "corpus_id", "cos_sim", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+
+_LANGS = sorted(T.LANG_STOPWORDS)  # de, en, es, fr, zh
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(string_split({_docs_norm_sql()}, ' '), "
+        f"t -> list_contains([{words}], t))) AS BIGINT)"
+    )
+
+
+def _pred_lang_sql() -> str:
+    # argmax with lexicographic-lang preference, rendered as the same
+    # nested CASE in both engines.
+    clauses = []
+    for i, lang in enumerate(_LANGS):
+        conds = [f"n_{lang} >= n_{other}" for other in _LANGS[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+@register(
+    "lang_id",
+    f"""WITH hits AS (
+  SELECT doc_id, {", ".join(f"{_lang_hits_sql(lang)} AS n_{lang}" for lang in _LANGS)}
+  FROM documents
+)
+SELECT doc_id, {", ".join(f"n_{lang}" for lang in _LANGS)},
+       {_pred_lang_sql()} AS pred_lang
+FROM hits""",
+)
+def q_lang_id(spark, sf_dir):
+    """stopword-hit language ID heuristic (argmax, lexicographic
+    tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    hit_cols = [scores[lang].cast("long").alias(f"n_{lang}") for lang in _LANGS]
+    hits = docs.select("doc_id", *hit_cols)
+    pred = None
+    for i, lang in enumerate(_LANGS):
+        cond = F.lit(True)
+        for other in _LANGS[i + 1 :]:
+            cond = cond & (F.col(f"n_{lang}") >= F.col(f"n_{other}"))
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return hits.select("doc_id", *[f"n_{lang}" for lang in _LANGS], pred.alias("pred_lang"))
+
+
+@register(
+    "text_quality",
+    f"""SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(string_split({_docs_norm_sql()}, ' ')) AS BIGINT) AS n_tokens,
+       CASE WHEN length(text) > 0
+            THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN len(string_split({_docs_norm_sql()}, ' ')) > 0
+            THEN CAST(len(list_filter(string_split({_docs_norm_sql()}, ' '),
+                 t -> list_contains(['the', 'and', 'of', 'with', 'fast', 'slow'], t))) AS DOUBLE)
+                 / len(string_split({_docs_norm_sql()}, ' '))
+            ELSE 0.0 END AS stopword_ratio
+FROM documents""",
+)
+def q_text_quality(spark, sf_dir):
+    """quality signals: length, token count, punctuation ratio,
+    stopword ratio — all codegen Column math."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    stripped = F.regexp_replace(F.col("text"), r"[a-zA-Z0-9 ]", "")
+    hits = F.size(F.filter(toks, lambda t: t.isin(T.LANG_STOPWORDS["en"])))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(
+            F.length("text") > 0,
+            F.length(stripped).cast("double") / F.length("text"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
+        F.when(
+            F.size(toks) > 0, hits.cast("double") / F.size(toks)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+    )
+
+
+@register(
+    "token_count",
+    f"""SELECT doc_id,
+       CAST(len(string_split({_docs_norm_sql()}, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS regex_tokens,
+       (length(text) + 3) // 4 AS est_subwords
+FROM documents""",
+)
+def q_token_count(spark, sf_dir):
+    """token counting: whitespace, regex word-ish, and a chars/4
+    BPE-ish subword estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(r"[a-z]+|[0-9]+"))
+        .cast("long")
+        .alias("regex_tokens"),
+        F.expr("(length(text) + 3) div 4").alias("est_subwords"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
+),
+minsh AS (SELECT id, MIN(md5(shingle)) AS min_shingle_fp FROM sh GROUP BY id)
+SELECT d.doc_id, md5({_docs_norm_sql()}) AS fp, m.min_shingle_fp
+FROM documents d JOIN minsh m ON d.doc_id = m.id""",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """document fingerprints: whole-doc md5 + winnowing-style min
+    shingle hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.min(F.md5("shingle")).alias("min_shingle_fp"))
+    )
+    return (
+        docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .join(sh, F.col("doc_id") == F.col("id"))
+        .select("doc_id", "fp", "min_shingle_fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal (decode stubbed; Spark plumbing real — see operators/multimodal.py)
+
+
+@register(
+    "multimodal_meta",
+    """SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum
+FROM documents""",
+)
+def q_multimodal_meta(spark, sf_dir):
+    """binary payload metadata via Arrow-batched mapInPandas decode;
+    oracle covers the portable columns (bytes + checksum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text", "image")
+    decoded = multimodal.decode_media(media)
+    return decoded.select("media_id", "kind", "n_bytes", "checksum")

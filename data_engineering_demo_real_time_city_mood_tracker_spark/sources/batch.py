@@ -1,0 +1,74 @@
+"""Batch sources: parquet tables, JSON-lines with corrupt-record
+handling (reference: my_airflow/dags/mongo_to_storage.py
+``load_to_postgres`` reads exported JSON, drops ``_corrupt_record``
+rows, parses timestamps), and gated JDBC.
+
+Scans stay declarative so Catalyst pushes filters/projections into the
+parquet reader — verified by plan tests (tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_demo_real_time_city_mood_tracker_spark.schemas import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read as long ns and truncate to micros (the
+        # DuckDB oracle's CAST(ts_ns AS TIMESTAMP) truncates identically).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    if not names:
+        names = tuple(TESTDATA_TABLES)
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_jsonl_valid(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    timestamp_col: str | None = None,
+) -> DataFrame:
+    """JSON-lines reader with the reference's validity pipeline:
+    PERMISSIVE parse, drop corrupt records, optional timestamp parse.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if "_corrupt_record" in df.columns:
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    if timestamp_col is not None and timestamp_col in df.columns:
+        df = df.withColumn(timestamp_col, F.to_timestamp(F.col(timestamp_col)))
+    return df
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, user: str, password: str, driver: str, mode: str = "append") -> None:
+    """JDBC sink, shape-compatible with the reference's Postgres writes
+    (daily_summary_report.py:42-50). Gated: needs the JDBC driver jar
+    on the cluster; not exercisable in this container.
+    """
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("driver", driver)
+        .mode(mode)
+        .save()
+    )

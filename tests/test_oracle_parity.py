@@ -1,0 +1,63 @@
+"""Mirror of the driver's t2 gate: run every registered query on Spark
+AND its DuckDB oracle on the same parquet, compare row count, column
+names, and order-insensitive values. This is the local correctness
+feedback loop (sf0.001 for speed; the driver runs sf0.01).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import ORACLES, QUERIES
+from data_engineering_demo_real_time_city_mood_tracker_spark.schemas import TESTDATA_TABLES
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v!r}"
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    con = _duck(sf_dir)
+    res = con.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+    sset = _rowset(scols, [tuple(r) for r in srows])
+    oset = _rowset(ocols, orows)
+    mism = [i for i, (a, b) in enumerate(zip(sset, oset)) if a != b]
+    assert sset == oset, f"{name}: first mismatched rows {[(sset[i], oset[i]) for i in mism[:3]]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
