@@ -1,0 +1,242 @@
+"""Structured Streaming tests: stream/batch parity for the mood
+pipeline (file source, availableNow trigger, memory sink), watermarked
+append mode, JSON stream parsing, and the foreachBatch document sink.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import WEATHER_CODES
+from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.mood_pipeline import mood_from_unified, mood_stream, unified_events
+from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.sinks import document_sink
+from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.sources import parse_news, parse_traffic, parse_weather
+
+INTERSECTIONS = ["int_0", "int_1", "int_2", "int_3"]
+
+
+def _typed_frames(spark, sf_dir):
+    """events table → the three reference-shaped typed frames."""
+    ev = load_table(spark, sf_dir, "events")
+    traffic = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("event_time"),
+        F.concat(F.lit("int_"), (F.col("user_id") % 4).cast("string")).alias(
+            "intersection"
+        ),
+        F.col("value").alias("speed"),
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    weather = ev.filter(F.col("event_type") == "view").select(
+        F.col("ts").alias("event_time"),
+        F.col("value").alias("temp"),
+        F.element_at(F.array(*[F.lit(c) for c in WEATHER_CODES]), (k % 22) + 1).alias(
+            "weather"
+        ),
+    )
+    news = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("event_time"),
+        F.when(F.col("value") < 150, "negative")
+        .when(F.col("value") < 300, "neutral")
+        .otherwise("positive")
+        .alias("sentiment"),
+    )
+    return traffic, weather, news
+
+
+def _write_sorted_chunks(df, path, n_chunks):
+    """Write a frame as time-ordered parquet chunk files so the file
+    stream replays it roughly in event-time order."""
+    df.orderBy("event_time").coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path):
+    traffic, weather, news = _typed_frames(spark, sf_dir)
+    expected = {
+        tuple(str(v) for v in row)
+        for row in mood_stream(traffic, weather, news, INTERSECTIONS).collect()
+    }
+    assert expected, "batch mood result should be non-empty"
+
+    dirs = {}
+    for name, df in [("traffic", traffic), ("weather", weather), ("news", news)]:
+        d = str(tmp_path / name)
+        _write_sorted_chunks(df, d, 3)
+        dirs[name] = (d, df.schema)
+
+    streams = {
+        name: spark.readStream.schema(schema).parquet(d)
+        for name, (d, schema) in dirs.items()
+    }
+    out = mood_stream(
+        streams["traffic"], streams["weather"], streams["news"], INTERSECTIONS
+    )
+    qname = f"mood_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        tuple(str(v) for v in row) for row in spark.table(qname).collect()
+    }
+    assert got == expected
+
+
+def test_stream_append_mode_with_watermark(spark, sf_dir, tmp_path):
+    """append mode emits only watermark-closed windows: with a single
+    globally time-ordered source (no late data), the emitted set is a
+    non-empty subset of the batch result."""
+    traffic, weather, news = _typed_frames(spark, sf_dir)
+    unified = unified_events(traffic, weather, news, INTERSECTIONS)
+    batch_rows = {
+        tuple(str(v) for v in row) for row in mood_from_unified(unified).collect()
+    }
+
+    d = str(tmp_path / "unified")
+    unified.orderBy("event_time").repartitionByRange(4, "event_time").write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = (
+        spark.readStream.schema(unified.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = mood_from_unified(stream)
+    qname = f"moodapp_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {tuple(str(v) for v in row) for row in spark.table(qname).collect()}
+    assert got, "append mode should emit some closed windows"
+    assert got <= batch_rows
+
+
+def test_watermark_emission_boundary(spark, tmp_path):
+    """append mode emits exactly the windows the watermark has passed:
+    with events at minutes 0..14 and a 2-minute watermark, windows
+    0..11 are emitted (end <= final watermark 10:12) and the still-open
+    windows 12..14 are withheld in state.
+
+    (Note: Spark's watermark guarantees on-time data is kept; dropping
+    of *late* data is best-effort, so that is deliberately not asserted
+    here.)
+    """
+    import datetime as dt
+    import time as _time
+
+    base = dt.datetime(2025, 1, 1, 10, 0, 0)
+    ddl = (
+        "event_time timestamp, intersection string, kind string, "
+        "speed double, temp double, weather string, sentiment string"
+    )
+    chunk_a = [
+        (base + dt.timedelta(minutes=m), "int_0", "traffic", 50.0, None, None, None)
+        for m in range(10)
+    ]
+    chunk_b = [
+        (base + dt.timedelta(minutes=m), "int_0", "traffic", 50.0, None, None, None)
+        for m in range(10, 15)
+    ]
+
+    d = str(tmp_path / "boundary")
+    schema = None
+    for chunk in [chunk_a, chunk_b]:
+        df = spark.createDataFrame(chunk, ddl)
+        schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)  # distinct mtimes → two ordered micro-batches
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    out = mood_from_unified(stream, watermark="2 minutes")
+    qname = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.event_time for r in spark.table(qname).collect()}
+    expected = {base + dt.timedelta(minutes=m) for m in range(12)}
+    assert got == expected
+
+
+def test_parse_streams_from_json(spark):
+    """from_json parsing matches the reference producer payloads
+    (traffic_producer.py:17-24 etc.)."""
+    payloads = [
+        json.dumps(
+            {
+                "intersection": "mashtots",
+                "vehicle_id": "veh-1234",
+                "speed": 42.5,
+                "timestamp": "2025-01-01 10:00:00",
+            }
+        ),
+        json.dumps({"intersection": "komitas", "vehicle_id": "veh-9", "speed": 80.0,
+                    "timestamp": "2025-01-01 10:01:00"}),
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], ["value"])
+    out = parse_traffic(df).collect()
+    assert {r.intersection for r in out} == {"mashtots", "komitas"}
+    assert all(r.event_time is not None for r in out)
+
+    wp = json.dumps(
+        {"timestamp": "2025-01-01 10:00:00", "temp": -3.5, "windspeed": 12.0,
+         "weather": "snow_slight"}
+    )
+    w = parse_weather(spark.createDataFrame([(wp,)], ["value"])).collect()[0]
+    assert w.weather == "snow_slight" and w.temp == -3.5
+
+    np_ = json.dumps(
+        {"timestamp": "2025-01-01 10:00:00", "headline": "Accident near Tumanyan",
+         "sentiment": "negative"}
+    )
+    n = parse_news(spark.createDataFrame([(np_,)], ["value"])).collect()[0]
+    assert n.sentiment == "negative"
+
+    corrupt = parse_traffic(spark.createDataFrame([("{not json",)], ["value"])).collect()
+    assert corrupt[0].intersection is None  # PERMISSIVE → null row, no crash
+
+
+def test_document_sink_foreachbatch(spark):
+    """foreachBatch document sink: injected insert_many receives the
+    null-dropped records (reference write_to_mongo semantics)."""
+    import datetime as dt
+
+    ddl = (
+        "event_time timestamp, intersection string, avg_speed double, "
+        "avg_temp double, weather string, sentiment string, mood string"
+    )
+    base = dt.datetime(2025, 1, 1, 10, 0, 0)
+    rows = [
+        (base, "int_0", 70.0, 20.0, "clear", "positive", "relaxed"),
+        (base, "int_1", 20.0, 5.0, "fog", "neutral", "stressed"),
+        (base, "int_2", 50.0, None, None, None, "unknown"),  # dropped by na.drop
+    ]
+    df = spark.createDataFrame(rows, ddl)
+    captured: list[dict] = []
+    sink = document_sink(lambda recs: captured.extend(recs))
+    sink(df, batch_id=0)
+    assert len(captured) == 2
+    assert all(v is not None for rec in captured for v in rec.values())
+    assert set(captured[0]) == {
+        "event_time", "intersection", "avg_speed", "avg_temp", "weather",
+        "sentiment", "mood",
+    }
