@@ -33,49 +33,65 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, shingle) distinct pairs — the base for Jaccard math."""
-    return (
-        df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
-        .select("id", F.explode("sh").alias("shingle"))
-        .distinct()
-    )
-
-
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """Exact n-gram (word k-shingle) Jaccard near-dup pairs ≥ threshold.
 
-    candidate generation: pairs sharing ≥1 shingle (shuffle keyed on
-    shingle), then exact |A∩B| via groupBy pair, with |A|,|B| joined in.
+    candidate generation: distinct pairs sharing ≥1 shingle (shuffle
+    keyed on shingle), then exact Jaccard via array_intersect on the
+    joined per-doc shingle arrays — codegen, no second explode.
     Emits (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = _shingle_table(df, text_col, id_col, k).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    from pyspark import StorageLevel
+
+    arr = _shingle_arrays(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = arr.select("id", F.explode("sh").alias("shingle"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    out = (
-        inter.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
+    aa = arr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    bb = arr.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(aa, "id_a")
+        .join(bb, "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                F.col("n_common")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
-            ).alias("jaccard"),
+            (n_common / (F.size("sh_a") + F.size("sh_b") - n_common)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out
+
+
+def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, sh: array<string>) distinct k-shingles per doc — no explode,
+    stays in whole-stage codegen."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+
+
+def _sig_cols(num_hashes: int) -> list:
+    """h_i = min over shingles of md5("{i}:{shingle}") — computed with
+    array_min(transform(...)) per row: zero shuffles, pure codegen.
+    Lexicographic min over equal-length hex == numeric min, so the
+    DuckDB oracle (MIN over the exploded table) agrees byte-for-byte."""
+    def hash_fn(i: int):
+        # NB: a single-arg lambda — F.transform passes (elem, idx) to
+        # two-arg lambdas, which would shadow the hash index.
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    return [
+        F.array_min(F.transform(F.col("sh"), hash_fn(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -83,16 +99,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{n-1}) minhash signature via md5("{i}:{shingle}").
 
-    min over hex strings == min over 128-bit ints (equal-length hex),
-    so the DuckDB oracle reproduces signatures exactly. One explode +
-    one groupBy (map-side partial min) — a single shuffle.
+    Computed per-row over the shingle array (array_min ∘ transform):
+    a map-only stage — the old explode→groupBy shuffle is gone.
     """
-    sh = _shingle_table(df, text_col, id_col, k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    return _shingle_arrays(df, text_col, id_col, k).select("id", *_sig_cols(num_hashes))
 
 
 def minhash_lsh_candidates(
@@ -108,6 +118,12 @@ def minhash_lsh_candidates(
     1-(1-s^r)^b. Shuffle keyed on (band, signature).
     """
     sig = minhash_signatures(df, text_col, id_col, k, bands * rows_per_band)
+    return _lsh_candidates_from_signatures(sig, bands, rows_per_band)
+
+
+def _lsh_candidates_from_signatures(
+    sig: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
     band_cols = []
     for bidx in range(bands):
         parts = [F.col(f"h{bidx * rows_per_band + r}") for r in range(rows_per_band)]
@@ -140,29 +156,33 @@ def minhash_dedup_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with exact Jaccard ≥ threshold."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, k, bands, rows_per_band)
-    sh = _shingle_table(df, text_col, id_col, k)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    """MinHash-LSH candidates verified with exact Jaccard ≥ threshold.
+
+    The per-doc shingle array is computed once and persisted: it feeds
+    signature generation (map-only) and both sides of the verify join.
+    Exact Jaccard is size(array_intersect)/union — pure codegen on the
+    joined candidate pairs, no explode→groupBy shuffle. Candidate
+    volume is already LSH-bounded, so carrying the two arrays through
+    the join is cheap relative to re-exploding the corpus.
+    """
+    from pyspark import StorageLevel
+
+    arr = _shingle_arrays(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = arr.select("id", *_sig_cols(bands * rows_per_band))
+    cand = _lsh_candidates_from_signatures(sig, bands, rows_per_band)
+    a = arr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = arr.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias(
-                "jaccard"
-            ),
+            (
+                n_common
+                / (F.size("sh_a") + F.size("sh_b") - n_common)
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
