@@ -1,0 +1,72 @@
+"""Physical-plan assertions (SURVEY.md §5): the 100 TB posture is only
+real if the optimized plans keep it — broadcast joins stay broadcast,
+scans are pruned and filtered at the source, and no hot path falls back
+to row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# Queries that intentionally use Arrow-batched Python (mapInPandas
+# decode stub) — everything else must stay JVM-side.
+PYTHON_OK = {"multimodal_meta"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_product(spark, sf_dir, name):
+    plan = plan_of(QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - PYTHON_OK))
+def test_no_python_udf_in_hot_path(spark, sf_dir, name):
+    plan = plan_of(QUERIES[name](spark, sf_dir))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{name} falls back to Python ({marker})"
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(QUERIES["pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read join keys we never use
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for unused in ("l_partkey", "l_suppkey", "l_orderkey"):
+        assert unused not in read_schema, f"scan reads unused column {unused}"
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(QUERIES["regional_revenue"](spark, sf_dir))
+    # customer, nation, region all arrive via broadcast — the only
+    # shuffled join is lineitem⋈orders.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_top_customers_broadcasts_customer(spark, sf_dir):
+    plan = plan_of(QUERIES["top_customers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mood_pipeline_single_scan_branch_aggs(spark, sf_dir):
+    plan = plan_of(QUERIES["mood_pipeline"](spark, sf_dir))
+    # partial (map-side) aggregation before every shuffle
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    # event_type filters reach the parquet source
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_minhash_signatures_map_only(spark, sf_dir):
+    """Signature generation must not shuffle (array_min ∘ transform)."""
+    plan = plan_of(QUERIES["minhash_signatures"](spark, sf_dir))
+    assert "Exchange" not in plan, "minhash signatures should be a map-only stage"

@@ -1,0 +1,96 @@
+"""Property-style invariants (SURVEY.md §5): dedup idempotence, LSH
+recall on planted duplicates, as-of join vs a naive per-row oracle.
+Small synthetic frames — fast, deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_demo_real_time_city_mood_tracker_spark.operators import dedup, windows
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_idempotent(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "THE quick   brown fox!"),  # normalizes to same text as 1
+        (3, "a different document"),
+        (4, "a different document"),
+        (5, "unique snowflake"),
+    ]
+    df = _docs(spark, rows)
+    once = dedup.exact_dedup(df, "text", "doc_id")
+    assert once.count() == 3
+    survivors = df.join(once.select(F.col("keep_id").alias("doc_id")), "doc_id")
+    twice = dedup.exact_dedup(survivors, "text", "doc_id")
+    assert sorted(r.keep_id for r in twice.collect()) == sorted(
+        r.keep_id for r in once.collect()
+    )
+    assert twice.agg(F.max("dup_count")).first()[0] == 1
+
+
+def test_minhash_lsh_finds_planted_duplicates(spark):
+    base = "pack my box with five dozen liquor jugs and some extra words"
+    rows = [(i, f"document number {i} about topic {i % 7} " + "x " * i) for i in range(20)]
+    rows += [(100, base), (101, base)]  # identical pair must be a candidate
+    df = _docs(spark, rows)
+    cand = dedup.minhash_lsh_candidates(df, "text", "doc_id", k=3, bands=4, rows_per_band=2)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (100, 101) in pairs, "identical docs share every band -> must be candidates"
+    verified = dedup.minhash_dedup_pairs(
+        df, "text", "doc_id", k=3, bands=4, rows_per_band=2, threshold=0.99
+    )
+    assert {(r.id_a, r.id_b) for r in verified.collect()} >= {(100, 101)}
+
+
+def test_ngram_jaccard_exact_on_known_pair(spark):
+    # doc1 shingles {a b c, b c d}; doc2 shingles {a b c, b c x}
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c x")])
+    out = dedup.ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.0).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row.id_a, row.id_b) == (1, 2)
+    assert abs(row.jaccard - 1 / 3) < 1e-12  # |∩|=1, |∪|=3
+
+
+def test_simhash_identical_docs_equal_hash(spark):
+    df = _docs(spark, [(1, "hello world foo bar"), (2, "hello world foo bar"), (3, "entirely other text")])
+    out = {r.id: r.simhash for r in dedup.simhash(df, "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < 2**32
+
+
+def test_asof_join_matches_naive(spark):
+    left = spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(0, 100, 7)], "event_id long, user_id long, lv double"
+    ).select("event_id", "user_id", F.timestamp_seconds(F.col("lv")).alias("ts"), "lv")
+    right = spark.createDataFrame(
+        [(1, float(i), i * 10.0) for i in range(0, 100, 13)], "user_id long, rv double, temp double"
+    ).select("user_id", F.timestamp_seconds(F.col("rv")).alias("ts"), "temp")
+    out = windows.asof_join(
+        left.select("event_id", "user_id", "ts", "lv"), right, "user_id", "ts", ["temp"]
+    )
+    got = {r.event_id: r.asof_temp for r in out.collect()}
+    # naive: latest right ts <= left ts
+    rights = [(i, i * 10.0) for i in range(0, 100, 13)]
+    for ev in range(0, 100, 7):
+        past = [t for (rt, t) in rights if rt <= ev]
+        expect = past[-1] if past else None
+        assert got[ev] == expect, f"event {ev}: {got[ev]} != {expect}"
+
+
+def test_embedding_near_dup_symmetric_threshold(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.5, 0.1]),
+        (2, [1.0, 0.0, 0.5, 0.101]),   # ~identical to 1, same sign pattern
+        (3, [0.9, 0.1, -0.4, -0.2]),   # different bucket
+        (4, [1.0, 0.0, 0.5, 0.1]),     # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.999, nbits=4)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
