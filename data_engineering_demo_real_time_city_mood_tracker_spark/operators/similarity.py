@@ -60,6 +60,86 @@ def brute_force_topk(
     )
 
 
+def ivf_assignments(
+    vectors_df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "vec",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, cid): nearest centroid by cosine, deterministic tie-break
+    on centroid id. Centroid set is tiny → broadcast; the argmax is a
+    window over n_centroids rows per vector."""
+    scored = vectors_df.join(F.broadcast(centroids)).select(
+        id_col,
+        "cid",
+        vectors.cosine(F.col(vec_col), F.col("cvec")).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into centroid
+    cells, probe only the query's nearest cell (n_probe=1).
+
+    Centroids here are deterministic seeds — the first ``n_centroids``
+    corpus vectors by id. A production deployment would refine them
+    with k-means (Lloyd) iterations; the cell-assignment / probe-join
+    machinery — the part that must scale — is identical, and seeding
+    keeps the operator reproducible by the SQL oracle.
+
+    Scale shape: assignment is a broadcast nested-loop over
+    n_centroids (map-only); the probe join shuffles on cid — candidate
+    volume per query drops ~n_centroids-fold vs brute force.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec_full")
+    )
+    cent = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
+    )
+    c_assign = ivf_assignments(
+        c.select(F.col("corpus_id").alias("id"), F.col("cvec_full").alias("vec")),
+        cent,
+    ).select(F.col("id").alias("corpus_id"), "cid")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    q_assign = ivf_assignments(
+        q.select(F.col("query_id").alias("id"), F.col("qvec").alias("vec")), cent
+    ).select(F.col("id").alias("query_id"), "cid")
+    scored = (
+        c.join(c_assign, "corpus_id")
+        .join(F.broadcast(q.join(q_assign, "query_id")), "cid")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            vectors.cosine(F.col("qvec"), F.col("cvec_full")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rnk")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -34,7 +34,14 @@ from data_engineering_demo_real_time_city_mood_tracker_spark.functions.scoring i
     traffic_condition_sql,
 )
 from data_engineering_demo_real_time_city_mood_tracker_spark.functions.sentiment import sentiment, sentiment_sql
-from data_engineering_demo_real_time_city_mood_tracker_spark.operators import dedup, multimodal, similarity, windows
+from data_engineering_demo_real_time_city_mood_tracker_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    sessions,
+    similarity,
+    windows,
+)
 from data_engineering_demo_real_time_city_mood_tracker_spark.session import ensure_shipped
 from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
 
@@ -511,6 +518,169 @@ def q_order_priority(spark, sf_dir):
     return sel.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
 
+@register(
+    "shipping_priority",
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate > TIMESTAMP '1999-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, l_orderkey
+LIMIT 10""",
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: unshipped high-revenue orders for one segment.
+    Segment filter prunes customer before its broadcast; both date
+    filters push into the scans."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "revenue_filter",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+)
+def q_revenue_filter(spark, sf_dir):
+    """TPC-H Q6-style scan-filter-agg: every predicate pushes to the
+    parquet scan; one partial+final agg, no shuffle of data rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec2("l_extendedprice") * dec2("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "big_orders",
+    """SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+       SUM(l_quantity) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(l_quantity) > 300""",
+)
+def q_big_orders(spark, sf_dir):
+    """TPC-H Q18-style large-volume orders (HAVING over a join agg)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+
+
+@register(
+    "orders_no_lineitem",
+    """SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o_orderstatus""",
+)
+def q_orders_no_lineitem(spark, sf_dir):
+    """NOT EXISTS → left-anti join (orphan orders per status)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "brand_revenue",
+    """SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       SUM(l_quantity) AS total_qty, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand""",
+)
+def q_brand_revenue(spark, sf_dir):
+    """dim-join rollup: part broadcasts, lineitem never shuffles before
+    the (tiny) final agg on brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.sum("l_quantity").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "mood_rollup",
+    f"""WITH {MOOD_CTE}
+SELECT intersection, mood, CAST(GROUPING(intersection, mood) AS BIGINT) AS gid,
+       COUNT(*) AS n, {davg_sql('avg_speed')} AS avg_speed
+FROM mood GROUP BY ROLLUP (intersection, mood)""",
+)
+def q_mood_rollup(spark, sf_dir):
+    """hypertable-style hierarchical rollup (intersection → mood →
+    grand total) in one pass — GROUPING SETS, partial-agg friendly."""
+    return (
+        _mood_df(spark, sf_dir)
+        .rollup("intersection", "mood")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            davg(F.col("avg_speed")).alias("avg_speed"),
+        )
+        .select("intersection", "mood", "gid", "n", "avg_speed")
+    )
+
+
 # --------------------------------------------------------------------------
 # window / temporal
 
@@ -570,6 +740,91 @@ def q_asof_join(spark, sf_dir):
         "speed",
         "right_ts",
         F.col("asof_temp"),
+    )
+
+
+@register(
+    "sessionization",
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+flags AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts)/1000000.0 - epoch_us(lag(ts) OVER w)/1000000.0 > 14400
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flags
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       MAX(epoch_us(ts)/1000000.0) - MIN(epoch_us(ts)/1000000.0) AS duration_sec
+FROM sess GROUP BY user_id, session_id""",
+)
+def q_sessionization(spark, sf_dir):
+    """gap-based sessions (4 h inactivity gap) per user — lag-flag +
+    running sum in one sorted window pass, then the session rollup
+    (operators/sessions.py). Generalizes the reference's fixed minute
+    buckets (spark_mood_tracker.py date_trunc) to activity windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.session_stats(ev, "user_id", "ts", "event_id", gap_sec=14400)
+
+
+@register(
+    "skew_salted_join",
+    """SELECT c_custkey, c_name, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(value) AS avg_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_custkey, c_name""",
+)
+def q_skew_salted_join(spark, sf_dir):
+    """events⋈customer via explicit key salting (operators/joins.py):
+    row-identical to the plain join (which is the oracle) while
+    splitting each hot key across n_salts shuffle partitions — the
+    manual fix for skew that AQE can't rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = joins.salted_join(
+        ev, cust, "user_id", "c_custkey", salt_on="event_id", n_salts=8
+    )
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg(F.col("value")).alias("avg_value"),
+    )
+
+
+@register(
+    "json_ingest",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+WHERE json_valid(props) AND json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1""",
+)
+def q_json_ingest(spark, sf_dir):
+    """semi-structured ingestion: from_json with an explicit schema,
+    corrupt/missing records dropped (ref my_airflow/dags/
+    mongo_to_storage.py corrupt-record filter), then agg on the
+    extracted field."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(F.from_json("props", "k INT").alias("p"))
+    return (
+        parsed.filter(F.col("p").isNotNull() & F.col("p.k").isNotNull())
+        .groupBy((F.col("p.k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p.k").alias("sum_k"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+        )
     )
 
 
@@ -717,11 +972,18 @@ def q_dedup_embedding(spark, sf_dir):
 # --------------------------------------------------------------------------
 # similarity search
 
-_COS_SQL = (
-    "list_reduce(list_transform(range(1, 65), i -> q.vec[i] * c.vec[i]), (acc, x) -> acc + x)"
-    " / (sqrt(list_reduce(list_transform(q.vec, x -> x * x), (acc, x) -> acc + x))"
-    " * sqrt(list_reduce(list_transform(c.vec, x -> x * x), (acc, x) -> acc + x)))"
-)
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two double-list columns (dim 64); fold
+    order mirrors Spark's F.aggregate 0.0-seeded left fold bitwise."""
+    return (
+        f"list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+        f" / (sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x))"
+        f" * sqrt(list_reduce(list_transform({b}, x -> x * x), (acc, x) -> acc + x)))"
+    )
+
+
+_COS_SQL = _cos_sql("q.vec", "c.vec")
 
 
 @register(
@@ -774,6 +1036,47 @@ def q_embedding_ann_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5, nbits=4
+    )
+    return out.select(
+        "query_id", "corpus_id", "cos_sim", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+@register(
+    "embedding_ann_ivf",
+    f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 8),
+assign AS (
+  SELECT id, cid FROM (
+    SELECT v.vec_id AS id, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_sql('v.vec', 'cent.cvec')} DESC, cent.cid) AS rn
+    FROM v CROSS JOIN cent
+  ) t WHERE rn = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_COS_SQL} AS cos_sim
+  FROM v q
+  JOIN assign qa ON qa.id = q.vec_id
+  JOIN assign ca ON ca.cid = qa.cid AND ca.id != q.vec_id
+  JOIN v c ON c.vec_id = ca.id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, corpus_id, cos_sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rnk
+  FROM scored
+) t WHERE rnk <= 5""",
+)
+def q_embedding_ann_ivf(spark, sf_dir):
+    """IVF ANN top-5: corpus partitioned into 8 seeded centroid cells,
+    queries probe their own cell only (operators/similarity.py:
+    ivf_topk). The 100 TB path when LSH bit-buckets are too coarse."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5, n_centroids=8
     )
     return out.select(
         "query_id", "corpus_id", "cos_sim", F.col("rnk").cast("long").alias("rnk")
