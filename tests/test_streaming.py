@@ -215,6 +215,59 @@ def test_parse_streams_from_json(spark):
     assert corrupt[0].intersection is None  # PERMISSIVE → null row, no crash
 
 
+def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer == batch session_stats for
+    every session the stream closes; the per-user open tail session
+    stays in state (never emitted without a later event)."""
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.sessions import session_stats
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.stateful import sessionize_stream
+
+    GAP = 14400.0
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+
+    batch = session_stats(ev, "user_id", "ts", "event_id", gap_sec=int(GAP))
+    w = Window.partitionBy("user_id")
+    closed_expected = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in batch.withColumn("last_end", F.max("session_end").over(w))
+        .filter(F.col("session_end") != F.col("last_end"))
+        .collect()
+    }
+    assert closed_expected, "need at least one closed session in testdata"
+
+    # replay in two event-time-ordered micro-batches (mtime ordering)
+    d = str(tmp_path / "sessions")
+    cut = ev.select(F.percentile(F.col("ts").cast("double"), 0.5)).first()[0]
+    first = ev.filter(F.col("ts").cast("double") <= cut)
+    second = ev.filter(F.col("ts").cast("double") > cut)
+    first.coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)
+    second.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    out = sessionize_stream(stream, "user_id", "ts", gap_sec=GAP)
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table(qname).collect()
+    }
+    assert got == closed_expected
+
+
 def test_document_sink_foreachbatch(spark):
     """foreachBatch document sink: injected insert_many receives the
     null-dropped records (reference write_to_mongo semantics)."""
