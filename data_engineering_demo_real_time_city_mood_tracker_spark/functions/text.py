@@ -42,13 +42,15 @@ def tokens(text: Column) -> Column:
     return F.split(normalize(text), " ")
 
 
-def word_shingles(text: Column, k: int) -> Column:
-    """array of k-word shingles (space-joined); whole text if < k words.
+def shingles_from_tokens(toks: Column, k: int) -> Column:
+    """k-word shingles from an ALREADY-MATERIALIZED token array column.
 
-    Pure ``transform``/``slice`` — stays in codegen, no explode until
-    the caller decides to shuffle on shingle.
+    Callers must bind the token array with a prior projection
+    (``withColumn("_toks", tokens(text))``): referencing ``tokens(text)``
+    directly here would re-evaluate the split+regex chain once per
+    lambda element inside transform/slice (measured 15× slower at
+    sf0.1 — Spark does not CSE across higher-order-function lambdas).
     """
-    toks = tokens(text)
     n = F.size(toks)
     return F.when(
         n >= k,
@@ -57,6 +59,16 @@ def word_shingles(text: Column, k: int) -> Column:
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def word_shingles(text: Column, k: int) -> Column:
+    """array of k-word shingles (space-joined); whole text if < k words.
+
+    Convenience form for one-off use; hot paths should materialize the
+    token array first and call :func:`shingles_from_tokens` (see its
+    docstring for why).
+    """
+    return shingles_from_tokens(tokens(text), k)
 
 
 def word_shingles_sql(text: str, k: int) -> str:
@@ -100,6 +112,13 @@ def fingerprint(text: Column) -> Column:
 def lang_scores(text: Column) -> dict[str, Column]:
     """stopword-hit count per candidate language."""
     toks = tokens(text)
+    return lang_scores_from_tokens(toks)
+
+
+def lang_scores_from_tokens(toks: Column) -> dict[str, Column]:
+    """stopword-hit count per language from a materialized token array
+    (bind with withColumn first — avoids re-running the tokenizer once
+    per language column)."""
     return {
         lang: F.size(F.filter(toks, lambda t: t.isin(words)))
         for lang, words in LANG_STOPWORDS.items()

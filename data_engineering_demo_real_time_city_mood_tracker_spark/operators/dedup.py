@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_engineering_demo_real_time_city_mood_tracker_spark.functions import vectors
-from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import fingerprint, word_shingles
+from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import fingerprint
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -38,43 +38,88 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram (word k-shingle) Jaccard near-dup pairs ≥ threshold.
 
-    candidate generation: distinct pairs sharing ≥1 shingle (shuffle
-    keyed on shingle), then exact Jaccard via array_intersect on the
-    joined per-doc shingle arrays — codegen, no second explode.
+    Exactly two shuffles: the shingle-keyed candidate join, then one
+    pair-keyed aggregation that counts |A∩B| with the set sizes carried
+    through the join as two ints (grouping keys) — no array payload, no
+    size-lookup joins afterwards. The co-shingle pair count is the
+    intrinsic cost of exact Jaccard; at scale, prefer minhash_dedup
+    (LSH-bounded candidates) and use this as the verify/oracle tool.
     Emits (id_a, id_b, jaccard) with id_a < id_b.
     """
     from pyspark import StorageLevel
 
-    arr = _shingle_arrays(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
-    sh = arr.select("id", F.explode("sh").alias("shingle"))
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
+
+    # distinct-shingle array built INLINE in both size and explode —
+    # two evals per input row, vs per-element re-eval if exploded from
+    # a bound column (Generate inlines child projections). Persisted:
+    # both sides of the self-join read the materialized bytes instead
+    # of re-running the tokenize→shingle pipeline (3-4× at sf0.1).
+    dsh = F.array_distinct(shingles_from_tokens(F.col("_toks"), k))
+    sh = (
+        _toked(df, text_col, id_col)
+        .select("id", F.size(dsh).alias("n"), F.explode(dsh).alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = sh.alias("a")
     b = sh.alias("b")
-    cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    aa = arr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    bb = arr.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        cand.join(aa, "id_a")
-        .join(bb, "id_b")
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .select(
             "id_a",
             "id_b",
-            (n_common / (F.size("sh_a") + F.size("sh_b") - n_common)).alias("jaccard"),
+            (
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least defaultParallelism partitions before expensive
+    per-row compute. A tiny scan (one small parquet split) otherwise
+    pins the whole shingle/hash pipeline to one core; at real scale
+    inputs already have more splits than cores and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
+def _toked(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _toks) with the token array bound in its own projection —
+    every downstream expression references ``_toks``, never
+    ``tokens(text)`` inline (see shingles_from_tokens docstring)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens
+
+    return _spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+
+
 def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, sh: array<string>) distinct k-shingles per doc — no explode,
-    stays in whole-stage codegen."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
+    stays in whole-stage codegen.
+
+    Safe as a Project-over-Project chain (CollapseProject does not
+    duplicate non-cheap multi-referenced expressions). Do NOT explode
+    ``sh`` from a later select — Generate inlines its child projection
+    unconditionally, re-evaluating the whole chain per element; build
+    the array inline inside the explode instead (see
+    ngram_jaccard_pairs)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
+
+    return _toked(df, text_col, id_col).select(
+        "id", F.array_distinct(shingles_from_tokens(F.col("_toks"), k)).alias("sh")
     )
 
 
@@ -197,7 +242,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str, nbits: int = 32) -> DataF
     """
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens
 
-    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     h = tok.select("id", F.xxhash64("tok").alias("h"))
     bit_votes = [
         F.sum(

@@ -1122,9 +1122,10 @@ def q_lang_id(spark, sf_dir):
     """stopword-hit language ID heuristic (argmax, lexicographic
     tie-break)."""
     docs = load_table(spark, sf_dir, "documents")
-    scores = T.lang_scores(F.col("text"))
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
+    scores = T.lang_scores_from_tokens(F.col("_toks"))
     hit_cols = [scores[lang].cast("long").alias(f"n_{lang}") for lang in _LANGS]
-    hits = docs.select("doc_id", *hit_cols)
+    hits = toked.select("doc_id", *hit_cols)
     pred = None
     for i, lang in enumerate(_LANGS):
         cond = F.lit(True)
@@ -1153,10 +1154,10 @@ def q_text_quality(spark, sf_dir):
     """quality signals: length, token count, punctuation ratio,
     stopword ratio — all codegen Column math."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
+    toks = F.col("_toks")
     stripped = F.regexp_replace(F.col("text"), r"[a-zA-Z0-9 ]", "")
     hits = F.size(F.filter(toks, lambda t: t.isin(T.LANG_STOPWORDS["en"])))
-    return docs.select(
+    return docs.withColumn("_toks", T.tokens(F.col("text"))).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_calc"),
         F.size(toks).cast("long").alias("n_tokens"),
@@ -1207,21 +1208,22 @@ FROM documents d JOIN minsh m ON d.doc_id = m.id""",
 )
 def q_doc_fingerprint(spark, sf_dir):
     """document fingerprints: whole-doc md5 + winnowing-style min
-    shingle hash."""
+    shingle hash. Map-only: normalize(text) == array_join(tokens, ' ')
+    and the min shingle hash folds over the shingle array in codegen —
+    zero shuffles, zero joins (the old explode→distinct→groupBy→join
+    shape was ~90 s at sf0.1; this is <1 s)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            F.col("doc_id").alias("id"),
-            F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
-        )
-        .distinct()
-        .groupBy("id")
-        .agg(F.min(F.md5("shingle")).alias("min_shingle_fp"))
-    )
-    return (
-        docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
-        .join(sh, F.col("doc_id") == F.col("id"))
-        .select("doc_id", "fp", "min_shingle_fp")
+    return docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        F.md5(F.array_join("_toks", " ")).alias("fp"),
+        F.array_min(
+            F.transform(
+                F.array_distinct(T.shingles_from_tokens(F.col("_toks"), 3)),
+                lambda s: F.md5(s),
+            )
+        ).alias("min_shingle_fp"),
     )
 
 

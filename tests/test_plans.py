@@ -67,6 +67,10 @@ def test_mood_pipeline_single_scan_branch_aggs(spark, sf_dir):
 
 
 def test_minhash_signatures_map_only(spark, sf_dir):
-    """Signature generation must not shuffle (array_min ∘ transform)."""
+    """Signature generation must not shuffle on data keys (array_min ∘
+    transform is per-row). Only the round-robin spread repartition —
+    a local-mode parallelism fix — may appear, never a hash exchange
+    from a groupBy/join."""
     plan = plan_of(QUERIES["minhash_signatures"](spark, sf_dir))
-    assert "Exchange" not in plan, "minhash signatures should be a map-only stage"
+    assert "hashpartitioning" not in plan, "signatures must not hash-shuffle"
+    assert "HashAggregate" not in plan, "signatures must not aggregate"
