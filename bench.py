@@ -38,6 +38,9 @@ def main() -> None:
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries that persist intermediates (dedup candidate tables)
+        # must not tax later queries' timings with their cached blocks
+        spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
 
     print(

@@ -24,7 +24,8 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     shuffle tiny. Returns the surviving rows' ids + the group size.
     """
     return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        _spread(df)
+        .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
