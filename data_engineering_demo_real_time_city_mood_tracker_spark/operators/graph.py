@@ -1,0 +1,61 @@
+"""Iterative graph operator: connected components via min-label
+propagation — the clustering step of near-duplicate deduplication
+(pairs → dup groups).
+
+This is the one genuinely iterative algorithm in the engine: a driver
+loop over DataFrame ops (the GraphX/Pregel pattern), with
+``localCheckpoint`` truncating lineage each round so plans don't grow
+exponentially. Converges in O(graph diameter) rounds; dup clusters are
+shallow (diameter ≤ a few), so 5-10 rounds in practice. Each round is
+one shuffle join + one aggregation, all keyed on vertex id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster) for every vertex appearing in ``edges``; cluster =
+    min vertex id of the component (deterministic canonical label)."""
+    und = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    und = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        prop = (
+            und.join(labels, und.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster"))

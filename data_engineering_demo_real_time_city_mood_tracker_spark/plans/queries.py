@@ -828,6 +828,121 @@ def q_json_ingest(spark, sf_dir):
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "event_type_pivot",
+    """SELECT CAST(ts AS DATE) AS day, """
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES
+    )
+    + """ FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev
+GROUP BY 1""",
+)
+def q_event_type_pivot(spark, sf_dir):
+    """pivot (wide conditional agg): one shuffle, output columns fixed
+    by the explicit value list (never a distinct-scan first)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@register(
+    "weather_transition",
+    f"""WITH {EVENTS_CTE},
+seq AS (
+  SELECT user_id, weather,
+         lag(weather) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_weather
+  FROM views
+)
+SELECT prev_weather, weather, COUNT(*) AS n
+FROM seq WHERE prev_weather IS NOT NULL
+GROUP BY prev_weather, weather""",
+)
+def q_weather_transition(spark, sf_dir):
+    """state-transition counts (markov-style): lag over per-user
+    event-time order, then pair histogram. One shuffle on user_id for
+    the sort, one for the pair agg."""
+    views = _views(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        views.select(
+            "user_id", "weather", F.lag("weather").over(w).alias("prev_weather")
+        )
+        .filter(F.col("prev_weather").isNotNull())
+        .groupBy("prev_weather", "weather")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "user_running_total",
+    """SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_so_far,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_value
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)""",
+)
+def q_user_running_total(spark, sf_dir):
+    """running (cumulative) per-user aggregates — single sort shuffle,
+    exact decimal running sum."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
+@register(
+    "distinct_counts",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type""",
+)
+def q_distinct_counts(spark, sf_dir):
+    """exact distinct: two-phase shuffle (partial distinct map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("approx_distinct_hll")  # HLL sketch internals engine-specific → rows-only
+def q_approx_distinct_hll(spark, sf_dir):
+    """HyperLogLog sketch distinct-count — the 100 TB path where exact
+    distinct's full shuffle is unaffordable. rsd 1% default; rows-only
+    check (sketch estimates are engine-specific by construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+
+
+@register("quantile_sketch")  # KLL/GK sketch internals engine-specific → rows-only
+def q_quantile_sketch(spark, sf_dir):
+    """approximate quantiles via Spark's Greenwald-Khanna sketch —
+    mergeable across partitions, no global sort. rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles")
+    )
+
+
 # --------------------------------------------------------------------------
 # deduplication
 
@@ -892,9 +1007,8 @@ def q_minhash_signatures(spark, sf_dir):
     return dedup.minhash_signatures(docs, "text", "doc_id", k=3, num_hashes=8)
 
 
-@register(
-    "dedup_minhash_pairs",
-    f"""WITH sh AS (
+_MINHASH_CTES = (
+    f"""sh AS (
   SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
 ),
 sig AS (
@@ -922,13 +1036,21 @@ inter AS (
   JOIN sh a ON a.id = c.id_a
   JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
   GROUP BY c.id_a, c.id_b
+),
+mh_pairs AS (
+  SELECT i.id_a, i.id_b,
+         i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.id
+  JOIN sizes sb ON i.id_b = sb.id
+  WHERE i.n_common / (sa.n_sh + sb.n_sh - i.n_common) >= 0.2
+)"""
 )
-SELECT i.id_a, i.id_b,
-       i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
-FROM inter i
-JOIN sizes sa ON i.id_a = sa.id
-JOIN sizes sb ON i.id_b = sb.id
-WHERE i.n_common / (sa.n_sh + sb.n_sh - i.n_common) >= 0.2""",
+
+
+@register(
+    "dedup_minhash_pairs",
+    f"WITH {_MINHASH_CTES} SELECT id_a, id_b, jaccard FROM mh_pairs",
 )
 def q_dedup_minhash_pairs(spark, sf_dir):
     """MinHash-LSH (b=4 bands × r=2 rows) candidates verified with
@@ -938,6 +1060,34 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return dedup.minhash_dedup_pairs(
         docs, "text", "doc_id", k=3, bands=4, rows_per_band=2, threshold=0.2
     )
+
+
+@register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+und AS (
+  SELECT id_a AS a, id_b AS b FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+),
+reach(a, b) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    """near-dup clustering: minhash pair graph → connected components
+    (iterative min-label propagation, operators/graph.py). Oracle is a
+    recursive-CTE transitive closure — same canonical min-id labels."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", k=3, bands=4, rows_per_band=2, threshold=0.2
+    )
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import connected_components
+
+    return connected_components(pairs, "id_a", "id_b")
 
 
 @register("dedup_simhash")  # xxhash64 not oracle-portable → rows-only check
@@ -1244,3 +1394,12 @@ def q_multimodal_meta(spark, sf_dir):
     media = multimodal.synthesize_media(docs, "doc_id", "text", "image")
     decoded = multimodal.decode_media(media)
     return decoded.select("media_id", "kind", "n_bytes", "checksum")
+
+
+@register("multimodal_frames")  # stubbed decoder output → rows-only
+def q_multimodal_frames(spark, sf_dir):
+    """video frame-sampling plan: decode (stub) → explode frame
+    timestamps, rows co-partitioned with their media payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text", "video")
+    return multimodal.frame_sample_plan(media, every_ms=10000)

@@ -19,7 +19,7 @@ def plan_of(df) -> str:
 
 # Queries that intentionally use Arrow-batched Python (mapInPandas
 # decode stub) — everything else must stay JVM-side.
-PYTHON_OK = {"multimodal_meta"}
+PYTHON_OK = {"multimodal_meta", "multimodal_frames"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
