@@ -57,6 +57,34 @@ def read_jsonl_valid(
     return df
 
 
+def read_csv_valid(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    timestamp_col: str | None = None,
+) -> DataFrame:
+    """CSV reader with the same validity pipeline as
+    :func:`read_jsonl_valid`: PERMISSIVE parse, malformed rows dropped
+    via ``_corrupt_record``, optional timestamp parse. Schema should be
+    supplied at scale — inference costs an extra full scan."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if "_corrupt_record" in df.columns:
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    if timestamp_col is not None and timestamp_col in df.columns:
+        df = df.withColumn(timestamp_col, F.to_timestamp(F.col(timestamp_col)))
+    return df
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, user: str, password: str, driver: str, mode: str = "append") -> None:
     """JDBC sink, shape-compatible with the reference's Postgres writes
     (daily_summary_report.py:42-50). Gated: needs the JDBC driver jar

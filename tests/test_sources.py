@@ -1,0 +1,73 @@
+"""Source-format tests: JSON-lines and CSV readers with the
+reference's validity pipeline (PERMISSIVE + corrupt-record drop +
+timestamp parse — ref my_airflow/dags/mongo_to_storage.py), and
+parquet round-trips.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import (
+    load_table,
+    read_csv_valid,
+    read_jsonl_valid,
+)
+
+MOOD_DDL = (
+    "event_time string, intersection string, avg_speed double, "
+    "avg_temp double, weather string, _corrupt_record string"
+)
+
+
+def test_read_jsonl_drops_corrupt_and_parses_ts(spark, tmp_path):
+    rows = [
+        {"event_time": "2025-01-01 10:00:00", "intersection": "int_0",
+         "avg_speed": 42.0, "avg_temp": 5.0, "weather": "clear"},
+        {"event_time": "2025-01-01 10:01:00", "intersection": "int_1",
+         "avg_speed": 17.5, "avg_temp": 4.0, "weather": "fog"},
+    ]
+    p = tmp_path / "mood.jsonl"
+    lines = [json.dumps(r) for r in rows] + ['{"event_time": broken', "not json at all"]
+    p.write_text("\n".join(lines))
+
+    out = read_jsonl_valid(spark, str(p), schema=MOOD_DDL, timestamp_col="event_time")
+    got = out.orderBy("intersection").collect()
+    assert len(got) == 2
+    assert [r.intersection for r in got] == ["int_0", "int_1"]
+    assert str(got[0].event_time) == "2025-01-01 10:00:00"
+    assert out.schema["event_time"].dataType.typeName() == "timestamp"
+
+
+def test_read_csv_drops_malformed(spark, tmp_path):
+    p = tmp_path / "mood.csv"
+    p.write_text(
+        "event_time,intersection,avg_speed\n"
+        "2025-01-01 10:00:00,int_0,42.0\n"
+        "2025-01-01 10:01:00,int_1,not_a_number\n"  # malformed double
+        "2025-01-01 10:02:00,int_2,19.5\n"
+    )
+    ddl = "event_time string, intersection string, avg_speed double, _corrupt_record string"
+    out = read_csv_valid(spark, str(p), schema=ddl, timestamp_col="event_time")
+    got = out.orderBy("intersection").collect()
+    assert [r.intersection for r in got] == ["int_0", "int_2"]
+    assert got[1].avg_speed == 19.5
+
+
+def test_csv_parquet_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    csv_dir = str(tmp_path / "events_csv")
+    ev.write.option("header", "true").mode("overwrite").csv(csv_dir)
+    back = read_csv_valid(
+        spark,
+        csv_dir,
+        schema="event_id long, user_id long, event_type string, value double",
+    )
+    assert back.count() == ev.count()
+    a = ev.agg(F.sum("event_id"), F.sum(F.col("value").cast("decimal(18,6)"))).first()
+    b = back.agg(F.sum("event_id"), F.sum(F.col("value").cast("decimal(18,6)"))).first()
+    assert a == b

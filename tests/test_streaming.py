@@ -268,6 +268,57 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
     assert got == closed_expected
 
 
+def test_builtin_session_window_stream_subset_of_batch(spark, sf_dir, tmp_path):
+    """F.session_window streaming agg (append + watermark): emitted
+    closed sessions must agree with the batch session_window result."""
+    import time as _time
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    gap = "4 hours"
+
+    def sessions(df):
+        base = df.withWatermark("ts", "1 minute") if df.isStreaming else df
+        return base.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n_events")).select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+
+    batch_rows = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in sessions(ev).collect()
+    }
+
+    d = str(tmp_path / "sw")
+    cut = ev.select(F.percentile(F.col("ts").cast("double"), 0.5)).first()[0]
+    ev.filter(F.col("ts").cast("double") <= cut).coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)
+    ev.filter(F.col("ts").cast("double") > cut).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    qname = f"sw_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in spark.table(qname).collect()
+    }
+    assert got, "expected some closed session windows"
+    assert got <= batch_rows
+
+
 def test_document_sink_foreachbatch(spark):
     """foreachBatch document sink: injected insert_many receives the
     null-dropped records (reference write_to_mongo semantics)."""
