@@ -1,0 +1,109 @@
+"""End-to-end batch pipeline tests: the Airflow-DAG analogs run
+against the real mood frame with injected sinks (no Mongo/Postgres/S3).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_demo_real_time_city_mood_tracker_spark.plans.pipelines import (
+    QualityCheckError,
+    backfill_mood,
+    daily_summary_job,
+    load_valid,
+    quality_check,
+    run_export_pipeline,
+)
+from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+
+
+def _mood(spark, sf_dir):
+    return QUERIES["mood_pipeline"](spark, sf_dir)
+
+
+def test_quality_check_passes_on_clean_subset(spark, sf_dir):
+    clean = _mood(spark, sf_dir).filter(
+        F.col("weather").isNotNull() & F.col("avg_speed").isNotNull()
+    )
+    stats = quality_check(clean)
+    assert stats["n_records"] > 0 and stats["n_missing_fields"] == 0
+
+
+def test_quality_check_raises_on_empty_and_missing(spark, sf_dir):
+    m = _mood(spark, sf_dir)
+    with pytest.raises(QualityCheckError, match="No mood data"):
+        quality_check(m.filter(F.lit(False)))
+    # the full frame has weather-less minutes -> missing-fields gate
+    if m.filter(F.col("weather").isNull()).count() > 0:
+        with pytest.raises(QualityCheckError, match="missing fields"):
+            quality_check(m)
+
+
+def test_export_pipeline_roundtrip(spark, sf_dir, tmp_path):
+    clean = _mood(spark, sf_dir).filter(
+        F.col("weather").isNotNull() & (F.col("avg_speed") > 0)
+    )
+    loaded_frames = []
+    uploads = []
+    cleanups = []
+    out = run_export_pipeline(
+        clean,
+        spark,
+        str(tmp_path / "mood_export"),
+        jdbc_sink=loaded_frames.append,
+        object_store=uploads.append,
+        cleanup=lambda: cleanups.append(True),
+    )
+    assert out["n_records"] == clean.count()
+    assert out["n_valid_loaded"] == out["n_records"]  # clean input survives
+    assert len(loaded_frames) == 1 and len(uploads) == 1 and cleanups == [True]
+    # timestamps survive the JSONL round trip exactly (second precision)
+    orig = {
+        (str(r.event_time), r.intersection)
+        for r in clean.select(
+            F.date_trunc("second", "event_time").alias("event_time"), "intersection"
+        ).collect()
+    }
+    back = {
+        (str(r.event_time), r.intersection)
+        for r in loaded_frames[0].select("event_time", "intersection").collect()
+    }
+    assert back == orig
+
+
+def test_daily_summary_job_matches_manual(spark, sf_dir):
+    m = _mood(spark, sf_dir)
+    day = str(m.select(F.to_date(F.min("event_time"))).first()[0])
+    out = daily_summary_job(m, day)
+    manual = (
+        m.filter(F.to_date("event_time") == day)
+        .groupBy("intersection", "mood")
+        .count()
+    )
+    got = {(r.intersection, r.mood): r.records_count for r in out.collect()}
+    expect = {(r.intersection, r.mood): r["count"] for r in manual.collect()}
+    assert got == expect and got
+
+
+def test_backfill_deterministic_and_shaped(spark):
+    a = backfill_mood(spark, "2025-05-01", days=7, rows_per_day=30)
+    b = backfill_mood(spark, "2025-05-01", days=7, rows_per_day=30)
+    rows = a.collect()
+    assert len(rows) == 210
+    assert sorted(map(str, rows)) == sorted(map(str, b.collect()))  # reproducible
+    days = {r.event_time.date() for r in rows}
+    assert len(days) == 7
+    assert max(days) == dt.date(2025, 5, 1)
+    for r in rows[:20]:
+        assert 6 <= r.event_time.hour <= 23
+        assert 20.0 <= r.avg_speed < 80.0
+        assert -5 <= r.avg_temp <= 35
+        assert (r.sentiment, r.mood) in {
+            ("positive", "happy"), ("neutral", "neutral"), ("negative", "stressed")
+        }
+    # backfilled data passes the quality gate and summarizes
+    assert quality_check(a)["n_records"] == 210
+    assert daily_summary_job(a, "2025-05-01").count() > 0
