@@ -208,30 +208,60 @@ def _mood_df(spark, sf_dir) -> DataFrame:
     spark_mood_tracker.py streaming job; see streaming/mood_pipeline.py
     for the Structured Streaming form).
 
-    Plan shape: one scan of events, three filtered branch aggs (each a
-    single shuffle with map-side partial agg), then two left joins in
-    which the per-minute weather/news sides are tiny relative to the
-    per-(minute, intersection) traffic side — AQE broadcasts them.
+    Plan shape: ONE scan of events (the reference's three per-stream
+    jobs would scan it three times), one conditional aggregation keyed
+    on (minute, intersection∨null) — traffic rows group per
+    intersection, weather/news rows land in the null-intersection
+    per-minute group — then a per-minute window carries the meta
+    group's values onto the traffic rows (referencing the aggregate
+    twice for a self-join would duplicate its whole lineage including
+    the scan). 1 scan + 1 wide shuffle + 1 tiny post-agg window
+    shuffle, vs 3 scans + 3 shuffles + 2 joins for the naive
+    translation.
     """
-    traffic_g = (
-        _clicks(spark, sf_dir)
-        .groupBy("minute", "intersection")
-        .agg(davg(F.col("speed")).alias("avg_speed"))
+    ev = load_table(spark, sf_dir, "events")
+    is_click = F.col("event_type") == "click"
+    is_view = F.col("event_type") == "view"
+    is_error = F.col("event_type") == "error"
+    k = F.get_json_object("props", "$.k").cast("int")
+    typed = ev.filter(is_click | is_view | is_error).select(
+        "event_id",
+        F.date_trunc("minute", "ts").alias("minute"),
+        F.when(
+            is_click,
+            F.concat(F.lit("int_"), (F.col("user_id") % 4).cast("string")),
+        ).alias("intersection"),
+        F.when(is_click, F.col("value")).alias("speed"),
+        F.when(is_view, F.col("value")).alias("temp"),
+        F.when(
+            is_view,
+            F.element_at(F.array(*[F.lit(c) for c in WEATHER_CODES]), (k % 22) + 1),
+        ).alias("weather"),
+        F.when(
+            is_error,
+            F.when(F.col("value") < 150, "negative")
+            .when(F.col("value") < 300, "neutral")
+            .otherwise("positive"),
+        ).alias("sentiment"),
+        F.when(is_view, F.col("event_id")).alias("view_id"),
+        F.when(is_error, F.col("event_id")).alias("error_id"),
     )
-    weather_g = (
-        _views(spark, sf_dir)
-        .groupBy("minute")
-        .agg(
-            davg(F.col("temp")).alias("avg_temp"),
-            F.min_by("weather", "event_id").alias("weather"),
-        )
+    g = typed.groupBy("minute", "intersection").agg(
+        davg(F.col("speed")).alias("avg_speed"),
+        davg(F.col("temp")).alias("avg_temp"),
+        F.min_by("weather", "view_id").alias("weather"),
+        F.min_by("sentiment", "error_id").alias("sentiment"),
     )
-    news_g = (
-        _errors(spark, sf_dir)
-        .groupBy("minute")
-        .agg(F.min_by("sentiment", "event_id").alias("sentiment"))
-    )
-    joined = traffic_g.join(weather_g, "minute", "left").join(news_g, "minute", "left")
+    is_meta = F.col("intersection").isNull()  # the per-minute weather/news group
+    w = Window.partitionBy("minute")
+    joined = g.select(
+        "minute",
+        "intersection",
+        "avg_speed",
+        F.max(F.when(is_meta, F.col("avg_temp"))).over(w).alias("avg_temp"),
+        F.max(F.when(is_meta, F.col("weather"))).over(w).alias("weather"),
+        F.max(F.when(is_meta, F.col("sentiment"))).over(w).alias("sentiment"),
+    ).filter(F.col("intersection").isNotNull())
     return joined.select(
         F.col("minute").alias("event_time"),
         "intersection",

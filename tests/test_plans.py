@@ -57,10 +57,13 @@ def test_top_customers_broadcasts_customer(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_mood_pipeline_single_scan_branch_aggs(spark, sf_dir):
+def test_mood_pipeline_single_scan_conditional_agg(spark, sf_dir):
     plan = plan_of(QUERIES["mood_pipeline"](spark, sf_dir))
-    # partial (map-side) aggregation before every shuffle
-    assert "HashAggregate" in plan
+    # ONE scan of events (tree node + its details header = 2 mentions);
+    # the naive 3-branch translation scans it three times
+    assert plan.count("Scan parquet") <= 2
+    # aggregation present (min_by → ObjectHashAggregate)
+    assert "Aggregate" in plan
     assert "BatchEvalPython" not in plan
     # event_type filters reach the parquet source
     assert "PushedFilters" in plan and "event_type" in plan
