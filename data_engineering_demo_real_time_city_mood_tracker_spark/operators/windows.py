@@ -53,6 +53,44 @@ def topk_per_key(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    lookback_sec: int,
+    right_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Range join: each left row matched to right rows on the same key
+    with right.ts ∈ (left.ts - lookback, left.ts].
+
+    Spark has no native range join; the naive theta-join degenerates to
+    per-key nested loops over unbounded row spans. Here both sides are
+    banded into lookback-wide time buckets; the right side replicates
+    into its bucket and the next (a bounded 2× fan-out), so the join is
+    a pure equi-join on (key, bucket) with a residual range filter —
+    shuffle volume stays linear in input size.
+    """
+    bucket = lambda c: F.floor(c.cast("double") / lookback_sec)  # noqa: E731
+    l = left.withColumn("_b", bucket(F.col(ts_col)))
+    r = right.select(
+        F.col(key_col).alias("_rkey"),
+        F.col(ts_col).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    ).withColumn("_b", F.explode(F.array(bucket(F.col("_rts")), bucket(F.col("_rts")) + 1)))
+    cond = (
+        (F.col(key_col) == F.col("_rkey"))
+        & (l["_b"] == r["_b"])
+        & (F.col("_rts") > F.col(ts_col) - F.expr(f"INTERVAL {lookback_sec} SECOND"))
+        & (F.col("_rts") <= F.col(ts_col))
+    )
+    out = l.join(r, cond, how)
+    return out.drop("_b", "_rkey").withColumnsRenamed(
+        {f"_r_{c}": f"right_{c}" for c in right_cols}
+    ).withColumnRenamed("_rts", "right_ts")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -858,6 +858,31 @@ def q_json_ingest(spark, sf_dir):
     )
 
 
+@register(
+    "interval_join",
+    f"""WITH {EVENTS_CTE}
+SELECT c.event_id, c.user_id, c.ts, c.speed,
+       COUNT(v.ts) AS n_views,
+       CAST(SUM(CAST(v.temp AS DECIMAL(18,6))) AS DOUBLE)/COUNT(v.temp) AS avg_temp
+FROM clicks c LEFT JOIN views v
+  ON v.user_id = c.user_id
+ AND v.ts > c.ts - INTERVAL 5 MINUTE AND v.ts <= c.ts
+GROUP BY c.event_id, c.user_id, c.ts, c.speed""",
+)
+def q_interval_join(spark, sf_dir):
+    """range join: per click, the same user's weather readings in the
+    trailing 5 minutes (count + exact avg). Spark lacks a native range
+    join — operators/windows.py:interval_join bands both sides into
+    lookback-wide buckets so it runs as an equi-join."""
+    clicks = _clicks(spark, sf_dir).select("event_id", "user_id", "ts", "speed")
+    views = _views(spark, sf_dir).select("user_id", "ts", "temp")
+    j = windows.interval_join(clicks, views, "user_id", "ts", 300, ["temp"])
+    return j.groupBy("event_id", "user_id", "ts", "speed").agg(
+        F.count("right_ts").alias("n_views"),
+        davg(F.col("right_temp")).alias("avg_temp"),
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1404,6 +1429,80 @@ def q_doc_fingerprint(spark, sf_dir):
                 lambda s: F.md5(s),
             )
         ).alias("min_shingle_fp"),
+    )
+
+
+@register(
+    "ngram_freq",
+    f"""WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
+)
+SELECT shingle, COUNT(*) AS doc_freq
+FROM sh GROUP BY shingle
+ORDER BY doc_freq DESC, shingle LIMIT 50""",
+)
+def q_ngram_freq(spark, sf_dir):
+    """corpus vocabulary statistics: top-50 3-shingles by document
+    frequency (one explode + one count shuffle + tiny top-k)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    dsh = F.array_distinct(shingles_from_tokens(F.col("_toks"), 3))
+    sh = dedup._toked(docs, "text", "doc_id").select(
+        "id", F.explode(dsh).alias("shingle")
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "shingle")
+        .limit(50)
+    )
+
+
+@register(
+    "tfidf_topk",
+    f"""WITH tok AS (
+  SELECT doc_id AS id, unnest(string_split({_docs_norm_sql()}, ' ')) AS token
+  FROM documents
+),
+tf AS (SELECT id, token, COUNT(*) AS tf FROM tok GROUP BY id, token),
+df AS (SELECT token, COUNT(DISTINCT id) AS df FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.id, tf.token, tf.tf, df.df,
+         tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT id, token, tf, df, score, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, token) AS rnk
+  FROM scored
+) t WHERE rnk <= 5""",
+)
+def q_tfidf_topk(spark, sf_dir):
+    """per-doc top-5 terms by tf·(N/df) — a rational idf (no log) so
+    the score is bitwise portable across engines. df side is small
+    (vocabulary) → broadcast; one explode feeds both tf and df."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = dedup._spread(docs).select(
+        F.col("doc_id").alias("id"), F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tok.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    n_docs = docs.count()  # scalar, embedded as a literal in the plan
+    scored = tf.join(F.broadcast(df_t), "token").select(
+        "id",
+        "token",
+        "tf",
+        "df",
+        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("id", "token", "tf", "df", "score", F.col("rnk").cast("long").alias("rnk"))
     )
 
 
