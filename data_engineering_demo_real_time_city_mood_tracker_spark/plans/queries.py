@@ -976,6 +976,83 @@ def q_distinct_counts(spark, sf_dir):
     )
 
 
+@register(
+    "percentile_stats",
+    """SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type""",
+)
+def q_percentile_stats(spark, sf_dir):
+    """exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont: same (1-g)·lo + g·hi interpolation, bitwise equal).
+    Exact percentile requires the full value set per group — use
+    quantile_sketch (GK) when groups don't fit an executor."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "set_ops_users",
+    """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'click_and_buy' AS segment, COUNT(*) AS n_users
+FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers) t
+UNION ALL
+SELECT 'click_no_buy', COUNT(*)
+FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers) t""",
+)
+def q_set_ops_users(spark, sf_dir):
+    """set operators (INTERSECT / EXCEPT → left-semi / left-anti
+    under the hood) for audience segmentation."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers).agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("click_and_buy").alias("segment"), "n_users"
+    )
+    only = clickers.exceptAll(buyers).agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("click_no_buy").alias("segment"), "n_users"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "full_outer_minutes",
+    f"""WITH {EVENTS_CTE},
+t AS (SELECT minute, {davg_sql('speed')} AS avg_speed FROM clicks GROUP BY minute),
+v AS (SELECT minute, {davg_sql('temp')} AS avg_temp FROM views GROUP BY minute)
+SELECT COALESCE(t.minute, v.minute) AS minute, t.avg_speed, v.avg_temp
+FROM t FULL OUTER JOIN v ON t.minute = v.minute""",
+)
+def q_full_outer_minutes(spark, sf_dir):
+    """full-outer join coverage: per-minute traffic ∪ weather, either
+    side may be absent."""
+    t = (
+        _clicks(spark, sf_dir)
+        .groupBy("minute")
+        .agg(davg(F.col("speed")).alias("avg_speed"))
+    )
+    v = (
+        _views(spark, sf_dir)
+        .groupBy("minute")
+        .agg(davg(F.col("temp")).alias("avg_temp"))
+    )
+    tt = t.select(F.col("minute").alias("t_minute"), "avg_speed")
+    vv = v.select(F.col("minute").alias("v_minute"), "avg_temp")
+    return tt.join(vv, tt.t_minute == vv.v_minute, "full_outer").select(
+        F.coalesce("t_minute", "v_minute").alias("minute"), "avg_speed", "avg_temp"
+    )
+
+
 @register("approx_distinct_hll")  # HLL sketch internals engine-specific → rows-only
 def q_approx_distinct_hll(spark, sf_dir):
     """HyperLogLog sketch distinct-count — the 100 TB path where exact
