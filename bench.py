@@ -34,6 +34,11 @@ def main() -> None:
     QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # spawn the Arrow Python worker pool once (mapInPandas/pandas-UDF
+    # queries otherwise pay ~10 s of one-time worker startup).
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_all = time.time()
@@ -45,6 +50,11 @@ def main() -> None:
         # queries that persist intermediates (dedup candidate tables)
         # must not tax later queries' timings with their cached blocks
         spark.catalog.clearCache()
+        # localCheckpoint RDDs (iterative operators) bypass the SQL
+        # cache manager; unpersist them too or they pile up in the
+        # block manager and tax later queries with GC pressure.
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
     total = round(time.time() - t_all, 3)
 
     print(

@@ -88,10 +88,20 @@ def _spread(df: DataFrame) -> DataFrame:
     """Ensure at least defaultParallelism partitions before expensive
     per-row compute. A tiny scan (one small parquet split) otherwise
     pins the whole shingle/hash pipeline to one core; at real scale
-    inputs already have more splits than cores and this is a no-op."""
+    inputs already have more splits than cores and this is a no-op.
+
+    Uses the input-file count as the partition proxy: ``df.rdd`` would
+    be exact but costs ~1 s of Python-RDD conversion per plan, while
+    the file listing is already cached by the file index. File count
+    underestimates splits (large files split further), so this only
+    ever adds a repartition that AQE-scale jobs don't need."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < p:
         return df.repartition(p)
     return df
 

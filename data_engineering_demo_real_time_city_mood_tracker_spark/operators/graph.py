@@ -24,6 +24,8 @@ def connected_components(
 ) -> DataFrame:
     """(id, cluster) for every vertex appearing in ``edges``; cluster =
     min vertex id of the component (deterministic canonical label)."""
+    jsc = edges.sparkSession.sparkContext._jsc
+    pre_ids = set(jsc.getPersistentRDDs().keys())
     und = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     und = und.union(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -40,22 +42,27 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry a per-row improvement flag so convergence detection is a
+        # scan of the checkpointed frame — no extra join/shuffle job.
         new_labels = (
             labels.join(prop, "id", "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("improved"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("improved").limit(1).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
+    # the result depends only on the final checkpoint; drop the
+    # superseded per-iteration blocks (they bypass the SQL cache
+    # manager and would otherwise linger in the block manager).
+    live = jsc.getPersistentRDDs()
+    new_ids = sorted(set(live.keys()) - pre_ids)
+    for rid in new_ids[:-1]:
+        if rid in live:
+            live[rid].unpersist()
     return labels.select("id", F.col("label").alias("cluster"))
