@@ -1053,6 +1053,95 @@ def q_full_outer_minutes(spark, sf_dir):
     )
 
 
+@register(
+    "events_cube",
+    """WITH e AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+         value
+  FROM events
+)
+SELECT event_type, hr, CAST(GROUPING(event_type, hr) AS BIGINT) AS gid,
+       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(value) AS avg_value
+FROM e GROUP BY CUBE (event_type, hr)""",
+)
+def q_events_cube(spark, sf_dir):
+    """full CUBE over (event_type, hour): all four grouping sets in a
+    single pass (partial-agg friendly — each map task emits one
+    partial per grouping set, one shuffle total)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hr"), "value"
+    )
+    return (
+        ev.cube("event_type", "hr")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            davg(F.col("value")).alias("avg_value"),
+        )
+        .select("event_type", "hr", "gid", "n", "avg_value")
+    )
+
+
+_ABOVE_AVG_SQL = """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM {orders} o
+WHERE o.o_totalprice > 1.5 * (
+  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)/COUNT(o2.o_totalprice)
+  FROM {orders} o2 WHERE o2.o_custkey = o.o_custkey
+)"""
+
+
+@register("above_avg_orders", _ABOVE_AVG_SQL.format(orders="orders"))
+def q_above_avg_orders(spark, sf_dir):
+    """correlated scalar subquery: orders 1.5× above their customer's
+    average. Catalyst decorrelates it into an aggregate + equi-join on
+    o_custkey (one shuffle, no per-row subquery execution) — the SQL
+    frontend surface, not just the DataFrame API, is supported."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(_ABOVE_AVG_SQL.format(orders="orders_v"))
+
+
+@register(
+    "moving_avg_range",
+    """WITH e AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s, value
+  FROM events
+)
+SELECT event_id, user_id, epoch_s,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY epoch_s
+                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / COUNT(value) OVER (PARTITION BY user_id ORDER BY epoch_s
+                            RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+       AS mavg_10m
+FROM e""",
+)
+def q_moving_avg_range(spark, sf_dir):
+    """time-based RANGE window frame: per-user trailing 10-minute
+    average — frame bounds are value offsets on event time, not row
+    counts, so sparse/bursty users get correct physical-time windows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("mavg_10m"),
+    )
+
+
 @register("approx_distinct_hll")  # HLL sketch internals engine-specific → rows-only
 def q_approx_distinct_hll(spark, sf_dir):
     """HyperLogLog sketch distinct-count — the 100 TB path where exact

@@ -1,0 +1,63 @@
+"""Stream-stream joins with watermarked time-range conditions.
+
+The reference joins its three streams only AFTER per-minute
+aggregation (spark_mood_tracker.py's two left joins on event_time).
+The per-event form — every traffic event enriched with the weather
+readings in force at that moment — needs a genuine stream-stream
+interval join. Spark refuses stream-stream joins without an equality
+predicate (state would be all-pairs), so the range is banded into
+tolerance-width time buckets: readings are exploded to the two buckets
+they can serve, the join is an equi-join on the bucket, and the exact
+(event_time - tolerance, event_time] bound is a residual filter.
+
+State stays bounded two ways: the bucket key shards the exchange, and
+the watermark + time-range condition lets Spark evict rows once no
+future match is possible — per-partition state ∝ rate × (watermark +
+tolerance), not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_with_latest(
+    events: DataFrame,
+    readings: DataFrame,
+    tolerance_sec: int = 300,
+    watermark: str = "2 minutes",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Inner interval join: event ⋈ every reading in
+    (event_time - tolerance_sec, event_time].  Works identically on
+    batch frames (watermarks are no-ops there) so tests can assert
+    stream == batch on a replayed source.
+
+    A reading at time r serves events in [r, r + tolerance), which
+    spans exactly two tolerance-width buckets — the explode factor is
+    a constant 2, independent of rates. When a natural key exists
+    (city/region), add it to the join for finer state sharding.
+    """
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / F.lit(tolerance_sec))  # noqa: E731
+    ev = events.withWatermark(time_col, watermark) if events.isStreaming else events
+    ev = ev.withColumn("t_bucket", bucket(F.col(time_col)))
+
+    rd = readings.select(
+        F.col(time_col).alias("reading_time"),
+        *[c for c in readings.columns if c != time_col],
+    )
+    rd = rd.withWatermark("reading_time", watermark) if readings.isStreaming else rd
+    rd = rd.select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("_boff")
+    ).withColumn("r_bucket", bucket(F.col("reading_time")) + F.col("_boff"))
+
+    cond = (
+        (F.col("t_bucket") == F.col("r_bucket"))
+        & (F.col("reading_time") <= F.col(time_col))
+        & (
+            F.col("reading_time")
+            > F.col(time_col) - F.expr(f"INTERVAL {tolerance_sec} SECONDS")
+        )
+    )
+    return ev.join(rd, cond, "inner").drop("t_bucket", "r_bucket", "_boff")

@@ -7,6 +7,7 @@ to row-at-a-time Python.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
 
@@ -77,3 +78,56 @@ def test_minhash_signatures_map_only(spark, sf_dir):
     plan = plan_of(QUERIES["minhash_signatures"](spark, sf_dir))
     assert "hashpartitioning" not in plan, "signatures must not hash-shuffle"
     assert "HashAggregate" not in plan, "signatures must not aggregate"
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path_factory):
+    """orders ⋈ lineitem on o_orderkey with aligned bucketing: both
+    sides scan pre-bucketed files — the join plan has NO Exchange, and
+    results are identical to the plain shuffled join."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.bucketed import (
+        bucketed_equi_join,
+        write_bucketed,
+    )
+
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    line = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 4, str(base / "orders"))
+    write_bucketed(line, "b_lineitem", "o_orderkey", 4, str(base / "lineitem"))
+    try:
+        joined = bucketed_equi_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "SortMergeJoin" in plan
+
+        expected = orders.join(line, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_groupby_no_exchange(spark, sf_dir, tmp_path_factory):
+    """groupBy on the bucket key reuses the on-disk hash layout: no
+    Exchange before the final aggregate."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.bucketed import write_bucketed
+
+    base = tmp_path_factory.mktemp("bucketed_agg")
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(line, "b_line_agg", "l_orderkey", 4, str(base / "line"))
+    try:
+        agg = (
+            spark.table("b_line_agg")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = plan_of(agg)
+        assert "Exchange" not in plan, "bucketed groupBy must not shuffle"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_line_agg")

@@ -344,3 +344,99 @@ def test_document_sink_foreachbatch(spark):
         "event_time", "intersection", "avg_speed", "avg_temp", "weather",
         "sentiment", "mood",
     }
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark removes same-micro-batch and
+    cross-micro-batch re-deliveries: a doubled replay of events yields
+    exactly the batch-distinct row set."""
+    import time as _time
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.dedup import dedup_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("ts").alias("event_time"), "event_id", "user_id", "value")
+    )
+    expected = {
+        (r.event_id, str(r.event_time))
+        for r in dedup_stream(ev, ["event_id"]).collect()
+    }
+
+    d = str(tmp_path / "dup_events")
+    # chunk 1: the events; chunk 2: the same events again (replay)
+    ev.coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)
+    ev.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    # watermark far wider than the data's time span so the replayed
+    # micro-batch is still inside the dedup horizon
+    out = dedup_stream(stream, ["event_id"], watermark="365 days")
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.event_id, str(r.event_time)) for r in spark.table(qname).collect()
+    }
+    assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """watermarked stream-stream interval join emits exactly the pairs
+    the batch interval join produces on the same input."""
+    import datetime as dt
+    import time as _time
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.joins import enrich_with_latest
+
+    base = dt.datetime(2025, 1, 1, 10, 0, 0)
+    traffic_rows = [
+        (base + dt.timedelta(minutes=m), f"veh_{m}", 30.0 + m) for m in range(0, 30)
+    ]
+    weather_rows = [
+        (base + dt.timedelta(minutes=m), 5.0 + m, "clear" if m % 2 else "fog")
+        for m in range(0, 30, 7)
+    ]
+    traffic = spark.createDataFrame(
+        traffic_rows, "event_time timestamp, vehicle_id string, speed double"
+    )
+    weather = spark.createDataFrame(
+        weather_rows, "event_time timestamp, temp double, weather string"
+    )
+    expected = {
+        (r.vehicle_id, str(r.reading_time))
+        for r in enrich_with_latest(traffic, weather).collect()
+    }
+    assert expected, "batch interval join should match some pairs"
+
+    dirs = {}
+    for name, df in [("traffic", traffic), ("weather", weather)]:
+        d = str(tmp_path / name)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        dirs[name] = (d, df.schema)
+        _time.sleep(0.1)
+    t_stream = spark.readStream.schema(dirs["traffic"][1]).parquet(dirs["traffic"][0])
+    w_stream = spark.readStream.schema(dirs["weather"][1]).parquet(dirs["weather"][0])
+    out = enrich_with_latest(t_stream, w_stream)
+    qname = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.vehicle_id, str(r.reading_time)) for r in spark.table(qname).collect()
+    }
+    assert got == expected
