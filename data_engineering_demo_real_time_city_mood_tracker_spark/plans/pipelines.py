@@ -154,3 +154,26 @@ def backfill_mood(
         F.element_at(sentiments, (sent_idx + 1).cast("int")).alias("sentiment"),
         F.element_at(moods, (sent_idx + 1).cast("int")).alias("mood"),
     )
+
+
+def write_partitioned(df: DataFrame, path: str, *keys: str) -> None:
+    """Hive-style partitioned parquet layout (``key=value/`` dirs).
+
+    The 100 TB read-side contract: a filter on a partition key prunes
+    directories at planning time — the scan never lists, opens, or
+    reads excluded partitions (asserted via PartitionFilters in
+    tests/test_plans.py). Daily jobs (daily_summary_job) over a
+    date-partitioned lake read one directory, not the whole table.
+    Choose low-cardinality keys (date, source); high-cardinality keys
+    explode the file count.
+    """
+    df.write.mode("overwrite").partitionBy(*keys).parquet(path)
+
+
+def read_partition(spark: SparkSession, path: str, **eq_filters) -> DataFrame:
+    """Read with partition-key equality filters applied immediately so
+    every downstream plan starts from the pruned scan."""
+    df = spark.read.parquet(path)
+    for k, v in eq_filters.items():
+        df = df.filter(F.col(k) == v)
+    return df

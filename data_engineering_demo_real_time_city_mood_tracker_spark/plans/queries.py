@@ -1698,3 +1698,100 @@ def q_multimodal_frames(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs, "doc_id", "text", "video")
     return multimodal.frame_sample_plan(media, every_ms=10000)
+
+
+# --------------------------------------------------------------------------
+# training-data sampling (deterministic, hash-based — reproducible
+# across engines, re-runs, and cluster sizes, unlike RNG sampling)
+
+
+@register(
+    "train_test_split",
+    """SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < 'e' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents""",
+)
+def q_train_test_split(spark, sf_dir):
+    """deterministic ~75/12.5/12.5 split by lexicographic threshold on
+    the doc-id md5 (uniform hex digits ⇒ 'c'≈12/16, 'e'≈14/16). A
+    map-only projection — no shuffle, no RNG, stable under
+    re-partitioning and incremental re-runs (a doc never changes
+    split when the corpus grows)."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "balanced_sample",
+    """SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) t WHERE rn <= 50""",
+)
+def q_balanced_sample(spark, sf_dir):
+    """class-balancing downsample: at most 50 docs per language,
+    chosen by hash order (deterministic uniform pick, no RNG). One
+    shuffle on lang; at scale swap row_number for a per-key
+    rank-within-partition + limit pushdown if classes are huge."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "edit_distance_pairs",
+    f"""WITH d AS (
+  SELECT doc_id, lang,
+         len(string_split({T.normalize_sql('text')}, ' ')) // 5 AS tok_bucket,
+         substr({T.normalize_sql('text')}, 1, 64) AS prefix
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.tok_bucket = b.tok_bucket AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 10""",
+)
+def q_edit_distance_pairs(spark, sf_dir):
+    """edit-distance near-dups with blocking: candidates share
+    (lang, token-count bucket) — the equi-join keys the shuffle and
+    bounds the quadratic levenshtein work to within-block pairs; the
+    distance runs on a 64-char normalized prefix to cap per-pair cost.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = dedup._spread(docs).select(
+        "doc_id",
+        "lang",
+        F.floor(F.size(T.tokens(F.col("text"))) / 5).alias("tok_bucket"),
+        F.substring(T.normalize(F.col("text")), 1, 64).alias("prefix"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.tok_bucket") == F.col("b.tok_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 10)
+    )

@@ -131,3 +131,31 @@ def test_bucketed_groupby_no_exchange(spark, sf_dir, tmp_path_factory):
         assert "Exchange" not in plan, "bucketed groupBy must not shuffle"
     finally:
         spark.sql("DROP TABLE IF EXISTS b_line_agg")
+
+
+def test_partitioned_write_prunes_scan(spark, sf_dir, tmp_path_factory):
+    """date-partitioned lake layout: an equality filter on the
+    partition key reaches the scan as a PartitionFilter and the plan
+    reads only that directory's files."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.pipelines import (
+        read_partition,
+        write_partitioned,
+    )
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    base = str(tmp_path_factory.mktemp("lake") / "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    write_partitioned(ev, base, "event_date")
+
+    dates = [r.event_date for r in ev.select("event_date").distinct().collect()]
+    assert len(dates) > 1, "need multiple partitions for a pruning test"
+    one = read_partition(spark, base, event_date=str(dates[0]))
+    plan = plan_of(one.groupBy("event_type").count())
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+    # the pruned read returns exactly that day's rows
+    expected = ev.filter(F.col("event_date") == dates[0]).count()
+    assert one.count() == expected
