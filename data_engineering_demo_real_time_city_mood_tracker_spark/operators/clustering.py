@@ -1,0 +1,112 @@
+"""Distributed k-means (Lloyd's) over an embedding column — the
+training step behind IVF ANN indexes and corpus clustering.
+
+Execution shape per iteration:
+- assignment is a MAP-ONLY pass: the k×dim centroid matrix is tiny
+  (k=64, dim=1024 → 512 KB), so it is embedded in the plan as
+  literals — the Spark equivalent of a broadcast variable, with zero
+  shuffle and full codegen on the distance math.
+- the centroid update is ONE groupBy(cluster) shuffle whose payload is
+  dim partial-sum columns — map-side partial aggregation reduces each
+  executor's contribution to k rows before the exchange, so the
+  shuffle volume is k × dim × executors, independent of corpus size.
+- the new centroids (k rows) are collected to the driver; O(k×dim)
+  bytes, never the data.
+
+Determinism: init picks the k vectors with the smallest md5(id) —
+reproducible across runs/partitionings; ties in assignment break to
+the lowest centroid index (array_position finds the first minimum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec, centroid_lit):
+    d = F.zip_with(vec, centroid_lit, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_clusters(
+    df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """(id, cluster, vec): nearest-centroid assignment, map-only."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = F.transform(cents, lambda c: _sq_dist(F.col("vec"), c))
+    return (
+        df.select(F.col(id_col).alias("id"), vec.alias("vec"))
+        .withColumn("_d", dists)
+        .select(
+            "id",
+            "vec",
+            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+    )
+
+
+def init_centroids(
+    df: DataFrame, vec_col: str, id_col: str, k: int
+) -> list[list[float]]:
+    """k seed vectors with the smallest md5(id) — a deterministic
+    uniform sample (hash order is independent of storage order)."""
+    rows = (
+        df.select(
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        )
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    return [list(r.vec) for r in rows]
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    max_iter: int = 5,
+    dim: int | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's iterations; returns (assignments df, final centroids).
+
+    The returned frame is (id, cluster) — re-derivable from the
+    centroids with one map-only pass, so nothing is persisted between
+    iterations and there is no lineage blow-up (each iteration's plan
+    depends only on literal centroids, not the previous plan).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    centroids = init_centroids(df, vec_col, id_col, k)
+    for _ in range(max_iter):
+        assigned = assign_clusters(df, vec_col, id_col, centroids)
+        # per-dimension exact decimal sums → partition-order-independent
+        # means (same davg discipline as the SQL oracles)
+        aggs = [
+            (
+                F.sum(F.element_at("vec", i + 1).cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias(f"c{i}")
+            for i in range(dim)
+        ]
+        new_rows = (
+            assigned.groupBy("cluster").agg(*aggs).orderBy("cluster").collect()
+        )
+        new_centroids = list(centroids)
+        for r in new_rows:
+            new_centroids[r.cluster] = [r[f"c{i}"] for i in range(dim)]
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+    return (
+        assign_clusters(df, vec_col, id_col, centroids).select("id", "cluster"),
+        centroids,
+    )

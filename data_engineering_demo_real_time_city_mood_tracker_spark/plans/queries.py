@@ -1700,6 +1700,19 @@ def q_multimodal_frames(spark, sf_dir):
     return multimodal.frame_sample_plan(media, every_ms=10000)
 
 
+@register("kmeans_embeddings")  # iterative algorithm → rows-only check
+def q_kmeans_embeddings(spark, sf_dir):
+    """trained k-means over embeddings (Lloyd's, deterministic hash
+    init — operators/clustering.py): the training step behind IVF ANN.
+    Map-only assignment with literal-broadcast centroids; one
+    k×dim-payload shuffle per iteration."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, "embedding", "vec_id", k=8, max_iter=3, dim=64)
+    return assigned
+
+
 # --------------------------------------------------------------------------
 # training-data sampling (deterministic, hash-based — reproducible
 # across engines, re-runs, and cluster sizes, unlike RNG sampling)

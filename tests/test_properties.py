@@ -94,3 +94,43 @@ def test_embedding_near_dup_symmetric_threshold(spark):
     out = dedup.embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.999, nbits=4)
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
     assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+
+
+def test_kmeans_deterministic_and_converging(spark, sf_dir):
+    """k-means invariants: identical reruns (hash init, no RNG),
+    every vector assigned to exactly one of ≤ k clusters, and total
+    within-cluster SSE does not increase across Lloyd's iterations."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+    )
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    a1, c1 = kmeans(emb, "embedding", "vec_id", k=4, max_iter=3, dim=64)
+    a2, c2 = kmeans(emb, "embedding", "vec_id", k=4, max_iter=3, dim=64)
+    r1 = {(r.id, r.cluster) for r in a1.collect()}
+    r2 = {(r.id, r.cluster) for r in a2.collect()}
+    assert r1 == r2, "same input must give identical clusterings"
+    assert c1 == c2
+    assert len(r1) == n, "every vector assigned exactly once"
+    assert len({c for _, c in r1}) <= 4
+
+    def sse(centroids):
+        assigned = assign_clusters(emb, "embedding", "vec_id", centroids)
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        d = F.zip_with(
+            "vec", F.element_at(cents, F.col("cluster") + 1),
+            lambda x, y: (x - y) * (x - y),
+        )
+        return assigned.select(
+            F.sum(F.aggregate(d, F.lit(0.0), lambda a, x: a + x)).alias("s")
+        ).first().s
+
+    _, c_it1 = kmeans(emb, "embedding", "vec_id", k=4, max_iter=1, dim=64)
+    _, c_it3 = kmeans(emb, "embedding", "vec_id", k=4, max_iter=3, dim=64)
+    assert sse(c_it3) <= sse(c_it1) + 1e-9
