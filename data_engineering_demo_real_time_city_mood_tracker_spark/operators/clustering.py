@@ -82,27 +82,31 @@ def kmeans(
     centroids with one map-only pass, so nothing is persisted between
     iterations and there is no lineage blow-up (each iteration's plan
     depends only on literal centroids, not the previous plan).
+    ``dim`` is accepted for API stability but no longer needed — the
+    (cluster, pos)-keyed update infers it from the data.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     centroids = init_centroids(df, vec_col, id_col, k)
     for _ in range(max_iter):
         assigned = assign_clusters(df, vec_col, id_col, centroids)
         # per-dimension exact decimal sums → partition-order-independent
-        # means (same davg discipline as the SQL oracles)
-        aggs = [
-            (
-                F.sum(F.element_at("vec", i + 1).cast("decimal(28,10)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias(f"c{i}")
-            for i in range(dim)
-        ]
+        # means (same davg discipline as the SQL oracles). The update is
+        # keyed on (cluster, pos) — a narrow 3-column agg instead of a
+        # dim-wide one, so codegen stays in one small method and the
+        # shuffle payload is still k × dim partials per map task.
         new_rows = (
-            assigned.groupBy("cluster").agg(*aggs).orderBy("cluster").collect()
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .collect()
         )
-        new_centroids = list(centroids)
+        new_centroids = [list(c) for c in centroids]
         for r in new_rows:
-            new_centroids[r.cluster] = [r[f"c{i}"] for i in range(dim)]
+            new_centroids[r.cluster][r.pos] = r.c
         if new_centroids == centroids:
             break
         centroids = new_centroids

@@ -1101,6 +1101,242 @@ def q_above_avg_orders(spark, sf_dir):
 
 
 @register(
+    "min_cost_supplier",
+    """WITH mn AS (
+  SELECT l_partkey, MIN(l_extendedprice) AS min_price
+  FROM lineitem GROUP BY l_partkey
+), best AS (
+  SELECT l.l_partkey, MIN(l.l_suppkey) AS best_supp, MIN(l.l_extendedprice) AS min_price
+  FROM lineitem l JOIN mn ON l.l_partkey = mn.l_partkey
+                         AND l.l_extendedprice = mn.min_price
+  GROUP BY l.l_partkey
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name, min_price
+FROM best
+JOIN part ON p_partkey = best.l_partkey
+JOIN supplier ON s_suppkey = best.best_supp
+WHERE p_size <= 10""",
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """Q2-style correlated minimum: for each small part, the supplier
+    that shipped it cheapest (ties break to the lowest suppkey, so the
+    winner is deterministic). Spark shape: broadcast the filtered part
+    dim FIRST so the expensive per-part min only runs over surviving
+    rows, then ONE shuffle on l_partkey serves both the window min and
+    the tie-break groupBy (same partitioning, Exchange reused)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey")
+    best = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .withColumn("mn", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("mn"))
+        .groupBy("p_partkey", "p_brand")
+        .agg(
+            F.min("l_suppkey").alias("best_supp"),
+            F.min("l_extendedprice").alias("min_price"),
+        )
+    )
+    return best.join(
+        F.broadcast(supp), best.best_supp == supp.s_suppkey
+    ).select("p_partkey", "p_brand", "s_suppkey", "s_name", "min_price")
+
+
+@register(
+    "promo_revenue_share",
+    """SELECT EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+       EXTRACT(MONTH FROM l_shipdate) AS ship_month,
+       100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+                / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE))
+       AS promo_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY EXTRACT(YEAR FROM l_shipdate), EXTRACT(MONTH FROM l_shipdate)""",
+)
+def q_promo_revenue_share(spark, sf_dir):
+    """Q14-style conditional-aggregate ratio: promo revenue share per
+    ship month. Both sums ride the SAME shuffle (one groupBy computes
+    numerator and denominator); part is broadcast so lineitem never
+    shuffles for the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.month("l_shipdate").cast("long").alias("ship_month"),
+        )
+        .agg(
+            (
+                F.lit(100.0)
+                * (
+                    F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+                    / F.sum(rev).cast("double")
+                )
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "top_supplier",
+    """WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '1999-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)""",
+)
+def q_top_supplier(spark, sf_dir):
+    """Q15-style max-over-aggregate subquery: supplier(s) with the top
+    quarterly revenue. The revenue CTE is computed once (per-supplier
+    agg ≪ lineitem); the scalar max is a 1-row broadcast joined back —
+    no second scan of the fact table, and the equality compare is on
+    exact decimals so ties are handled identically to the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1999-01-01")
+            & (F.col("l_shipdate") < "1999-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))).alias("r"))
+    )
+    mx = rev.agg(F.max("r").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.r == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_rev"))
+    )
+
+
+@register(
+    "disjunctive_filter",
+    """SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)""",
+)
+def q_disjunctive_filter(spark, sf_dir):
+    """Q19-style OR-of-ANDs over a fact⋈dim join. Catalyst extracts the
+    common l_quantity bounds (1..30) as a pushable lineitem predicate
+    and the brand/size union as a part predicate, so both scans prune
+    BEFORE the broadcast join evaluates the full disjunction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 50) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)/COUNT(c_acctbal)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey""",
+)
+def q_idle_rich_customers(spark, sf_dir):
+    """Q22-style: above-average-balance customers with no RECENT orders
+    (lapsed since 2000), per nation. The global average is one tiny
+    scalar agg (collected, then folded into the plan as a literal — the
+    Spark analogue of an uncorrelated scalar subquery); the NOT EXISTS
+    is a left-anti join whose uncorrelated date predicate pushes down
+    to the orders scan before the shuffle on custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    ab = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg(F.col("c_acctbal")).alias("ab")
+    ).first().ab
+    return (
+        cust.filter(F.col("c_acctbal") > F.lit(ab))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), 6).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "supplier_nation_profit",
+    """SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)""",
+)
+def q_supplier_nation_profit(spark, sf_dir):
+    """Q9-style supplier-side rollup: revenue by supplier nation ×
+    order year for one part type. part/supplier/nation broadcast; the
+    p_type filter lands on the part scan so the broadcast hash table
+    only holds matching parts — the lineitem⋈orders shuffle is the one
+    unavoidable exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+@register(
     "moving_avg_range",
     """WITH e AS (
   SELECT event_id, user_id,
