@@ -244,6 +244,68 @@ def minhash_dedup_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs via PPJoin-style prefix filtering
+    — the scale path for exact similarity joins (vs the full
+    shared-shingle join in :func:`ngram_jaccard_pairs`).
+
+    Theory: under ANY global total order of shingles, two sets with
+    J(a,b) ≥ τ must overlap within their prefixes of length
+    |x| - ⌈τ·|x|⌉ + 1 (Chaudhuri et al., "A Primitive Operator for
+    Similarity Joins", ICDE'06). So indexing only the prefix shingles
+    is LOSSLESS: the candidate set is a superset of all qualifying
+    pairs, and the exact-Jaccard verify step removes false positives.
+    Output is row-identical to the full join — same oracle SQL applies.
+
+    We order shingles by md5 hash (map-only, no global df pass); the
+    exploded index is ~(1-τ) of the full one, and — because hot
+    shingles land in a random prefix position — the quadratic
+    per-shingle pair blowup shrinks by ~(1-τ)² with zero recall loss.
+    Two shuffles, same as the full join, on strictly less data.
+    """
+    from pyspark import StorageLevel
+
+    arr = _shingle_arrays(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    # global order = (md5(shingle), shingle): array_sort on the struct
+    # sorts field-by-field, and the shingle tiebreak keeps the order
+    # total even on (impossible for equal-length hex) hash collisions.
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                F.col("sh"), lambda s: F.struct(F.md5(s).alias("h"), s.alias("s"))
+            )
+        ),
+        lambda st: st["s"],
+    )
+    n = F.size(F.col("sh"))
+    plen = (n - F.ceil(n * F.lit(float(threshold))).cast("int") + 1).cast("int")
+    pref = (
+        arr.select("id", F.explode(F.slice(ordered, F.lit(1), plen)).alias("shingle"))
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    av = arr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    bv = arr.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (n_common / (F.size("sh_a") + F.size("sh_b") - n_common)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, nbits: int = 32) -> DataFrame:
     """32-bit SimHash from token xxhash64 bit votes (JVM-side only;
     xxhash64 is not portable to the oracle → rows-only check).

@@ -1449,6 +1449,33 @@ def q_dedup_ngram_topk(spark, sf_dir):
 
 
 @register(
+    "dedup_prefix_filter",
+    f"""WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.id
+JOIN sizes sb ON id_b = sb.id
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5""",
+)
+def q_dedup_prefix_filter(spark, sf_dir):
+    """PPJoin-style prefix-filtered exact-Jaccard join (τ=0.5): only
+    each doc's first (1-τ)·n shingles under a global hash order are
+    indexed for candidate generation — lossless, so the oracle is the
+    PLAIN full shared-shingle join. The scale path for exact similarity
+    joins: candidate volume shrinks ~(1-τ)² vs ngram_jaccard_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5)
+
+
+@register(
     "minhash_signatures",
     f"""WITH sh AS (
   SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
@@ -1997,6 +2024,159 @@ def q_balanced_sample(spark, sf_dir):
         .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 50)
         .select("doc_id", "lang")
+    )
+
+
+_MIX_RATES = {"en": "3333", "es": "9999", "de": "cccc", "fr": "g", "zh": "g"}
+_MIX_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{l}' THEN '{t}'" for l, t in _MIX_RATES.items()
+) + " ELSE '0' END"
+
+
+@register(
+    "mixture_sample",
+    f"""SELECT doc_id, lang
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {_MIX_CASE_SQL}""",
+)
+def q_mixture_sample(spark, sf_dir):
+    """weighted mixture sampling: per-language keep rates (en 20%,
+    es 60%, de 80%, fr/zh 100%) applied by comparing a 4-hex-digit
+    md5 prefix against the rate threshold ⌊rate·16⁴⌋ in hex — the
+    training-data reweighting step, as a map-only deterministic filter
+    (stable under re-partitioning, re-runs, and corpus growth; no RNG,
+    no shuffle, unlike df.sampleBy)."""
+    expr = None
+    for lang, t in _MIX_RATES.items():
+        expr = F.when(F.col("lang") == lang, t) if expr is None else expr.when(
+            F.col("lang") == lang, t
+        )
+    thr = expr.otherwise("0")
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(h4 < thr)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "corpus_stats",
+    """SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars,
+       CAST(SUM(n_chars*n_chars) AS DOUBLE)/COUNT(*)
+         - (CAST(SUM(n_chars) AS DOUBLE)/COUNT(*)) * (CAST(SUM(n_chars) AS DOUBLE)/COUNT(*))
+         AS var_chars
+FROM documents GROUP BY lang, source""",
+)
+def q_corpus_stats(spark, sf_dir):
+    """per-(lang, source) corpus profile with EXACT population variance
+    from integer power sums (E[x²] − E[x]²): both moments ride one
+    shuffle as map-side partial long sums — deterministic to the bit,
+    unlike float-accumulating var_pop, and mergeable at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    cnt = F.count(F.lit(1))
+    mean = F.sum(x).cast("double") / cnt
+    return docs.groupBy("lang", "source").agg(
+        cnt.alias("n_docs"),
+        mean.alias("avg_chars"),
+        (F.sum(x * x).cast("double") / cnt - mean * mean).alias("var_chars"),
+    )
+
+
+@register(
+    "stopword_removal",
+    f"""WITH t AS (
+  SELECT doc_id, string_split({T.normalize_sql('text')}, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_filter(toks, w -> w NOT IN ('a', 'the', 'and', 'of', 'with')), ' ') AS clean_text,
+       CAST(len(toks) - len(list_filter(toks, w -> w NOT IN ('a', 'the', 'and', 'of', 'with'))) AS BIGINT) AS n_removed
+FROM t""",
+)
+def q_stopword_removal(spark, sf_dir):
+    """stopword scrubbing — the token-level cleaning pass of a training
+    pipeline. Pure array expressions (filter + array_join) in one
+    map-only projection; no explode, no shuffle, no Python."""
+    sw = ["a", "the", "and", "of", "with"]
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    kept = F.filter(F.col("toks"), lambda w: ~w.isin(sw))
+    return toked.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+@register(
+    "word_cooccurrence",
+    f"""WITH t AS (
+  SELECT doc_id, string_split({T.normalize_sql('text')}, ' ') AS toks FROM documents
+),
+big AS (
+  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+bc AS (SELECT bg, COUNT(*) AS n_ab FROM big GROUP BY bg),
+uni AS (SELECT unnest(toks) AS w FROM t),
+uc AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+tot AS (SELECT COUNT(*) AS n_tot FROM uni)
+SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, n_ab,
+       CAST(n_ab * n_tot AS DOUBLE) / CAST(ua.n_w * ub.n_w AS DOUBLE) AS lift
+FROM bc
+CROSS JOIN tot
+JOIN uc ua ON string_split(bg, ' ')[1] = ua.w
+JOIN uc ub ON string_split(bg, ' ')[2] = ub.w
+WHERE n_ab >= 20
+ORDER BY lift DESC, w1, w2 LIMIT 30""",
+)
+def q_word_cooccurrence(spark, sf_dir):
+    """corpus collocations: adjacent-bigram lift n(ab)·N / (n(a)·n(b))
+    — PMI's ratio without the log, so the value is one integer-exact
+    division and bitwise-portable. Bigram and unigram counts are two
+    aggs over the SAME tokenized scan; the unigram vocab is broadcast
+    back onto bigrams (vocab ≪ corpus at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(T.tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    bc = (
+        toked.filter(n >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    uni = toked.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    n_tot = uni.count()
+    split = F.split(F.col("bg"), " ")
+    pairs = bc.select(
+        split.getItem(0).alias("w1"), split.getItem(1).alias("w2"), "n_ab"
+    )
+    ua = uc.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    ub = uc.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.lit(n_tot)).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(30)
     )
 
 

@@ -134,3 +134,27 @@ def test_kmeans_deterministic_and_converging(spark, sf_dir):
     _, c_it1 = kmeans(emb, "embedding", "vec_id", k=4, max_iter=1, dim=64)
     _, c_it3 = kmeans(emb, "embedding", "vec_id", k=4, max_iter=3, dim=64)
     assert sse(c_it3) <= sse(c_it1) + 1e-9
+
+
+def test_prefix_filter_lossless(spark, sf_dir):
+    """PPJoin prefix filtering must be LOSSLESS: the prefix-indexed
+    join returns exactly the same qualifying pairs as the full
+    shared-shingle join, at several thresholds."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for tau in (0.3, 0.5, 0.8):
+        full = {
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", k=3, threshold=tau
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in dedup.prefix_filter_jaccard_pairs(
+                docs, "text", "doc_id", k=3, threshold=tau
+            ).collect()
+        }
+        spark.catalog.clearCache()
+        assert pref == full, f"tau={tau}: prefix filter dropped/added pairs"
