@@ -51,6 +51,36 @@ def assign_clusters(
     )
 
 
+def assign_top_cells(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    n_probe: int,
+) -> DataFrame:
+    """(id, vec, cluster) exploded over each vector's ``n_probe``
+    nearest centroids (squared-L2, ties to the lower index) — the
+    multi-probe side of an IVF index. Map-only, like assign_clusters:
+    centroids ride the plan as literals."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    # (dist, cid) structs sorted by field order → distance, then index
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            _sq_dist(F.col("vec"), c).alias("d"), i.cast("int").alias("cid")
+        ),
+    )
+    probes = F.slice(F.array_sort(scored), 1, n_probe)
+    return (
+        df.select(F.col(id_col).alias("id"), vec.alias("vec"))
+        .select("id", "vec", F.explode(probes).alias("p"))
+        .select("id", "vec", F.col("p.cid").alias("cluster"))
+    )
+
+
 def init_centroids(
     df: DataFrame, vec_col: str, id_col: str, k: int
 ) -> list[list[float]]:

@@ -140,6 +140,59 @@ def ivf_topk(
     )
 
 
+def ivf_trained_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    max_iter: int = 3,
+) -> DataFrame:
+    """IVF ANN over a TRAINED index: centroids from distributed k-means
+    (operators/clustering.py — Lloyd's, deterministic hash init), with
+    multi-probe search (each query scans its ``n_probe`` nearest cells,
+    trading candidate volume for recall — the FAISS IVF knob).
+
+    Scale shape: training cost is k-means' (see clustering.py); the
+    index build and query assignment are MAP-ONLY (centroids are plan
+    literals — no broadcast join, no window argmax); the probe join
+    shuffles corpus rows on cell id once. Rows-only oracle: Lloyd's
+    iterations are not SQL-expressible.
+    """
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
+        assign_clusters,
+        assign_top_cells,
+        kmeans,
+    )
+
+    _, cents = kmeans(corpus, vec_col, id_col, k=n_centroids, max_iter=max_iter)
+    c = assign_clusters(corpus, vec_col, id_col, cents).select(
+        F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"), "cluster"
+    )
+    q = assign_top_cells(queries, vec_col, id_col, cents, n_probe).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cluster"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            vectors.cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rnk")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1954,6 +1954,26 @@ def q_multimodal_meta(spark, sf_dir):
     return decoded.select("media_id", "kind", "n_bytes", "checksum")
 
 
+@register("binary_ingest")  # absolute file paths env-specific → rows-only
+def q_binary_ingest(spark, sf_dir):
+    """raw-file multimodal ingestion: the sf_dir's files read through
+    the distributed ``binaryFile`` source (sources/batch.py:
+    read_binary_files), payloads decoded in Arrow batches via
+    mapInPandas (stub decoder — see operators/multimodal.py). The
+    file→binary-column→decode pipeline a real image/audio corpus
+    would use, end to end."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_binary_files
+
+    raw = read_binary_files(spark, sf_dir, glob="*.parquet")
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    media = raw.select(
+        F.crc32(F.encode(fname, "utf-8")).cast("long").alias("media_id"),
+        F.lit("file").alias("kind"),
+        F.col("content").alias("payload"),
+    )
+    return multimodal.decode_media(media)
+
+
 @register("multimodal_frames")  # stubbed decoder output → rows-only
 def q_multimodal_frames(spark, sf_dir):
     """video frame-sampling plan: decode (stub) → explode frame
@@ -1961,6 +1981,27 @@ def q_multimodal_frames(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs, "doc_id", "text", "video")
     return multimodal.frame_sample_plan(media, every_ms=10000)
+
+
+@register("embedding_ann_ivf_trained")  # k-means training → rows-only
+def q_embedding_ann_ivf_trained(spark, sf_dir):
+    """IVF ANN with a k-means-TRAINED index and multi-probe search
+    (n_probe=2): the production shape of q_embedding_ann_ivf —
+    clustering.kmeans trains 8 cells, assignment is map-only with
+    literal centroids, queries scan their 2 nearest cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_trained_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "embedding",
+        "vec_id",
+        k=5,
+        n_centroids=8,
+        n_probe=2,
+    )
+    return out.select(
+        "query_id", "corpus_id", "cos_sim", F.col("rnk").cast("long").alias("rnk")
+    )
 
 
 @register("kmeans_embeddings")  # iterative algorithm → rows-only check

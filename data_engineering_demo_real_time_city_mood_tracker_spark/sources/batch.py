@@ -85,6 +85,26 @@ def read_csv_valid(
     return df
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-file ingestion via the ``binaryFile`` source — the entry
+    point of a multimodal pipeline (images/audio/video land as files;
+    this turns a directory tree into (path, modificationTime, length,
+    content) rows WITHOUT a driver-side listing loop: file listing and
+    reads are distributed, and ``pathGlobFilter``/partition-dir pruning
+    keep the scan lazy).
+
+    At scale: feed the result straight into ``mapInPandas`` decode
+    (operators/multimodal.py) and write payload+features to parquet
+    binary columns — small-file pressure is absorbed once here, then
+    everything downstream is columnar."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, user: str, password: str, driver: str, mode: str = "append") -> None:
     """JDBC sink, shape-compatible with the reference's Postgres writes
     (daily_summary_report.py:42-50). Gated: needs the JDBC driver jar

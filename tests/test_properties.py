@@ -158,3 +158,30 @@ def test_prefix_filter_lossless(spark, sf_dir):
         }
         spark.catalog.clearCache()
         assert pref == full, f"tau={tau}: prefix filter dropped/added pairs"
+
+
+def test_ivf_trained_recall_vs_brute_force(spark, sf_dir):
+    """trained multi-probe IVF must (a) return ≤ k deterministic rows
+    per query and (b) reach reasonable top-5 recall vs exact brute
+    force on the test corpus."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import similarity
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.corpus_id)
+        for r in similarity.brute_force_topk(emb, q, "embedding", "vec_id", k=5).collect()
+    }
+    approx1 = similarity.ivf_trained_topk(
+        emb, q, "embedding", "vec_id", k=5, n_centroids=8, n_probe=2
+    ).collect()
+    approx2 = similarity.ivf_trained_topk(
+        emb, q, "embedding", "vec_id", k=5, n_centroids=8, n_probe=2
+    ).collect()
+    assert {(r.query_id, r.corpus_id, r.rnk) for r in approx1} == {
+        (r.query_id, r.corpus_id, r.rnk) for r in approx2
+    }, "trained IVF must be deterministic across runs"
+    got = {(r.query_id, r.corpus_id) for r in approx1}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"2-probe recall suspiciously low: {recall}"

@@ -71,3 +71,21 @@ def test_csv_parquet_roundtrip(spark, sf_dir, tmp_path):
     a = ev.agg(F.sum("event_id"), F.sum(F.col("value").cast("decimal(18,6)"))).first()
     b = back.agg(F.sum("event_id"), F.sum(F.col("value").cast("decimal(18,6)"))).first()
     assert a == b
+
+
+def test_binary_file_source(spark, sf_dir):
+    """binaryFile source: every parquet file in the dir arrives as one
+    (path, length, content) row, length == len(content), glob filters."""
+    import os
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_binary_files
+
+    df = read_binary_files(spark, sf_dir, glob="*.parquet")
+    rows = df.select("path", "length", "content").collect()
+    n_files = len([f for f in os.listdir(sf_dir) if f.endswith(".parquet")])
+    assert len(rows) == n_files
+    for r in rows:
+        assert r.length == len(r.content) > 0
+        assert r.path.endswith(".parquet")
+    only_nation = read_binary_files(spark, sf_dir, glob="nation.parquet").count()
+    assert only_nation == 1
