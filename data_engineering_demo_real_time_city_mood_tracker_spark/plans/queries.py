@@ -1378,6 +1378,42 @@ def q_moving_avg_range(spark, sf_dir):
     )
 
 
+@register(
+    "window_distribution",
+    """SELECT user_id, event_id, value,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       LEAD(value, 1) OVER w AS next_value,
+       FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY value, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS min_value
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""",
+)
+def q_window_distribution(spark, sf_dir):
+    """distribution window functions over per-user purchase values:
+    ntile quartiles, percent_rank, cume_dist, lead, and an
+    unbounded-frame first_value — all five share ONE window sort, so
+    the whole query is a single shuffle on user_id (tie-break on
+    event_id makes every rank deterministic)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.first("value").over(wf).alias("min_value"),
+    )
+
+
 @register("approx_distinct_hll")  # HLL sketch internals engine-specific → rows-only
 def q_approx_distinct_hll(spark, sf_dir):
     """HyperLogLog sketch distinct-count — the 100 TB path where exact

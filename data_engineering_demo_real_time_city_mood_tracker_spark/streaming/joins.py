@@ -61,3 +61,26 @@ def enrich_with_latest(
         )
     )
     return ev.join(rd, cond, "inner").drop("t_bucket", "r_bucket", "_boff")
+
+
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the streaming twin of every
+    consumer's dimension lookup (the reference does this per event in
+    Python; here the static side is a broadcast hash table evaluated
+    inside each micro-batch, no state, no shuffle of the stream).
+
+    The static side is re-resolved per micro-batch, so a dim table
+    refreshed in place (e.g. a parquet dir overwritten by a slow-moving
+    upsert job) is picked up without restarting the query. At 100 TB
+    the stream side never exchanges: broadcast keeps the join map-side;
+    set ``broadcast_dim=False`` only if the dim outgrows executor
+    memory (Spark then requires stateful handling or a bucketed dim).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

@@ -20,7 +20,7 @@ def plan_of(df) -> str:
 
 # Queries that intentionally use Arrow-batched Python (mapInPandas
 # decode stub) — everything else must stay JVM-side.
-PYTHON_OK = {"multimodal_meta", "multimodal_frames"}
+PYTHON_OK = {"multimodal_meta", "multimodal_frames", "binary_ingest"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -440,3 +440,37 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         (r.vehicle_id, str(r.reading_time)) for r in spark.table(qname).collect()
     }
     assert got == expected
+
+
+def test_stream_static_enrichment_parity(spark, sf_dir, tmp_path):
+    """stream-static broadcast join: per-batch dim lookup must produce
+    exactly the batch join's rows on a replayed source."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.joins import enrich_with_static
+
+    traffic, _, _ = _typed_frames(spark, sf_dir)
+    zones = spark.createDataFrame(
+        [("int_0", "north"), ("int_1", "south"), ("int_2", "east"), ("int_3", "west")],
+        "intersection string, zone string",
+    )
+    agg = lambda df: (  # noqa: E731
+        enrich_with_static(df, zones, "intersection")
+        .groupBy("zone")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("speed").alias("speed_sum"))
+    )
+    expected = {tuple(str(v) for v in r) for r in agg(traffic).collect()}
+
+    d = str(tmp_path / "traffic_static")
+    traffic.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(traffic.schema).parquet(d)
+    qname = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {tuple(str(v) for v in r) for r in spark.table(qname).collect()}
+    assert got == expected
