@@ -30,10 +30,14 @@ def connected_components(
     und = und.union(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
+    # seed label(v) = min(v, neighbors(v)) in ONE aggregation — this IS
+    # the first propagation round, fused with vertex extraction (saves
+    # a full join round; near-dup pair graphs are clique-heavy, so the
+    # loop below usually just confirms the fixed point once).
     labels = (
-        und.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        und.select(F.col("dst").alias("id"), F.least("src", "dst").alias("label"))
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):

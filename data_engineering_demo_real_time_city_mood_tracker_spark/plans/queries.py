@@ -1414,6 +1414,54 @@ def q_window_distribution(spark, sf_dir):
     )
 
 
+@register(
+    "scd2_intervals",
+    """SELECT user_id, CAST(ts AS TIMESTAMP) AS valid_from,
+       LEAD(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to,
+       value,
+       LEAD(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL AS is_current
+FROM events WHERE event_type = 'view'""",
+)
+def q_scd2_intervals(spark, sf_dir):
+    """SCD-type-2 dimension build: point-in-time readings → validity
+    intervals [valid_from, valid_to) via lead(), open-ended row flagged
+    current — the standard warehouse historization pass, one window
+    shuffle on the natural key (this is also what the asof_join
+    consumes on its build side)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts", 1).over(w)
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        "value",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "value_histogram",
+    """SELECT event_type, CAST(FLOOR(value / 25) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events GROUP BY event_type, CAST(FLOOR(value / 25) AS BIGINT)""",
+)
+def q_value_histogram(spark, sf_dir):
+    """fixed-width value histogram per event type — the profiling scan
+    behind quality dashboards. Bucketing is a pure projection (floor
+    division), so the whole query is one partial-agg shuffle; bucket
+    cardinality is bounded, no skew risk at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 25).cast("long").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), 6).alias("value_sum"),
+    )
+
+
 @register("approx_distinct_hll")  # HLL sketch internals engine-specific → rows-only
 def q_approx_distinct_hll(spark, sf_dir):
     """HyperLogLog sketch distinct-count — the 100 TB path where exact
