@@ -906,6 +906,53 @@ def q_event_type_pivot(spark, sf_dir):
     )
 
 
+_GSETS_SQL = """SELECT event_type,
+       CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(value) AS avg_value
+FROM {events}
+GROUP BY GROUPING SETS ((event_type), (CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)))"""
+
+
+@register("grouping_sets_mixed", _GSETS_SQL.format(events="events"))
+def q_grouping_sets_mixed(spark, sf_dir):
+    """explicit GROUPING SETS (the third grouping-set surface next to
+    mood_rollup's ROLLUP and events_cube's CUBE): per-type and per-hour
+    margins in ONE pass — each map task emits one partial per set, one
+    shuffle total. Exercises the SQL frontend path."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_gs_v")
+    return spark.sql(_GSETS_SQL.format(events="events_gs_v"))
+
+
+@register(
+    "events_unpivot",
+    """WITH wide AS (
+  SELECT CAST(ts AS DATE) AS day, """
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES
+    )
+    + """ FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev
+  GROUP BY 1
+)
+SELECT day, event_type, n
+FROM wide UNPIVOT (n FOR event_type IN ("""
+    + ", ".join(EVENT_TYPES)
+    + "))",
+)
+def q_events_unpivot(spark, sf_dir):
+    """unpivot (wide→long melt): the inverse of event_type_pivot,
+    rebuilt with the native unpivot operator — a map-only Expand node
+    (each input row fans out to n_value rows), no shuffle beyond the
+    upstream agg."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.unpivot("day", EVENT_TYPES, "event_type", "n")
+
+
 @register(
     "weather_transition",
     f"""WITH {EVENTS_CTE},
