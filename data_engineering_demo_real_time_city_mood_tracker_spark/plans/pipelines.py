@@ -177,3 +177,24 @@ def read_partition(spark: SparkSession, path: str, **eq_filters) -> DataFrame:
     for k, v in eq_filters.items():
         df = df.filter(F.col(k) == v)
     return df
+
+
+def run_with_alert(step, name: str, notifier=None):
+    """Failure-alerting wrapper — parity with the reference's Airflow
+    ``on_failure_callback`` (my_airflow/utils/slack.py:
+    notify_slack_failure): run a pipeline step; on ANY exception build
+    the reference-shaped alert message and hand it to the injected
+    ``notifier`` callable (production wiring POSTs it to a webhook —
+    dependency-injected here exactly like the Mongo-shaped document
+    sink, so tests need no network). Re-raises after notifying: the
+    orchestrator still sees the failure."""
+    try:
+        return step()
+    except Exception as exc:
+        if notifier is not None:
+            notifier(
+                ":x: *Task Failed!*\n"
+                f"*Task*: `{name}`\n"
+                f"*Error*: `{type(exc).__name__}: {exc}`"
+            )
+        raise

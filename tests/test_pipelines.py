@@ -107,3 +107,30 @@ def test_backfill_deterministic_and_shaped(spark):
     # backfilled data passes the quality gate and summarizes
     assert quality_check(a)["n_records"] == 210
     assert daily_summary_job(a, "2025-05-01").count() > 0
+
+
+def test_run_with_alert_notifies_and_reraises(spark):
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.pipelines import (
+        QualityCheckError,
+        quality_check,
+        run_with_alert,
+    )
+
+    empty = spark.createDataFrame(
+        [], "event_time timestamp, intersection string, weather string, avg_speed double"
+    )
+    sent = []
+    try:
+        run_with_alert(lambda: quality_check(empty), "mood_quality_check", sent.append)
+        raise AssertionError("gate should have failed")
+    except QualityCheckError:
+        pass
+    assert len(sent) == 1 and "mood_quality_check" in sent[0] and "Task Failed" in sent[0]
+
+    ok = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "int_0", "clear", 42.0)],
+        "event_time string, intersection string, weather string, avg_speed double",
+    )
+    sent2 = []
+    out = run_with_alert(lambda: quality_check(ok), "mood_quality_check", sent2.append)
+    assert out["n_records"] == 1 and sent2 == []

@@ -474,3 +474,44 @@ def test_stream_static_enrichment_parity(spark, sf_dir, tmp_path):
     q.awaitTermination(300)
     got = {tuple(str(v) for v in r) for r in spark.table(qname).collect()}
     assert got == expected
+
+
+def test_producers_roundtrip_into_consumers(spark):
+    """producer frames serialize to JSON that the reference-shaped
+    consumer parsers decode losslessly (schema-for-schema parity), and
+    the deterministic generators are stable across runs."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming import producers as P
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.sources import parse_news, parse_traffic, parse_weather
+
+    src = P.batch_source(spark, 200, "2024-05-01 00:00:00", interval_sec=1)
+    for make, parse, cols in [
+        (P.traffic_events, parse_traffic, {"intersection", "vehicle_id", "speed", "event_time"}),
+        (P.weather_events, parse_weather, {"temp", "windspeed", "weather", "event_time"}),
+        (P.news_events, parse_news, {"headline", "sentiment", "event_time"}),
+    ]:
+        ev = make(src)
+        r1 = sorted(str(r) for r in ev.collect())
+        r2 = sorted(str(r) for r in make(src).collect())
+        assert r1 == r2, "producer must be deterministic"
+        as_json = ev.select(
+            F.to_json(F.struct(*[F.col(c) for c in ev.columns])).alias("value")
+        )
+        parsed = parse(as_json)
+        assert set(parsed.columns) == cols
+        assert parsed.count() == 200
+        assert parsed.filter(F.col("event_time").isNull()).count() == 0
+
+    # value domains match the reference producers
+    t = P.traffic_events(src)
+    agg = t.agg(F.min("speed"), F.max("speed")).first()
+    assert 10.0 <= agg[0] and agg[1] < 90.0
+    assert {r.intersection for r in t.select("intersection").distinct().collect()} <= set(P.INTERSECTIONS)
+
+
+def test_rate_source_wiring(spark):
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming import producers as P
+
+    stream = P.rate_source(spark, rows_per_second=5)
+    assert stream.isStreaming
+    ev = P.traffic_events(stream)
+    assert set(ev.columns) == {"intersection", "vehicle_id", "speed", "timestamp"}
