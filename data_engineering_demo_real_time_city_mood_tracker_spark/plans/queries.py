@@ -906,6 +906,92 @@ def q_event_type_pivot(spark, sf_dir):
     )
 
 
+@register(
+    "dim_upsert",
+    """WITH latest AS (
+  SELECT o_custkey AS c_custkey, o_totalprice AS new_balance
+  FROM (
+    SELECT o_custkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+  ) t WHERE rn = 1
+)
+SELECT COALESCE(c.c_custkey, latest.c_custkey) AS c_custkey,
+       c.c_name,
+       COALESCE(new_balance, c.c_acctbal) AS balance,
+       new_balance IS NOT NULL AS updated
+FROM customer c FULL OUTER JOIN latest ON c.c_custkey = latest.c_custkey""",
+)
+def q_dim_upsert(spark, sf_dir):
+    """MERGE-style dimension upsert without a table format: the latest
+    change per key (window, deterministic tie-break) full-outer-joined
+    onto the snapshot, COALESCE picking new-over-old — matched rows
+    update, unmatched changes insert, untouched rows carry forward.
+    Change-log dedup and join both shuffle on the same key."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.select("o_custkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("chg_custkey"),
+            F.col("o_totalprice").alias("new_balance"),
+        )
+    )
+    return (
+        cust.join(latest, cust.c_custkey == latest.chg_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "chg_custkey").alias("c_custkey"),
+            "c_name",
+            F.coalesce("new_balance", "c_acctbal").alias("balance"),
+            F.col("new_balance").isNotNull().alias("updated"),
+        )
+    )
+
+
+@register(
+    "reaggregate_monthly",
+    """WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(EXTRACT(year FROM d) AS BIGINT) AS yr,
+       CAST(EXTRACT(month FROM d) AS BIGINT) AS mo,
+       event_type, SUM(n) AS n,
+       CAST(SUM(s) AS DOUBLE)/SUM(n) AS avg_value
+FROM daily GROUP BY 1, 2, 3""",
+)
+def q_reaggregate_monthly(spark, sf_dir):
+    """re-aggregatable rollup: daily partials (count + exact decimal
+    sum) merged into monthly figures — the incremental-ETL pattern
+    where yesterday's aggregates are never recomputed, only merged.
+    Works because every aggregate carried is MERGEABLE (sums of sums);
+    avg is re-derived from the merged moments, bitwise-equal to a
+    direct monthly scan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    )
+    return daily.groupBy(
+        F.year("d").cast("long").alias("yr"),
+        F.month("d").cast("long").alias("mo"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n"),
+        (F.sum("s").cast("double") / F.sum("n")).alias("avg_value"),
+    )
+
+
 _GSETS_SQL = """SELECT event_type,
        CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
        COUNT(*) AS n,
@@ -1176,14 +1262,19 @@ def q_min_cost_supplier(spark, sf_dir):
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     supp = load_table(spark, sf_dir, "supplier")
-    w = Window.partitionBy("l_partkey")
+    # window AND groupBy both key on p_partkey so they share ONE
+    # exchange (p_brand is 1:1 with the key; carrying it as min() keeps
+    # the grouping single-column — grouping by it too would repartition
+    # on (p_partkey, p_brand) and shuffle twice).
+    w = Window.partitionBy("p_partkey")
     best = (
         li.join(F.broadcast(part.select("p_partkey", "p_brand")),
                 li.l_partkey == F.col("p_partkey"))
         .withColumn("mn", F.min("l_extendedprice").over(w))
         .filter(F.col("l_extendedprice") == F.col("mn"))
-        .groupBy("p_partkey", "p_brand")
+        .groupBy("p_partkey")
         .agg(
+            F.min("p_brand").alias("p_brand"),
             F.min("l_suppkey").alias("best_supp"),
             F.min("l_extendedprice").alias("min_price"),
         )

@@ -159,3 +159,37 @@ def test_partitioned_write_prunes_scan(spark, sf_dir, tmp_path_factory):
     # the pruned read returns exactly that day's rows
     expected = ev.filter(F.col("event_date") == dates[0]).count()
     assert one.count() == expected
+
+
+def _exchanges(plan: str) -> tuple[int, int]:
+    """(shuffle_exchanges, broadcast_exchanges) node counts."""
+    import re
+
+    shuffle = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    bcast = len(re.findall(r"\(\d+\) BroadcastExchange\b", plan))
+    return shuffle, bcast
+
+
+def test_min_cost_supplier_single_shuffle(spark, sf_dir):
+    """the window min and the tie-break groupBy must share ONE
+    l_partkey exchange; part and supplier arrive via broadcast."""
+    plan = plan_of(QUERIES["min_cost_supplier"](spark, sf_dir))
+    shuffle, bcast = _exchanges(plan)
+    assert shuffle <= 1, f"expected one shuffle, got {shuffle}"
+    assert bcast >= 2, "part and supplier dims must broadcast"
+
+
+def test_disjunctive_filter_pushdown(spark, sf_dir):
+    """Q19-style OR-of-ANDs: the quantity-range union must reach the
+    lineitem scan and the brand/size union the part scan."""
+    plan = plan_of(QUERIES["disjunctive_filter"](spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity,1.0" in l and "Or(" in l for l in pushed), "lineitem scan missing quantity-range pushdown"
+    assert any("p_brand,Brand#12" in l for l in pushed), "part scan missing brand/size pushdown"
+
+
+def test_promo_share_one_shuffle(spark, sf_dir):
+    """numerator and denominator share one agg shuffle; part broadcast."""
+    plan = plan_of(QUERIES["promo_revenue_share"](spark, sf_dir))
+    shuffle, bcast = _exchanges(plan)
+    assert shuffle <= 1 and bcast >= 1
