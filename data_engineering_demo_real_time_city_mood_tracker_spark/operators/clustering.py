@@ -29,14 +29,26 @@ def _sq_dist(vec, centroid_lit):
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _centroid_array(centroids: list[list[float]]):
+    """k×dim literal matrix as ONE parsed SQL expression. Building it
+    from nested F.lit/F.array would cost k·dim py4j round-trips per
+    plan (~1 s at k=8, dim=64, per iteration); a single F.expr hands
+    the whole tree to the JVM parser in one call. CAST('repr' AS
+    DOUBLE) round-trips every float bit-exactly (repr is shortest
+    round-trip form)."""
+    inner = ",".join(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c) + ")"
+        for c in centroids
+    )
+    return F.expr(f"array({inner})")
+
+
 def assign_clusters(
     df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]
 ) -> DataFrame:
     """(id, cluster, vec): nearest-centroid assignment, map-only."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cents = _centroid_array(centroids)
     dists = F.transform(cents, lambda c: _sq_dist(F.col("vec"), c))
     return (
         df.select(F.col(id_col).alias("id"), vec.alias("vec"))
@@ -63,9 +75,7 @@ def assign_top_cells(
     multi-probe side of an IVF index. Map-only, like assign_clusters:
     centroids ride the plan as literals."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cents = _centroid_array(centroids)
     # (dist, cid) structs sorted by field order → distance, then index
     scored = F.transform(
         cents,
@@ -115,6 +125,12 @@ def kmeans(
     ``dim`` is accepted for API stability but no longer needed — the
     (cluster, pos)-keyed update infers it from the data.
     """
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
+
+    # single-file corpora would otherwise run every iteration's
+    # distance math on one core; a no-op at real scale (scan splits >
+    # cores already).
+    df = _spread(df)
     centroids = init_centroids(df, vec_col, id_col, k)
     for _ in range(max_iter):
         assigned = assign_clusters(df, vec_col, id_col, centroids)

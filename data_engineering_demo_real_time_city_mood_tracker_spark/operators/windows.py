@@ -139,3 +139,63 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def ts_pattern_topk(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    key_col: str,
+    id_col: str,
+    pattern: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Time-series pattern search: the k subsequences (per-key sliding
+    windows of len(pattern) points) closest to a z-normalized query
+    pattern — the distributed core of matrix-profile / motif search
+    (cf. "Time Series Similarity Search for Streaming Data in
+    Distributed Systems", EDBT'19).
+
+    Shape: ONE window shuffle on the series key builds every
+    subsequence (collect_list over a rows-frame — state is w points per
+    row, not the series); z-normalization and the distance fold are
+    array expressions in whole-stage codegen; the global top-k is a
+    TakeOrderedAndProject, never a full sort. Distances fold
+    left-to-right with a 0.0 seed, so the DuckDB oracle (list_reduce)
+    reproduces them bitwise.
+    """
+    w = len(pattern)
+    mu = sum(pattern) / w
+    sd = (sum((x - mu) ** 2 for x in pattern) / w) ** 0.5
+    zp = [(x - mu) / sd for x in pattern]
+
+    win = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sub = df.select(
+        F.col(key_col).alias("series_key"),
+        F.col(ts_col).alias("start_ts"),
+        F.col(id_col).alias("start_id"),
+        F.collect_list(F.col(value_col).cast("double")).over(win).alias("win"),
+    ).filter(F.size("win") == w)
+
+    total = F.aggregate("win", F.lit(0.0), lambda a, x: a + x)
+    sub = sub.withColumn("mu", total / w)
+    var = F.aggregate(
+        "win", F.lit(0.0), lambda a, x: a + (x - F.col("mu")) * (x - F.col("mu"))
+    ) / w
+    sub = sub.withColumn("sd", F.sqrt(var)).filter(F.col("sd") > 1e-12)
+    zpat = F.array(*[F.lit(float(v)) for v in zp])
+    znorm = F.transform("win", lambda x: (x - F.col("mu")) / F.col("sd"))
+    dist = F.aggregate(
+        F.zip_with(znorm, zpat, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        sub.select("series_key", "start_ts", "start_id", dist.alias("zdist"))
+        .orderBy(F.col("zdist").asc(), F.col("series_key"), F.col("start_id"))
+        .limit(k)
+    )

@@ -886,6 +886,59 @@ def q_interval_join(spark, sf_dir):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+_TS_W = 8
+_TS_PATTERN = list(range(_TS_W))  # up-trend ramp
+_TS_MU = sum(_TS_PATTERN) / _TS_W
+_TS_SD = (sum((x - _TS_MU) ** 2 for x in _TS_PATTERN) / _TS_W) ** 0.5
+_TS_ZP = [(x - _TS_MU) / _TS_SD for x in _TS_PATTERN]
+_TS_ZP_SQL = "[" + ", ".join(repr(v) for v in _TS_ZP) + "]"
+
+
+@register(
+    "ts_pattern_topk",
+    f"""WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, CAST(value AS DOUBLE) AS v
+  FROM events
+),
+sub AS (
+  SELECT user_id AS series_key, ts AS start_ts, event_id AS start_id,
+         list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND {_TS_W - 1} FOLLOWING) AS win
+  FROM e
+),
+m AS (
+  SELECT series_key, start_ts, start_id, win,
+         list_reduce(win, (a, x) -> a + x) / {_TS_W} AS mu
+  FROM sub WHERE len(win) = {_TS_W}
+),
+s AS (
+  SELECT *, sqrt(list_reduce(list_transform(win, x -> (x - mu) * (x - mu)), (a, x) -> a + x) / {_TS_W}) AS sd
+  FROM m
+),
+z AS (
+  SELECT series_key, start_ts, start_id,
+         list_transform(win, x -> (x - mu) / sd) AS zw
+  FROM s WHERE sd > 1e-12
+)
+SELECT series_key, start_ts, start_id,
+       list_reduce(list_transform(range(1, {_TS_W + 1}),
+                                  i -> (zw[i] - ({_TS_ZP_SQL})[i]) * (zw[i] - ({_TS_ZP_SQL})[i])),
+                   (a, x) -> a + x) AS zdist
+FROM z
+ORDER BY zdist, series_key, start_id LIMIT 10""",
+)
+def q_ts_pattern_topk(spark, sf_dir):
+    """time-series motif search: the 10 per-user subsequences (8-point
+    sliding windows) closest to a z-normalized up-ramp pattern
+    (operators/windows.py:ts_pattern_topk). One window shuffle builds
+    every subsequence; normalization + distance are codegen'd array
+    folds; global top-k is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.ts_pattern_topk(
+        ev, "value", "ts", "user_id", "event_id", [float(x) for x in _TS_PATTERN], k=10
+    )
+
+
 @register(
     "event_type_pivot",
     """SELECT CAST(ts AS DATE) AS day, """
