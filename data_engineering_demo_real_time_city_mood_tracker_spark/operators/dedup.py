@@ -35,7 +35,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram (word k-shingle) Jaccard near-dup pairs ≥ threshold.
 
@@ -46,8 +51,17 @@ def ngram_jaccard_pairs(
     intrinsic cost of exact Jaccard; at scale, prefer minhash_dedup
     (LSH-bounded candidates) and use this as the verify/oracle tool.
     Emits (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_df`` caps shingle document frequency: a shingle appearing in
+    more than ``max_df`` docs (stopword phrase) is dropped BEFORE the
+    self-join, bounding per-shingle pair fan-out at max_df²/2 instead
+    of O(corpus²) — the one knob that keeps exact Jaccard from being a
+    scale-killer on hot shingles. Set sizes are recomputed post-cap so
+    jaccard stays a true Jaccard over the discriminative-shingle
+    universe (mirror the cap in any oracle).
     """
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
 
@@ -57,11 +71,27 @@ def ngram_jaccard_pairs(
     # both sides of the self-join read the materialized bytes instead
     # of re-running the tokenize→shingle pipeline (3-4× at sf0.1).
     dsh = F.array_distinct(shingles_from_tokens(F.col("_toks"), k))
-    sh = (
-        _toked(df, text_col, id_col)
-        .select("id", F.size(dsh).alias("n"), F.explode(dsh).alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if max_df is not None:
+        # df filter needs a shingle-keyed pass (O(df) per shingle, not
+        # O(df²)); set size n must count surviving shingles only, so it
+        # moves to an id-keyed window after the cap.
+        sh = (
+            _toked(df, text_col, id_col)
+            .select("id", F.explode(dsh).alias("shingle"))
+            .withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("_df") <= max_df)
+            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+            .select("id", "n", "shingle")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        sh = (
+            _toked(df, text_col, id_col)
+            .select("id", F.size(dsh).alias("n"), F.explode(dsh).alias("shingle"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     return (

@@ -950,12 +950,17 @@ GROUP BY 1""",
 )
 def q_event_type_pivot(spark, sf_dir):
     """pivot (wide conditional agg): one shuffle, output columns fixed
-    by the explicit value list (never a distinct-scan first)."""
+    by the explicit value list (never a distinct-scan first). Built as
+    conditional F.count(F.when(...)) aggregates rather than
+    groupBy().pivot(): identical plan shape, but an empty (day, type)
+    cell counts as 0 — matching SQL COUNT(*) FILTER — where the pivot
+    operator would emit NULL on sparse data."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.to_date("ts").alias("day"))
-        .pivot("event_type", EVENT_TYPES)
-        .agg(F.count(F.lit(1)))
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in EVENT_TYPES
+        ]
     )
 
 
@@ -1017,7 +1022,7 @@ def q_dim_upsert(spark, sf_dir):
 )
 SELECT CAST(EXTRACT(year FROM d) AS BIGINT) AS yr,
        CAST(EXTRACT(month FROM d) AS BIGINT) AS mo,
-       event_type, SUM(n) AS n,
+       event_type, CAST(SUM(n) AS BIGINT) AS n,
        CAST(SUM(s) AS DOUBLE)/SUM(n) AS avg_value
 FROM daily GROUP BY 1, 2, 3""",
 )
@@ -1084,10 +1089,13 @@ def q_events_unpivot(spark, sf_dir):
     (each input row fans out to n_value rows), no shuffle beyond the
     upstream agg."""
     ev = load_table(spark, sf_dir, "events")
-    wide = (
-        ev.groupBy(F.to_date("ts").alias("day"))
-        .pivot("event_type", EVENT_TYPES)
-        .agg(F.count(F.lit(1)))
+    # conditional counts (not .pivot()): empty cells melt to 0 rows,
+    # not NULL rows — same sparse-data semantics as COUNT(*) FILTER.
+    wide = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in EVENT_TYPES
+        ]
     )
     return wide.unpivot("day", EVENT_TYPES, "event_type", "n")
 
@@ -1694,8 +1702,12 @@ _SH3 = T.word_shingles_sql("text", 3)
 
 @register(
     "dedup_ngram_topk",
-    f"""WITH sh AS (
+    f"""WITH sh0 AS (
   SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
+),
+sh AS (
+  SELECT id, shingle FROM sh0
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50
 ),
 sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
 inter AS (
@@ -1715,9 +1727,14 @@ ORDER BY jaccard DESC, id_a, id_b LIMIT 50""",
 )
 def q_dedup_ngram_topk(spark, sf_dir):
     """top-50 most similar pairs by exact 3-shingle Jaccard (candidate
-    pairs share ≥1 shingle → shuffle keyed on shingle, never O(n²))."""
+    pairs share ≥1 shingle → shuffle keyed on shingle, never O(n²)).
+    max_df=50 drops stopword-phrase shingles before the self-join so a
+    single hot shingle can't produce an O(df²) pair blowup at corpus
+    scale (the oracle mirrors the cap via QUALIFY)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.0)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.0, max_df=50
+    )
     return pairs.orderBy(
         F.col("jaccard").desc(), F.col("id_a"), F.col("id_b")
     ).limit(50)
@@ -2472,7 +2489,9 @@ def q_word_cooccurrence(spark, sf_dir):
     )
     uni = toked.select(F.explode("toks").alias("w"))
     uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
-    n_tot = uni.count()
+    # scalar N map-only from the un-exploded arrays — NOT uni.count(),
+    # which would run a second full explode job over the corpus.
+    n_tot = toked.agg(F.sum(F.size("toks"))).first()[0]
     split = F.split(F.col("bg"), " ")
     pairs = bc.select(
         split.getItem(0).alias("w1"), split.getItem(1).alias("w2"), "n_ab"
