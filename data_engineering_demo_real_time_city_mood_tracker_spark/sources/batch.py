@@ -105,6 +105,89 @@ def read_binary_files(
     return reader.load(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+):
+    """JDBC source, twin of :func:`write_jdbc` — shape-compatible with
+    the reference's Postgres read (my_airflow/dags/
+    daily_summary_report.py:23-33, a single-connection pandas
+    ``read_sql``).
+
+    The part that matters at scale is the PARTITIONED read: without
+    ``partitionColumn``/``numPartitions`` Spark opens ONE connection
+    and pulls the whole table through a single task. With them, each of
+    ``num_partitions`` tasks reads a ``[lower, upper)`` stride of the
+    partition column concurrently — the difference between a 1-task
+    bottleneck and a saturated database at 100× data. ``table`` may be
+    a table name or a pushdown subquery ``"(SELECT ...) AS t"``.
+
+    Gated: needs the JDBC driver jar on the cluster, not exercisable
+    in this container — tests assert :func:`jdbc_read_options`'s shape
+    instead.
+    """
+    opts = jdbc_read_options(
+        url,
+        table,
+        user,
+        password,
+        driver,
+        partition_column=partition_column,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+        num_partitions=num_partitions,
+        fetchsize=fetchsize,
+    )
+    return spark.read.format("jdbc").options(**opts).load()
+
+
+def jdbc_read_options(
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+) -> dict[str, str]:
+    """Option dict for :func:`read_jdbc` (split out so the partitioned-
+    read wiring is unit-testable without a database)."""
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "user": user,
+        "password": password,
+        "driver": driver,
+        "fetchsize": str(fetchsize),
+    }
+    partition_opts = [partition_column, lower_bound, upper_bound, num_partitions]
+    if any(o is not None for o in partition_opts):
+        if any(o is None for o in partition_opts):
+            raise ValueError(
+                "partitioned JDBC read needs all of partition_column, "
+                "lower_bound, upper_bound, num_partitions"
+            )
+        opts.update(
+            partitionColumn=str(partition_column),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, user: str, password: str, driver: str, mode: str = "append") -> None:
     """JDBC sink, shape-compatible with the reference's Postgres writes
     (daily_summary_report.py:42-50). Gated: needs the JDBC driver jar

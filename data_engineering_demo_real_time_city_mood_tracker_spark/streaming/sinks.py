@@ -14,46 +14,118 @@ from pyspark.sql import DataFrame
 
 
 def document_sink(
-    insert_many: Callable[[list[dict]], None],
+    writer_factory: Callable[[], Callable[[list[dict]], None]],
     drop_nulls: bool = True,
+    batch_size: int = 500,
 ):
-    """Build a foreachBatch function that converts each micro-batch to
-    dict records and hands them to ``insert_many``.
+    """Build a foreachBatch function that streams each micro-batch into
+    a document store EXECUTOR-SIDE.
 
-    NOTE the scale posture: the reference funnels every batch through
-    ``toPandas`` on the driver. That is kept ONLY for the document-
-    store sink (which is inherently driver-ish without a connector);
-    analytic outputs should use parquet_sink below instead.
+    ``writer_factory`` is pickled to the executors and called once per
+    partition; it returns an ``insert_many(records)`` callable (one
+    client per partition — the Mongo-recommended pattern). If the
+    returned writer has a ``.close()``, it is closed when the partition
+    finishes. Rows are converted to dicts in ``batch_size`` chunks so a
+    partition never materializes fully in Python memory.
+
+    The reference funnels every batch through driver-side ``toPandas``
+    (jobs/spark_mood_tracker.py:115-126); at production stream rates
+    that is a driver-OOM. ``foreachPartition`` keeps the same injected,
+    serverless-testable shape while records never touch the driver.
     """
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
+        from data_engineering_demo_real_time_city_mood_tracker_spark.session import ensure_shipped
+
+        ensure_shipped(df.sparkSession)
         batch = df.na.drop() if drop_nulls else df
-        records = [row.asDict() for row in batch.collect()]
-        if records:
-            insert_many(records)
+
+        def write_partition(rows) -> None:
+            writer = writer_factory()
+            try:
+                chunk: list[dict] = []
+                for row in rows:
+                    chunk.append(row.asDict())
+                    if len(chunk) >= batch_size:
+                        writer(chunk)
+                        chunk = []
+                if chunk:
+                    writer(chunk)
+            finally:
+                close = getattr(writer, "close", None)
+                if close is not None:
+                    close()
+
+        batch.foreachPartition(write_partition)
 
     return write_batch
 
 
-def mongo_insert_many(
+class _JsonlWriter:
+    """Per-partition JSON-lines writer: each partition appends to its
+    own uniquely-named file (no cross-partition write contention)."""
+
+    def __init__(self, out_dir: str):
+        import os
+        import uuid
+
+        self._fh = open(
+            os.path.join(out_dir, f"part-{uuid.uuid4().hex}.jsonl"), "a"
+        )
+
+    def __call__(self, records: list[dict]) -> None:
+        import json
+
+        for rec in records:
+            self._fh.write(json.dumps(rec, default=str, sort_keys=True) + "\n")
+        self._fh.flush()
+
+    def close(self) -> None:
+        self._fh.close()
+
+
+def jsonl_writer_factory(
+    out_dir: str,
+) -> Callable[[], Callable[[list[dict]], None]]:
+    """Local-filesystem ``writer_factory`` for :func:`document_sink`:
+    documents land as JSON-lines files, one file per partition. The
+    no-server document sink — used for local runs and as the recording
+    sink in tests (executor-side writes are observable as files where
+    a driver-side list would never see them)."""
+    return lambda: _JsonlWriter(out_dir)
+
+
+class _MongoWriter:
+    """Per-partition Mongo writer: one client for the whole partition."""
+
+    def __init__(self, uri: str, database: str, collection: str):
+        from pymongo import MongoClient
+
+        self._client = MongoClient(uri)
+        self._coll = self._client[database][collection]
+
+    def __call__(self, records: list[dict]) -> None:
+        self._coll.insert_many(records)
+
+    def close(self) -> None:
+        self._client.close()
+
+
+def mongo_writer_factory(
     uri: str = "mongodb://mongo:27017/",
     database: str = "city_mood",
     collection: str = "mood_events",
-) -> Callable[[list[dict]], None]:
-    """Mongo-backed insert_many (gated: pymongo not in this container)."""
+) -> Callable[[], Callable[[list[dict]], None]]:
+    """Mongo ``writer_factory`` for :func:`document_sink` (gated:
+    pymongo not in this container). The factory itself only captures
+    strings, so it pickles to executors; the client is built lazily on
+    the executor, once per partition."""
     try:
-        from pymongo import MongoClient
+        import pymongo  # noqa: F401
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError("pymongo not available in this environment") from exc
 
-    def insert(records: list[dict]) -> None:
-        client = MongoClient(uri)
-        try:
-            client[database][collection].insert_many(records)
-        finally:
-            client.close()
-
-    return insert
+    return lambda: _MongoWriter(uri, database, collection)
 
 
 def start_parquet_sink(df: DataFrame, path: str, checkpoint: str, **trigger):

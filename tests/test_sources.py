@@ -11,6 +11,7 @@ import json
 from pyspark.sql import functions as F
 
 from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import (
+    jdbc_read_options,
     load_table,
     read_csv_valid,
     read_jsonl_valid,
@@ -89,3 +90,43 @@ def test_binary_file_source(spark, sf_dir):
         assert r.path.endswith(".parquet")
     only_nation = read_binary_files(spark, sf_dir, glob="nation.parquet").count()
     assert only_nation == 1
+
+
+def test_jdbc_read_options_partitioned():
+    """partitioned JDBC read wiring: all four stride options land in
+    the reader config (the single-connection default is the scale
+    bug the partitioned path exists to avoid)."""
+    import pytest
+
+    opts = jdbc_read_options(
+        "jdbc:postgresql://pg:5432/city",
+        "daily_mood_summary",
+        "app",
+        "secret",
+        "org.postgresql.Driver",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=64,
+    )
+    assert opts["dbtable"] == "daily_mood_summary"
+    assert opts["partitionColumn"] == "id"
+    assert opts["lowerBound"] == "0"
+    assert opts["upperBound"] == "1000000"
+    assert opts["numPartitions"] == "64"
+    assert opts["fetchsize"] == "10000"
+
+    plain = jdbc_read_options(
+        "jdbc:postgresql://pg:5432/city", "t", "u", "p", "org.postgresql.Driver"
+    )
+    assert "partitionColumn" not in plain
+
+    with pytest.raises(ValueError, match="partitioned JDBC read"):
+        jdbc_read_options(
+            "jdbc:postgresql://pg:5432/city",
+            "t",
+            "u",
+            "p",
+            "org.postgresql.Driver",
+            partition_column="id",
+        )

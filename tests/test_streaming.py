@@ -13,8 +13,16 @@ from pyspark.sql import functions as F
 
 from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import WEATHER_CODES
 from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
-from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.mood_pipeline import mood_from_unified, mood_stream, unified_events
-from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.sinks import document_sink
+from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.mood_pipeline import (
+    mood_from_unified,
+    mood_stream,
+    mood_stream_highcard,
+    unified_events,
+)
+from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.sinks import (
+    document_sink,
+    jsonl_writer_factory,
+)
 from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.sources import parse_news, parse_traffic, parse_weather
 
 INTERSECTIONS = ["int_0", "int_1", "int_2", "int_3"]
@@ -112,6 +120,54 @@ def test_stream_append_mode_with_watermark(spark, sf_dir, tmp_path):
     )
     out = mood_from_unified(stream)
     qname = f"moodapp_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {tuple(str(v) for v in row) for row in spark.table(qname).collect()}
+    assert got, "append mode should emit some closed windows"
+    assert got <= batch_rows
+
+
+def test_highcard_variant_matches_fanout_on_batch(spark, sf_dir):
+    """mood_stream (fan-out, right at few keys) and mood_stream_highcard
+    (aggregate-then-join, right at many keys) are two physical plans
+    for the SAME semantics — identical rows on identical input."""
+    traffic, weather, news = _typed_frames(spark, sf_dir)
+    fanout = {
+        tuple(str(v) for v in row)
+        for row in mood_stream(traffic, weather, news, INTERSECTIONS).collect()
+    }
+    highcard = {
+        tuple(str(v) for v in row)
+        for row in mood_stream_highcard(traffic, weather, news).collect()
+    }
+    assert fanout, "batch mood result should be non-empty"
+    assert highcard == fanout
+
+
+def test_highcard_variant_streaming_append(spark, sf_dir, tmp_path):
+    """the aggregate-then-join pipeline runs as a streaming query with
+    chained stateful operators (3 windowed aggs + window-keyed joins);
+    append mode emits a non-empty subset of the batch result."""
+    traffic, weather, news = _typed_frames(spark, sf_dir)
+    batch_rows = {
+        tuple(str(v) for v in row)
+        for row in mood_stream_highcard(traffic, weather, news).collect()
+    }
+    streams = {}
+    for name, df in [("traffic", traffic), ("weather", weather), ("news", news)]:
+        d = str(tmp_path / name)
+        df.orderBy("event_time").coalesce(1).write.mode("overwrite").parquet(d)
+        streams[name] = spark.readStream.schema(df.schema).parquet(d)
+    out = mood_stream_highcard(
+        streams["traffic"], streams["weather"], streams["news"]
+    )
+    qname = f"moodhc_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.outputMode("append")
         .format("memory")
@@ -319,9 +375,20 @@ def test_builtin_session_window_stream_subset_of_batch(spark, sf_dir, tmp_path):
     assert got <= batch_rows
 
 
-def test_document_sink_foreachbatch(spark):
-    """foreachBatch document sink: injected insert_many receives the
-    null-dropped records (reference write_to_mongo semantics)."""
+def _read_recorded(out_dir):
+    import json
+    import pathlib
+
+    recs = []
+    for p in pathlib.Path(out_dir).glob("part-*.jsonl"):
+        recs.extend(json.loads(line) for line in p.read_text().splitlines())
+    return recs
+
+
+def test_document_sink_foreachbatch(spark, tmp_path):
+    """foreachBatch document sink: the injected per-partition writer
+    receives the null-dropped records executor-side (reference
+    write_to_mongo semantics, minus the driver collect)."""
     import datetime as dt
 
     ddl = (
@@ -335,15 +402,49 @@ def test_document_sink_foreachbatch(spark):
         (base, "int_2", 50.0, None, None, None, "unknown"),  # dropped by na.drop
     ]
     df = spark.createDataFrame(rows, ddl)
-    captured: list[dict] = []
-    sink = document_sink(lambda recs: captured.extend(recs))
+    out = tmp_path / "sink"
+    out.mkdir()
+    sink = document_sink(jsonl_writer_factory(str(out)))
     sink(df, batch_id=0)
+    captured = _read_recorded(out)
     assert len(captured) == 2
     assert all(v is not None for rec in captured for v in rec.values())
     assert set(captured[0]) == {
         "event_time", "intersection", "avg_speed", "avg_temp", "weather",
         "sentiment", "mood",
     }
+
+
+def test_document_sink_parity_with_collect(spark, sf_dir, tmp_path):
+    """Executor-side sink parity: foreachPartition emits exactly the
+    records a driver-side collect would, across many partitions and
+    chunk boundaries (batch_size smaller than partitions)."""
+    import json
+
+    df = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(8)
+    )
+    out = tmp_path / "sink"
+    out.mkdir()
+    sink = document_sink(
+        jsonl_writer_factory(str(out)), drop_nulls=False, batch_size=100
+    )
+    sink(df, batch_id=0)
+    got = sorted(
+        json.dumps(r, sort_keys=True) for r in _read_recorded(str(out))
+    )
+    expected = sorted(
+        json.dumps(
+            {k: (str(v) if not isinstance(v, (int, float)) or isinstance(v, bool) else v)
+             for k, v in row.asDict().items()},
+            default=str, sort_keys=True,
+        )
+        for row in df.collect()
+    )
+    assert len(got) == len(expected)
+    assert got == expected
 
 
 def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
