@@ -200,12 +200,25 @@ def lsh_ann_topk(
     id_col: str,
     k: int = 5,
     nbits: int = 4,
+    hamming_probe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's sign-LSH bucket.
+    """Approximate top-k: probe the query's sign-LSH bucket.
 
     Same output shape as brute_force_topk; recall < 1 by design (the
     scale path — candidates per query drop ~2^nbits-fold).
+
+    ``hamming_probe`` is the multi-probe recall knob: the query side
+    additionally probes every bucket within that Hamming distance of
+    its own (sum of C(nbits, d) for d ≤ hamming_probe buckets). Each
+    corpus vector lives in exactly one bucket, so probes never produce
+    duplicate candidate pairs and need no dedup. Candidate volume —
+    and recall — scales with the probe count while the corpus-side
+    layout (ONE bucket per vector, the thing that makes this cheaper
+    than brute force at 100 TB) is untouched; only the small query
+    side fans out.
     """
+    from itertools import combinations
+
     c = (
         corpus.select(
             F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec")
@@ -218,6 +231,19 @@ def lsh_ann_topk(
         )
         .withColumn("bucket", vectors.sign_bucket(F.col("qvec"), nbits))
     )
+    if hamming_probe > 0:
+        masks = [0] + [
+            sum(1 << p for p in pos)
+            for d in range(1, hamming_probe + 1)
+            for pos in combinations(range(nbits), d)
+        ]
+        q = q.select(
+            "query_id",
+            "qvec",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("corpus_id"))

@@ -185,3 +185,107 @@ def test_ivf_trained_recall_vs_brute_force(spark, sf_dir):
     got = {(r.query_id, r.corpus_id) for r in approx1}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.5, f"2-probe recall suspiciously low: {recall}"
+
+
+def test_hll_error_within_rsd_bound(spark, sf_dir):
+    """approx_count_distinct at rsd=0.01 must land within 5×rsd of the
+    exact distinct count — quantifying the approximate operator instead
+    of just running it. Checked on a small key space (user_id, where
+    HLL is exact) and a large one (event_id)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("u_approx"),
+        F.countDistinct("user_id").alias("u_exact"),
+        F.approx_count_distinct("event_id", 0.01).alias("e_approx"),
+        F.countDistinct("event_id").alias("e_exact"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.u_approx - r.u_exact) / r.u_exact <= 0.05, r
+        assert abs(r.e_approx - r.e_exact) / r.e_exact <= 0.05, r
+
+
+def test_quantile_sketch_rank_error_bound(spark, sf_dir):
+    """percentile_approx(accuracy=10000) carries a 1/accuracy rank-error
+    guarantee: the empirical rank of each estimate must be within
+    eps + discreteness slack of the target quantile."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    phis = [0.5, 0.95, 0.99]
+    acc = 10000
+    ev = load_table(spark, sf_dir, "events")
+    est = {
+        r.event_type: r.qs
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", phis, acc).alias("qs"))
+        .collect()
+    }
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for etype, qs in est.items():
+        xs = sorted(vals[etype])
+        n = len(xs)
+        for phi, q in zip(phis, qs):
+            rank = sum(1 for x in xs if x <= q) / n
+            assert abs(rank - phi) <= 1.0 / acc + 1.5 / n, (
+                f"{etype} phi={phi}: est {q} has empirical rank {rank}"
+            )
+
+
+def test_lsh_recall_floor_and_multiprobe_gain(spark, sf_dir):
+    """recall@5 of sign-LSH vs brute-force ground truth: the single-
+    bucket probe must beat the random-candidate baseline, and Hamming-1
+    multi-probe must strictly improve recall (the documented knob)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import similarity
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.corpus_id)
+        for r in similarity.brute_force_topk(emb, q, "embedding", "vec_id", k=5).collect()
+    }
+    got0 = {
+        (r.query_id, r.corpus_id)
+        for r in similarity.lsh_ann_topk(
+            emb, q, "embedding", "vec_id", k=5, nbits=4
+        ).collect()
+    }
+    got1 = {
+        (r.query_id, r.corpus_id)
+        for r in similarity.lsh_ann_topk(
+            emb, q, "embedding", "vec_id", k=5, nbits=4, hamming_probe=1
+        ).collect()
+    }
+    r0 = len(got0 & exact) / len(exact)
+    r1 = len(got1 & exact) / len(exact)
+    # one bucket of 2^4 holds ~1/16 of the corpus; random top-5 picks
+    # from that candidate set would land ~1/16 of true neighbors
+    assert r0 >= 0.08, f"single-probe recall {r0} below random baseline"
+    assert r1 > r0, f"multi-probe recall {r1} did not improve on {r0}"
+    assert r1 >= 0.25, f"Hamming-1 recall suspiciously low: {r1}"
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """recall@5 of the seeded-centroid IVF vs brute force — quantified,
+    not just smoke-run (the trained variant has its own test)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import similarity
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.corpus_id)
+        for r in similarity.brute_force_topk(emb, q, "embedding", "vec_id", k=5).collect()
+    }
+    got = {
+        (r.query_id, r.corpus_id)
+        for r in similarity.ivf_topk(
+            emb, q, "embedding", "vec_id", k=5, n_centroids=8
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall suspiciously low: {recall}"
