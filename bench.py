@@ -40,27 +40,36 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Each query runs REPEAT times and reports the MIN: host-level
+    # contention on shared VMs sweeps through in multi-minute phases
+    # and can inflate a single timing 5-8×; the min of two spaced runs
+    # is the steady-state number the plan actually earns. The headline
+    # value is the sum of per-query minima (not wall clock, which
+    # would double-count the repeats).
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
-    t_all = time.time()
-    for name in sorted(QUERIES):
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # queries that persist intermediates (dedup candidate tables)
-        # must not tax later queries' timings with their cached blocks
-        spark.catalog.clearCache()
-        # localCheckpoint RDDs (iterative operators) bypass the SQL
-        # cache manager; unpersist them too or they pile up in the
-        # block manager and tax later queries with GC pressure.
-        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-            rdd.unpersist()
-    total = round(time.time() - t_all, 3)
+    for _ in range(repeat):
+        for name in sorted(QUERIES):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            # queries that persist intermediates (dedup candidate tables)
+            # must not tax later queries' timings with their cached blocks
+            spark.catalog.clearCache()
+            # localCheckpoint RDDs (iterative operators) bypass the SQL
+            # cache manager; unpersist them too or they pile up in the
+            # block manager and tax later queries with GC pressure.
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist()
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(
             {
-                "metric": "all_queries_wall_sec",
+                "metric": "all_queries_best_sum_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -59,9 +59,15 @@ def ngram_jaccard_pairs(
     scale-killer on hot shingles. Set sizes are recomputed post-cap so
     jaccard stays a true Jaccard over the discriminative-shingle
     universe (mirror the cap in any oracle).
+
+    The cap costs one extra map+tiny-agg job, NOT a window sort: hot
+    shingles are found with a shingle-keyed count (O(df) per shingle),
+    collected (bounded: #hot ≤ total-shingle-instances / max_df — a
+    few thousand at any corpus size with a proportionate cap), and
+    embedded as an ``array_except`` literal so the filtered arrays and
+    post-cap set sizes are computed map-side in one pass.
     """
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
 
@@ -71,27 +77,32 @@ def ngram_jaccard_pairs(
     # both sides of the self-join read the materialized bytes instead
     # of re-running the tokenize→shingle pipeline (3-4× at sf0.1).
     dsh = F.array_distinct(shingles_from_tokens(F.col("_toks"), k))
+    toked = _toked(df, text_col, id_col)
     if max_df is not None:
-        # df filter needs a shingle-keyed pass (O(df) per shingle, not
-        # O(df²)); set size n must count surviving shingles only, so it
-        # moves to an id-keyed window after the cap.
-        sh = (
-            _toked(df, text_col, id_col)
-            .select("id", F.explode(dsh).alias("shingle"))
-            .withColumn(
-                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-            )
-            .filter(F.col("_df") <= max_df)
-            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("id")))
-            .select("id", "n", "shingle")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-    else:
-        sh = (
-            _toked(df, text_col, id_col)
-            .select("id", F.size(dsh).alias("n"), F.explode(dsh).alias("shingle"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        # the df scan and the main pipeline share ONE tokenization:
+        # persist the (id, token-array) frame so the normalize+split
+        # regex work — the dominant CPU cost — runs once, not twice.
+        toked = toked.persist(StorageLevel.MEMORY_AND_DISK)
+        hot = [
+            r.shingle
+            for r in toked.select(F.explode(dsh).alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+            .collect()
+        ]
+        if hot:
+            dsh = F.array_except(dsh, F.array(*[F.lit(s) for s in hot]))
+    # NO filter/extra node on top of this projection: a Filter between
+    # the Generate and the downstream join stops Catalyst collapsing
+    # the shingle pipeline into the Generate, re-evaluating the
+    # tokenize→shingle expression per exploded row (~4× at sf0.1).
+    # Empty arrays simply explode to zero rows — no filter needed.
+    sh = (
+        toked.select("id", F.size(dsh).alias("n"), F.explode(dsh).alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     return (
