@@ -57,10 +57,13 @@ _FRONT = [
     "stopword_removal",
     "word_cooccurrence",
     "corpus_stats",
-    # training-data sampling
+    # training-data sampling / preparation
     "train_test_split",
     "balanced_sample",
     "mixture_sample",
+    "sequence_packing",
+    "repetition_ratio",
+    "contamination_check",
     # multimodal
     "multimodal_meta",
     "multimodal_frames",

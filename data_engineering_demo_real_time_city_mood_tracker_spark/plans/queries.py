@@ -2559,3 +2559,192 @@ def q_edit_distance_pairs(spark, sf_dir):
         )
         .filter(F.col("dist") <= 10)
     )
+
+
+# --------------------------------------------------------------------------
+# training-data preparation: packing, repetition pruning, contamination
+
+_PACK_BUDGET = 512
+
+@register(
+    "sequence_packing",
+    f"""WITH toks AS (
+  SELECT doc_id, CAST(len(string_split({_docs_norm_sql()}, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+pref AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM toks
+)
+SELECT doc_id, n_tok, start_offset,
+       start_offset // {_PACK_BUDGET} AS seq_id,
+       start_offset % {_PACK_BUDGET} AS offset_in_seq,
+       (start_offset + n_tok - 1) // {_PACK_BUDGET} - start_offset // {_PACK_BUDGET} AS n_boundary_crossings
+FROM pref""",
+)
+def q_sequence_packing(spark, sf_dir):
+    """concat-and-chunk sequence packing (GPT-style training prep):
+    documents are concatenated in deterministic doc_id order and cut
+    into fixed token-budget sequences; each doc reports its sequence
+    id, offset, and how many chunk boundaries it straddles.
+
+    The global prefix-sum is computed as a TWO-LEVEL SCAN, not one
+    unpartitioned window (which would funnel the whole corpus through
+    a single task): per-bucket cumulative sums run in parallel
+    (window partitioned by a doc_id bracket), bucket totals — one row
+    per bucket — are prefix-summed on the tiny side and broadcast
+    back. Scales to any corpus; the only global structure is the
+    bucket-totals frame (≈ corpus/bucket_size rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 1000).alias("bucket"),
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = toks.withColumn(
+        "local_start", F.coalesce(F.sum("n_tok").over(in_bucket), F.lit(0))
+    )
+    bucket_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        toks.groupBy("bucket")
+        .agg(F.sum("n_tok").alias("bucket_tok"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bucket_tok").over(bucket_w), F.lit(0)).alias(
+                "bucket_start"
+            ),
+        )
+    )
+    start = F.col("bucket_start") + F.col("local_start")
+    b = F.lit(_PACK_BUDGET)
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "n_tok",
+        start.alias("start_offset"),
+        F.floor(start / b).alias("seq_id"),
+        (start % b).alias("offset_in_seq"),
+        (
+            F.floor((start + F.col("n_tok") - 1) / b) - F.floor(start / b)
+        ).alias("n_boundary_crossings"),
+    )
+
+
+_BG2 = T.word_shingles_sql("text", 2)
+
+@register(
+    "repetition_ratio",
+    f"""WITH toked AS (
+  SELECT doc_id, string_split({_docs_norm_sql()}, ' ') AS toks,
+         {_BG2} AS bgs
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(bgs) AS bg FROM toked
+),
+topbg AS (
+  SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg FROM (
+    SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
+  ) t GROUP BY doc_id
+)
+SELECT t.doc_id,
+       1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac,
+       CAST(top_bg AS DOUBLE) / n_bg AS top_bigram_frac,
+       (1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) > 0.7
+         OR CAST(top_bg AS DOUBLE) / n_bg > 0.18 AS flagged
+FROM toked t JOIN topbg USING (doc_id)""",
+)
+def q_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition pruning signals: duplicate-token
+    fraction (map-only array math) and top-bigram share (one shuffle
+    keyed on (doc, bigram) — the exact-count path; at 100 TB the
+    same signal is computable map-only with a per-doc count-min over
+    the bigram array). Docs exceeding either threshold are flagged
+    for removal — the standard quality gate before LLM training."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    ).withColumn("bgs", T.shingles_from_tokens(F.col("toks"), 2))
+    dup_frac = (
+        F.lit(1.0)
+        - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+    )
+    per_bg = (
+        toked.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    top_frac = F.col("top_bg").cast("double") / F.col("n_bg")
+    return (
+        toked.select("doc_id", dup_frac.alias("dup_token_frac"))
+        .join(per_bg, "doc_id")
+        .select(
+            "doc_id",
+            "dup_token_frac",
+            top_frac.alias("top_bigram_frac"),
+            ((F.col("dup_token_frac") > 0.7) | (top_frac > 0.18)).alias("flagged"),
+        )
+    )
+
+
+_SH5 = T.word_shingles_sql("text", 5)
+
+@register(
+    "contamination_check",
+    f"""WITH bench AS (
+  SELECT DISTINCT unnest({_SH5}) AS shingle FROM documents WHERE doc_id < 25
+),
+corpus AS (
+  SELECT DISTINCT doc_id, unnest({_SH5}) AS shingle FROM documents WHERE doc_id >= 25
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM corpus JOIN bench USING (shingle)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(h.n_overlap, 0) >= 3 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id >= 25""",
+)
+def q_contamination_check(spark, sf_dir):
+    """benchmark-contamination scan: 5-gram shingle overlap between
+    the corpus and a held-out benchmark set (here: doc_id < 25 as the
+    stand-in eval set). The benchmark shingle set is small by
+    construction, so it BROADCASTS — the corpus-side scan is map-only
+    plus one count shuffle on doc_id, never a shuffle of the corpus
+    against itself. Standard decontamination step before training
+    (n-gram overlap flagging as used for eval-set leakage checks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = lambda d: (
+        d.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(T.shingles_from_tokens(F.col("_toks"), 5))
+            ).alias("shingle"),
+        )
+    )
+    bench = sh(docs.filter(F.col("doc_id") < 25)).select("shingle").distinct()
+    corpus = sh(docs.filter(F.col("doc_id") >= 25))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.filter(F.col("doc_id") >= 25)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= 3).alias("contaminated"),
+        )
+    )

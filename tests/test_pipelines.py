@@ -134,3 +134,84 @@ def test_run_with_alert_notifies_and_reraises(spark):
     sent2 = []
     out = run_with_alert(lambda: quality_check(ok), "mood_quality_check", sent2.append)
     assert out["n_records"] == 1 and sent2 == []
+
+
+def test_dag_topo_skip_and_retry():
+    """orchestration core: declaration-order execution, retry-until-
+    success with injected clock, downstream skip on failure, single
+    alert per failed task (reference DAG semantics without Airflow)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.orchestration import Dag, run_dag
+
+    calls = []
+    slept = []
+    alerts = []
+    flaky_attempts = {"n": 0}
+
+    def flaky():
+        flaky_attempts["n"] += 1
+        if flaky_attempts["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    def boom():
+        raise ValueError("bad data")
+
+    dag = (
+        Dag("export", schedule="0 23 * * *")
+        .add("extract", lambda: calls.append("extract") or 11)
+        .add("flaky_load", flaky, upstream=["extract"], retries=2, retry_delay_sec=5.0)
+        .add("check", boom, upstream=["extract"])
+        .add("report", lambda: calls.append("report"), upstream=["check"])
+        .add("archive", lambda: calls.append("archive"), upstream=["flaky_load"])
+    )
+    states = run_dag(dag, notifier=alerts.append, sleep=slept.append)
+
+    assert states["extract"]["state"] == "success" and states["extract"]["result"] == 11
+    assert states["flaky_load"] == {
+        "state": "success", "attempts": 3, "result": "ok", "error": None,
+    }
+    assert slept == [5.0, 5.0]
+    assert states["check"]["state"] == "failed"
+    assert "ValueError: bad data" in states["check"]["error"]
+    assert states["report"]["state"] == "skipped"
+    assert states["archive"]["state"] == "success", "other branches continue"
+    assert len(alerts) == 1 and "`check`" in alerts[0]
+    assert "report" not in calls
+
+
+def test_dag_rejects_forward_and_duplicate_edges():
+    import pytest
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.orchestration import Dag
+
+    dag = Dag("d").add("a", lambda: None)
+    with pytest.raises(ValueError, match="unknown upstream"):
+        dag.add("b", lambda: None, upstream=["zzz"])
+    with pytest.raises(ValueError, match="duplicate task"):
+        dag.add("a", lambda: None)
+
+
+def test_gate_and_trigger_quality_check():
+    """reference mood_quality_check: passing gate triggers the
+    downstream DAG; failing or raising gate alerts and does not."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.orchestration import Dag, gate_and_trigger
+
+    ran = []
+    alerts = []
+    downstream = Dag("daily_summary_report").add("summarize", lambda: ran.append(1))
+
+    out = gate_and_trigger(lambda: True, downstream, notifier=alerts.append)
+    assert out["gate"] == "passed" and out["triggered"]
+    assert out["downstream"]["summarize"]["state"] == "success"
+    assert ran == [1] and alerts == []
+
+    out = gate_and_trigger(lambda: False, downstream, notifier=alerts.append)
+    assert out == {"gate": "failed", "triggered": False, "downstream": None}
+    assert ran == [1] and len(alerts) == 1
+
+    def raising_gate():
+        raise RuntimeError("quality query failed")
+
+    out = gate_and_trigger(raising_gate, downstream, notifier=alerts.append)
+    assert not out["triggered"] and "RuntimeError" in alerts[-1]
+    assert ran == [1]
