@@ -261,3 +261,92 @@ def lsh_ann_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "cos_sim", "rnk")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    n_centroids: int = 8,
+    n_probe_default: int = 2,
+    max_iter: int = 3,
+) -> list[list[float]]:
+    """Build a PERSISTENT IVF index: train k-means centroids, assign
+    the corpus, and write it as a lake-native layout:
+
+        path/centroids/   one tiny parquet of (cluster, cvec)
+        path/cells/       corpus vectors partitioned BY CLUSTER
+                          (``cluster=<c>/`` hive directories)
+
+    The partitioning is the index: probing n cells at query time is a
+    partition filter, so the scan physically reads only those cells'
+    directories — storage-level cell selection, no post-hoc filter
+    over the full corpus. Build once, query many (the vector-DB usage
+    pattern); rebuilds are full rewrites, matching IVF's batch-index
+    nature. Returns the trained centroids.
+    """
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+    )
+
+    _, cents = kmeans(corpus, vec_col, id_col, k=n_centroids, max_iter=max_iter)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cluster int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assign_clusters(corpus, vec_col, id_col, cents).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(f"{path}/cells")
+    return cents
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Query a :func:`build_ivf_index` layout: centroids load as a
+    k×dim literal (map-only query assignment), and the corpus scan
+    carries ``cluster IN (probed cells)`` — a PartitionFilter that
+    prunes unprobed cell directories at planning time (plan-asserted
+    in tests). Same output shape/ordering as ivf_trained_topk.
+    """
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import assign_top_cells
+
+    cents_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r.cluster,
+    )
+    cents = [list(r.cvec) for r in cents_rows]
+    q = assign_top_cells(queries, vec_col, id_col, cents, n_probe).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cluster"
+    )
+    probed = sorted({r.cluster for r in q.select("cluster").distinct().collect()})
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cluster").isin(probed))
+        .select(F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"), "cluster")
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cluster")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            vectors.cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rnk")
+    )

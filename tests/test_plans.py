@@ -193,3 +193,26 @@ def test_promo_share_one_shuffle(spark, sf_dir):
     plan = plan_of(QUERIES["promo_revenue_share"](spark, sf_dir))
     shuffle, bcast = _exchanges(plan)
     assert shuffle <= 1 and bcast >= 1
+
+
+def test_contamination_check_broadcasts_benchmark(spark, sf_dir):
+    """the benchmark shingle set must broadcast (corpus never shuffled
+    against itself) and the doc_id split must reach the parquet scan."""
+    plan = plan_of(QUERIES["contamination_check"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(doc_id,25)" in plan
+
+
+def test_sequence_packing_two_level_prefix_sum(spark, sf_dir):
+    """the corpus-wide prefix sum must be the two-level scan: the
+    per-document running sum is a Window PARTITIONED BY the bucket key
+    (an unpartitioned window funnels the corpus into one task); only
+    the bucket-totals frame (one row per bucket) uses a global window,
+    and the offsets come back via broadcast, not a shuffle join."""
+    plan = plan_of(QUERIES["sequence_packing"](spark, sf_dir))
+    win_args = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l
+    ]
+    per_doc = [l for l in win_args if "sum(n_tok" in l]
+    assert per_doc and all("], [bucket#" in l for l in per_doc), per_doc
+    assert "BroadcastHashJoin" in plan

@@ -289,3 +289,54 @@ def test_ivf_recall_floor(spark, sf_dir):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.5, f"IVF recall suspiciously low: {recall}"
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """packing conservation laws: offsets are an exact prefix sum of
+    token counts in doc_id order, in-sequence offsets stay inside the
+    budget, and boundary crossings equal the chunk-count formula."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES, _PACK_BUDGET
+
+    rows = sorted(
+        QUERIES["sequence_packing"](spark, sf_dir).collect(),
+        key=lambda r: r.doc_id,
+    )
+    running = 0
+    for r in rows:
+        assert r.start_offset == running, f"doc {r.doc_id} offset gap"
+        assert 0 <= r.offset_in_seq < _PACK_BUDGET
+        assert r.seq_id == r.start_offset // _PACK_BUDGET
+        last = r.start_offset + r.n_tok - 1
+        assert r.n_boundary_crossings == last // _PACK_BUDGET - r.seq_id
+        running += r.n_tok
+
+
+def test_persistent_ivf_index_matches_inline(spark, sf_dir, tmp_path):
+    """build_ivf_index + query_ivf_index must return exactly the rows
+    ivf_trained_topk computes inline with the same parameters, and the
+    cell scan must be partition-pruned to the probed cells."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import similarity
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(
+        emb, "embedding", "vec_id", idx, n_centroids=8, max_iter=3
+    )
+    out = similarity.query_ivf_index(
+        spark, idx, q, "embedding", "vec_id", k=5, n_probe=2
+    )
+    inline = similarity.ivf_trained_topk(
+        emb, q, "embedding", "vec_id", k=5, n_centroids=8, n_probe=2, max_iter=3
+    )
+    got = {(r.query_id, r.corpus_id, r.rnk) for r in out.collect()}
+    want = {(r.query_id, r.corpus_id, r.rnk) for r in inline.collect()}
+    assert got == want
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cluster" in plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cluster" in l and ("IN" in l or "in(" in l.lower()) for l in pf), pf
