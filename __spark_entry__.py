@@ -31,6 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = [
     # round-1 red row, now fixed (oracle HUGEINT→BIGINT cast)
     "reaggregate_monthly",
+    # new OLAP rows this round (never driver-gated yet)
+    "late_sole_suppliers",
+    "revenue_concentration",
     # dedup family
     "dedup_exact",
     "dedup_ngram_topk",

@@ -2748,3 +2748,126 @@ def q_contamination_check(spark, sf_dir):
             (F.coalesce("n_overlap", F.lit(0)) >= 3).alias("contaminated"),
         )
     )
+
+
+@register(
+    "late_sole_suppliers",
+    """WITH ml AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_orders
+FROM ml a
+JOIN supplier s ON a.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM ml b
+              WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM ml b
+                  WHERE b.l_orderkey = a.l_orderkey
+                    AND b.l_suppkey <> a.l_suppkey
+                    AND b.last_ship >= a.last_ship)
+GROUP BY 1, 2""",
+)
+def q_late_sole_suppliers(spark, sf_dir):
+    """TPC-H Q21-shaped: suppliers who were the UNIQUE last shipper on
+    multi-supplier orders. The textbook formulation is a semi-join plus
+    an anti-join against the same derived table (the oracle keeps that
+    shape); the Spark plan replaces both with ONE window pass — rank
+    (order, supplier) ship-maxima per order and keep rank-1 rows that
+    strictly beat rank-2 on orders with >1 supplier. Two shuffles
+    total (per-(order,supp) agg, then per-order window+final agg)
+    instead of three self-joins of a fact-sized table; supplier dim
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    ml = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("last_ship").desc(), F.col("l_suppkey")
+    )
+    wcnt = Window.partitionBy("l_orderkey")
+    sole_last = (
+        ml.select(
+            "l_orderkey",
+            "l_suppkey",
+            "last_ship",
+            F.row_number().over(w).alias("rn"),
+            F.lead("last_ship", 1).over(w).alias("next_ship"),
+            F.count(F.lit(1)).over(wcnt).alias("n_supp"),
+        )
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("next_ship") < F.col("last_ship"))
+        )
+    )
+    return (
+        sole_last.join(
+            F.broadcast(sup.select("s_suppkey", "s_name")),
+            sole_last.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "revenue_concentration",
+    """WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS val
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey, val,
+         SUM(val) OVER (ORDER BY val DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before,
+         SUM(val) OVER () AS total
+  FROM pv
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS revenue,
+       CAST(cum_before IS NULL OR cum_before < total * 0.8 AS BOOLEAN) AS in_top80
+FROM ranked
+WHERE COALESCE(cum_before, 0) < total * 0.8
+ORDER BY revenue DESC, l_partkey""",
+)
+def q_revenue_concentration(spark, sf_dir):
+    """Pareto concentration: the smallest prefix of parts (by revenue)
+    covering 80% of total revenue. Pattern: exact-decimal per-key agg,
+    then an ordered cumulative share over the AGGREGATED frame. The
+    global window runs over dimension-cardinality rows (parts), not
+    the fact table — at 100 TB that is still millions at most; if the
+    dimension itself is huge, the same two-level scan used by
+    sequence_packing applies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("val")
+    )
+    w_cum = Window.orderBy(F.col("val").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    ranked = pv.select(
+        "l_partkey",
+        "val",
+        F.sum("val").over(w_cum).alias("cum_before"),
+        F.sum("val").over(w_all).alias("total"),
+    )
+    return (
+        ranked.filter(
+            F.coalesce("cum_before", F.lit(0)) < F.col("total") * 0.8
+        )
+        .select(
+            "l_partkey",
+            F.col("val").cast("double").alias("revenue"),
+            (
+                F.col("cum_before").isNull()
+                | (F.col("cum_before") < F.col("total") * 0.8)
+            ).alias("in_top80"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_partkey")
+    )
