@@ -818,3 +818,53 @@ def test_rate_source_wiring(spark):
     assert stream.isStreaming
     ev = P.traffic_events(stream)
     assert set(ev.columns) == {"intersection", "vehicle_id", "speed", "timestamp"}
+
+
+def test_end_to_end_mood_demo(spark, tmp_path):
+    """the composed application (producers → JSON topics → consumer
+    parsers → mood pipeline → parquet + document sinks) runs end to
+    end: both sinks see consistent rows, output is non-empty, and the
+    batch evaluation of the same pipeline agrees (streaming==batch
+    parity at app level)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming import producers as P
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.app import run_mood_demo
+
+    out = run_mood_demo(spark, str(tmp_path / "demo"), n_events=600)
+    assert out["n_mood_rows"] > 0
+
+    pq = {
+        (str(r.event_time), r.intersection, str(r.avg_speed), r.mood)
+        for r in spark.read.parquet(out["parquet_path"]).collect()
+    }
+    docs = {
+        (r["event_time"], r["intersection"], str(r["avg_speed"]), r["mood"])
+        for r in _read_recorded(out["docs_path"])
+    }
+    assert len(pq) == out["n_mood_rows"]
+    # document sink drops null-bearing rows (reference semantics);
+    # every doc record must match a parquet row
+    assert docs and docs <= pq
+
+    src = P.batch_source(spark, 600, "2025-01-01 10:00:00")
+    batch = {
+        (str(r.event_time), r.intersection, str(r.avg_speed), r.mood)
+        for r in mood_stream(
+            P.traffic_events(src).withColumn(
+                "event_time", F.to_timestamp("timestamp")
+            ),
+            P.weather_events(src).withColumn(
+                "event_time", F.to_timestamp("timestamp")
+            ),
+            P.news_events(src).withColumn(
+                "event_time", F.to_timestamp("timestamp")
+            ),
+            P.INTERSECTIONS,
+        ).collect()
+    }
+    # append mode withholds windows the final watermark has not passed
+    # (the trailing ~watermark of event time), so the app's output is
+    # a strict-or-equal subset of the batch run covering most windows
+    assert pq <= batch, "streaming app rows must agree with the batch run"
+    assert len(pq) >= len(batch) - len(P.INTERSECTIONS) * 3, (
+        f"only {len(pq)}/{len(batch)} windows emitted"
+    )
