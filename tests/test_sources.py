@@ -130,3 +130,59 @@ def test_jdbc_read_options_partitioned():
             "org.postgresql.Driver",
             partition_column="id",
         )
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """small-file compaction: 40 tiny files → byte-sized file count,
+    identical row multiset, partition layout preserved."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.maintenance import compact, data_files
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = str(tmp_path / "lake" / "events")
+    ev.repartition(40).write.mode("overwrite").parquet(d)
+    assert len(data_files(d)) == 40
+    before = sorted(str(r) for r in spark.read.parquet(d).collect())
+
+    stats = compact(spark, d, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1 == len(data_files(d))
+    after = sorted(str(r) for r in spark.read.parquet(d).collect())
+    assert after == before
+
+    # partitioned variant keeps hive dirs
+    dp = str(tmp_path / "lake" / "events_by_type")
+    ev.repartition(20).write.mode("overwrite").partitionBy("event_type").parquet(dp)
+    n_types = ev.select("event_type").distinct().count()
+    stats = compact(
+        spark, dp, target_file_bytes=1 << 30, partition_cols=["event_type"]
+    )
+    assert stats["files_after"] == n_types  # one file per partition dir
+    got = sorted(
+        str(r)
+        for r in spark.read.parquet(dp)
+        .select("event_id", "user_id", "event_type", "value")
+        .collect()
+    )
+    assert got == before
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """additive schema drift: files written before a column existed
+    read back as nulls under mergeSchema; plain read of the union dir
+    still works for the common prefix."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.maintenance import read_evolved
+
+    d = str(tmp_path / "evolve")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(d)
+
+    df = read_evolved(spark, d)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {(r.id, r.name, r.score) for r in df.collect()}
+    assert rows == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}

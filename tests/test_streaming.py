@@ -868,3 +868,112 @@ def test_end_to_end_mood_demo(spark, tmp_path):
     assert len(pq) >= len(batch) - len(P.INTERSECTIONS) * 3, (
         f"only {len(pq)}/{len(batch)} windows emitted"
     )
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """restarting a streaming query from its checkpoint resumes where
+    it left off: new input files are processed exactly once and
+    nothing already written is duplicated (file source offsets + sink
+    commit log)."""
+    import datetime as dt
+
+    ddl = "event_time timestamp, user_id long, value double"
+    base = dt.datetime(2025, 1, 1, 10, 0, 0)
+
+    def mk_rows(lo, hi):
+        return [
+            (base + dt.timedelta(seconds=i), i % 3, float(i)) for i in range(lo, hi)
+        ]
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    chk_dir = str(tmp_path / "chk")
+    spark.createDataFrame(mk_rows(0, 50), ddl).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(ddl).parquet(src_dir)
+        agg = stream.withWatermark("event_time", "0 seconds").select(
+            "event_time", "user_id", "value"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    first = spark.read.parquet(out_dir).count()
+    assert first == 50
+
+    # second batch of input lands AFTER the first run committed
+    spark.createDataFrame(mk_rows(50, 80), ddl).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 80, "restart must process only the new files"
+    assert len({(str(r.event_time), r.user_id, r.value) for r in rows}) == 80, (
+        "no row may be duplicated across restarts"
+    )
+
+    # idempotent restart with no new input writes nothing
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 80
+
+
+def test_progress_recorder_captures_metrics(spark, sf_dir, tmp_path):
+    """the listener records per-batch input rows, throughput, and
+    state-operator size for a stateful query — the engine-side
+    observability the reference delegated to external UIs."""
+    import time as _time
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.monitor import attach_recorder
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("event_time"), "user_id", "value"
+    )
+    d = str(tmp_path / "mon_src")
+    ev.coalesce(2).write.mode("overwrite").parquet(d)
+
+    jsonl = str(tmp_path / "progress.jsonl")
+    rec = attach_recorder(spark, jsonl)
+    try:
+        stream = spark.readStream.schema(ev.schema).parquet(d)
+        agg = (
+            stream.withWatermark("event_time", "1 minute")
+            .groupBy(F.window("event_time", "1 minute"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        qname = f"mon_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # listener bus is async — give it a beat to drain
+        for _ in range(50):
+            if any(p["num_input_rows"] > 0 for p in rec.progress):
+                break
+            _time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(rec)
+
+    fed = [p for p in rec.progress if p["num_input_rows"] > 0]
+    assert fed, "expected at least one progress event with input rows"
+    assert sum(p["num_input_rows"] for p in fed) == ev.count()
+    assert any(p["state_rows_total"] > 0 for p in fed), (
+        "stateful agg must report state rows"
+    )
+    assert all("triggerExecution" in p["duration_ms"] for p in fed)
+    with open(jsonl) as fh:
+        lines = [json.loads(line) for line in fh]
+    assert len(lines) == len(rec.progress)
