@@ -2,9 +2,10 @@
 payloads + typed metadata, processed in Arrow batches via mapInPandas.
 
 The Spark-side machinery (schema, batch iteration, partition-preserving
-transform) is real and tested; the actual decode (PIL/ffmpeg/librosa)
-is NOT available in this container, so ``decode_stub`` derives
-deterministic fake features from the payload bytes — clearly marked.
+transform) is real and tested. Decode is REAL for formats whose specs
+need only stdlib byte math — BMP dimensions, WAV duration — and a
+clearly-marked deterministic fake for codec formats (JPEG/MP4/...)
+whose libraries (PIL/ffmpeg/librosa) are not in this container.
 At scale, the pattern is: keep payloads in parquet binary columns,
 `repartition` so each Arrow batch fits executor memory, decode inside
 mapInPandas (one Python worker per core, Arrow transfer amortized).
@@ -51,6 +52,34 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return width, height, duration_ms
 
 
+def _decode_one(payload: bytes) -> tuple[int, int, int]:
+    """Dispatch decode: REAL header parsing for formats whose specs
+    need only stdlib byte math (BMP dimensions, WAV duration); the
+    deterministic fake for everything else (JPEG/MP4/... would need
+    the image/av libs this container lacks).
+
+    BMP: 'BM' magic; width/height are little-endian int32 at offsets
+    18/22 of the BITMAPINFOHEADER (height may be negative for
+    top-down rows). WAV: RIFF/WAVE magic; byte rate is little-endian
+    uint32 at offset 28, duration = data-chunk bytes / byte rate.
+    """
+    import struct
+
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        width, height = struct.unpack_from("<ii", payload, 18)
+        return abs(width), abs(height), 0
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 44:
+        byte_rate = struct.unpack_from("<I", payload, 28)[0]
+        # scan chunks for 'data' (fmt may be followed by other chunks)
+        off = 12
+        while off + 8 <= len(payload):
+            cid, size = payload[off : off + 4], struct.unpack_from("<I", payload, off + 4)[0]
+            if cid == b"data" and byte_rate:
+                return 0, 0, int(size * 1000 // byte_rate)
+            off += 8 + size + (size % 2)
+    return _fake_decode(payload)
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """mapInPandas decode: payload binary → typed features.
 
@@ -59,7 +88,7 @@ def decode_media(df: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            feats = [_decode_one(p) for p in pdf["payload"]]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
