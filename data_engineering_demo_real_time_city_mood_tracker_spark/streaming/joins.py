@@ -28,8 +28,9 @@ def enrich_with_latest(
     tolerance_sec: int = 300,
     watermark: str = "2 minutes",
     time_col: str = "event_time",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner interval join: event ⋈ every reading in
+    """Interval join: event ⋈ every reading in
     (event_time - tolerance_sec, event_time].  Works identically on
     batch frames (watermarks are no-ops there) so tests can assert
     stream == batch on a replayed source.
@@ -38,7 +39,15 @@ def enrich_with_latest(
     spans exactly two tolerance-width buckets — the explode factor is
     a constant 2, independent of rates. When a natural key exists
     (city/region), add it to the join for finer state sharding.
+
+    ``how="left_outer"`` keeps events with NO reading in the window:
+    the event side is never exploded (one state row per event), so
+    outer semantics are exact; Spark emits the null-enriched row once
+    the watermark guarantees no future reading can match. Outer
+    stream-stream joins REQUIRE the watermark + time-range condition —
+    that is what bounds the state that decides "no match ever".
     """
+    spark_how = {"inner": "inner", "left_outer": "leftOuter"}[how]
     bucket = lambda c: F.floor(F.unix_timestamp(c) / F.lit(tolerance_sec))  # noqa: E731
     ev = events.withWatermark(time_col, watermark) if events.isStreaming else events
     ev = ev.withColumn("t_bucket", bucket(F.col(time_col)))
@@ -60,7 +69,7 @@ def enrich_with_latest(
             > F.col(time_col) - F.expr(f"INTERVAL {tolerance_sec} SECONDS")
         )
     )
-    return ev.join(rd, cond, "inner").drop("t_bucket", "r_bucket", "_boff")
+    return ev.join(rd, cond, spark_how).drop("t_bucket", "r_bucket", "_boff")
 
 
 def enrich_with_static(

@@ -977,3 +977,80 @@ def test_progress_recorder_captures_metrics(spark, sf_dir, tmp_path):
     with open(jsonl) as fh:
         lines = [json.loads(line) for line in fh]
     assert len(lines) == len(rec.progress)
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """left-outer stream-stream interval join: events with a reading
+    in-window enrich exactly as the inner join; events with none emit
+    once with nulls after the watermark proves no match can arrive —
+    and every event appears exactly once."""
+    import datetime as dt
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.joins import enrich_with_latest
+
+    base = dt.datetime(2025, 1, 1, 10, 0, 0)
+    # readings at minutes 0/25/28 → events in 10:05..10:24 have nothing
+    # in their 5-min window, and — crucially — sit BELOW the final
+    # global watermark (min over both sources ≈ 10:27), so their null
+    # rows are allowed to flush. (A fixture whose readings stop early
+    # would pin the global watermark and withhold every null forever.)
+    traffic_rows = [
+        (base + dt.timedelta(minutes=m), f"veh_{m}", 30.0 + m) for m in range(0, 30)
+    ]
+    weather_rows = [
+        (base + dt.timedelta(minutes=m), 5.0 + m, "clear") for m in (0, 25, 28)
+    ]
+    traffic = spark.createDataFrame(
+        traffic_rows, "event_time timestamp, vehicle_id string, speed double"
+    )
+    weather = spark.createDataFrame(
+        weather_rows, "event_time timestamp, temp double, weather string"
+    )
+    batch = enrich_with_latest(traffic, weather, how="left_outer").collect()
+    matched_b = {(r.vehicle_id, str(r.reading_time)) for r in batch if r.reading_time}
+    unmatched_b = {r.vehicle_id for r in batch if r.reading_time is None}
+    assert matched_b and unmatched_b, "fixture must produce both kinds"
+
+    import time as _time
+
+    # outer-join nulls flush only when a LATER micro-batch advances the
+    # watermark past the event, so replay traffic as time-ordered
+    # chunks (one file per trigger) instead of a single batch
+    t_dir = str(tmp_path / "traffic")
+    for lo, hi in [(0, 10), (10, 20), (20, 30)]:
+        spark.createDataFrame(
+            traffic_rows[lo:hi],
+            "event_time timestamp, vehicle_id string, speed double",
+        ).coalesce(1).write.mode("append").parquet(t_dir)
+        _time.sleep(1.1)
+    w_dir = str(tmp_path / "weather")
+    weather.coalesce(1).write.mode("overwrite").parquet(w_dir)
+    t_stream = (
+        spark.readStream.schema(traffic.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(t_dir)
+    )
+    w_stream = spark.readStream.schema(weather.schema).parquet(w_dir)
+    out = enrich_with_latest(t_stream, w_stream, how="left_outer")
+    qname = f"ssoj_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table(qname).collect()
+    matched_s = {(r.vehicle_id, str(r.reading_time)) for r in rows if r.reading_time}
+    unmatched_s = {r.vehicle_id for r in rows if r.reading_time is None}
+    assert matched_s == matched_b, "matched pairs must equal the batch join"
+    # null-enriched rows emit only once the watermark passes; all that
+    # emit must be true batch non-matches, and the early ones must emit
+    assert unmatched_s <= unmatched_b
+    assert unmatched_s, "some null-enriched events must be emitted"
+    per_vehicle = {}
+    for r in rows:
+        per_vehicle[r.vehicle_id] = per_vehicle.get(r.vehicle_id, 0) + 1
+    dup_unmatched = [v for v in unmatched_s if per_vehicle[v] != 1]
+    assert not dup_unmatched, f"unmatched events must emit exactly once: {dup_unmatched}"
