@@ -186,3 +186,47 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {(r.id, r.name, r.score) for r in df.collect()}
     assert rows == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """z-ordered files must be prunable on BOTH clustered columns: for
+    a narrow range filter on either column, fewer files' min-max
+    ranges intersect it than under a single-column linear sort (which
+    only clusters its own column), and the row multiset is unchanged."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.layout import (
+        file_minmax,
+        zorder_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    n_files = 8
+
+    z_dir = str(tmp_path / "zorder")
+    zorder_write(ev, z_dir, ["user_id", "value"], n_files)
+    lin_dir = str(tmp_path / "linear")
+    (
+        ev.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lin_dir)
+    )
+
+    before = sorted(str(r) for r in ev.collect())
+    after = sorted(str(r) for r in spark.read.parquet(z_dir).collect())
+    assert after == before, "layout rewrite must not change data"
+
+    def touched(path, col, lo, hi):
+        return sum(
+            1 for mn, mx in file_minmax(path, col) if not (mx < lo or mn > hi)
+        )
+
+    lo_v, hi_v = 100.0, 120.0   # narrow value range
+    lo_u, hi_u = 3, 5           # narrow user range
+    assert len(file_minmax(z_dir, "value")) == n_files
+    # value filter: linear layout (sorted by user) clusters value not at
+    # all — every file intersects; z-order must touch strictly fewer
+    assert touched(lin_dir, "value", lo_v, hi_v) == n_files
+    assert touched(z_dir, "value", lo_v, hi_v) < n_files
+    # user filter: z-order trades a little user-clustering away but must
+    # still prune vs "touch everything"
+    assert touched(z_dir, "user_id", lo_u, hi_u) < n_files
