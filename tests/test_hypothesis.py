@@ -90,3 +90,105 @@ def test_exact_decimal_sum_matches_python(spark, values):
         .s
     )
     assert got == float(sum(values))
+
+
+def py_jaccard_pairs(texts: list[str], k: int, threshold: float, max_df=None):
+    """Pure-Python model of ngram_jaccard_pairs (ids = list index)."""
+    sh = {i: set(py_shingles(t, k)) for i, t in enumerate(texts)}
+    if max_df is not None:
+        from collections import Counter
+
+        df = Counter(s for ss in sh.values() for s in ss)
+        sh = {i: {s for s in ss if df[s] <= max_df} for i, ss in sh.items()}
+    out = {}
+    ids = sorted(sh)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if inter and union and inter / union >= threshold:
+                out[(a, b)] = inter / union
+    return out
+
+
+@given(
+    st.lists(ASCII, min_size=2, max_size=12),
+    st.sampled_from([0.0, 0.3, 0.6]),
+    st.sampled_from([None, 2]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ngram_jaccard_matches_python_model(spark, texts, threshold, max_df):
+    """exact Jaccard pairs — with and without the hot-shingle df cap —
+    must agree with the brute-force Python model on arbitrary input
+    (pair set AND values)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", k=2, threshold=threshold, max_df=max_df
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    want = py_jaccard_pairs(texts, 2, threshold, max_df)
+    assert set(got) == set(want), (texts, threshold, max_df)
+    for pair, j in want.items():
+        assert abs(got[pair] - j) < 1e-12
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),       # user
+            st.integers(min_value=0, max_value=10_000),  # ts seconds
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=3600),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sessionization_matches_python_model(spark, events, gap_sec):
+    """gap sessionization must agree with a direct Python fold on
+    arbitrary event sets (duplicates and unordered input included)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.sessions import session_stats
+
+    df = spark.createDataFrame(
+        [(i, u, float(t)) for i, (u, t) in enumerate(events)],
+        "event_id long, user_id long, secs double",
+    ).select("event_id", "user_id", F.timestamp_seconds("secs").alias("ts"))
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in session_stats(df, "user_id", "ts", "event_id", gap_sec=gap_sec).collect()
+    }
+
+    import datetime as dt
+
+    want = set()
+    by_user = {}
+    for u, t in events:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        ts.sort()
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev > gap_sec:
+                want.add((u, str(dt.datetime.utcfromtimestamp(start)), str(dt.datetime.utcfromtimestamp(prev)), n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        want.add((u, str(dt.datetime.utcfromtimestamp(start)), str(dt.datetime.utcfromtimestamp(prev)), n))
+    assert got == want, (events, gap_sec)
