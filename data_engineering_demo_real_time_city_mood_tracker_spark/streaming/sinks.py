@@ -17,6 +17,7 @@ def document_sink(
     writer_factory: Callable[[], Callable[[list[dict]], None]],
     drop_nulls: bool = True,
     batch_size: int = 500,
+    commit_log_dir: str | None = None,
 ):
     """Build a foreachBatch function that streams each micro-batch into
     a document store EXECUTOR-SIDE.
@@ -32,10 +33,31 @@ def document_sink(
     (jobs/spark_mood_tracker.py:115-126); at production stream rates
     that is a driver-OOM. ``foreachPartition`` keeps the same injected,
     serverless-testable shape while records never touch the driver.
+
+    ``commit_log_dir`` upgrades delivery from at-least-once to
+    effectively-once for non-transactional stores: foreachBatch can
+    re-run a batch after a failure/restart with the SAME batch_id, so
+    the sink records each completed batch_id as a marker file and
+    SKIPS batch_ids already present — the standard idempotent-
+    foreachBatch pattern. (The marker is written AFTER the batch
+    succeeds: a crash mid-batch re-runs it, so the per-record writer
+    should still upsert by key when true exactly-once is required.)
     """
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
+        import os
+
         from data_engineering_demo_real_time_city_mood_tracker_spark.session import ensure_shipped
+
+        marker = (
+            os.path.join(commit_log_dir, f"batch-{batch_id}.committed")
+            if commit_log_dir
+            else None
+        )
+        if marker is not None:
+            os.makedirs(commit_log_dir, exist_ok=True)
+            if os.path.exists(marker):
+                return  # replayed batch: already fully delivered
 
         ensure_shipped(df.sparkSession)
         batch = df.na.drop() if drop_nulls else df
@@ -57,6 +79,9 @@ def document_sink(
                     close()
 
         batch.foreachPartition(write_partition)
+        if marker is not None:
+            with open(marker, "w") as fh:
+                fh.write("")
 
     return write_batch
 

@@ -1054,3 +1054,24 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
         per_vehicle[r.vehicle_id] = per_vehicle.get(r.vehicle_id, 0) + 1
     dup_unmatched = [v for v in unmatched_s if per_vehicle[v] != 1]
     assert not dup_unmatched, f"unmatched events must emit exactly once: {dup_unmatched}"
+
+
+def test_document_sink_idempotent_batch_replay(spark, sf_dir, tmp_path):
+    """with a commit log, replaying a batch_id foreachBatch already
+    delivered is a no-op (restart semantics for non-transactional
+    document stores); a NEW batch_id still writes."""
+    df = load_table(spark, sf_dir, "events").select("event_id", "value").limit(20)
+    out = tmp_path / "docs"
+    out.mkdir()
+    sink = document_sink(
+        jsonl_writer_factory(str(out)),
+        drop_nulls=False,
+        commit_log_dir=str(tmp_path / "commits"),
+    )
+    sink(df, batch_id=7)
+    n1 = len(_read_recorded(str(out)))
+    assert n1 == 20
+    sink(df, batch_id=7)  # replay after simulated restart
+    assert len(_read_recorded(str(out))) == n1, "replayed batch must be skipped"
+    sink(df, batch_id=8)
+    assert len(_read_recorded(str(out))) == 2 * n1
