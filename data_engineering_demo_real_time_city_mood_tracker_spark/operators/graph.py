@@ -70,3 +70,95 @@ def connected_components(
         if rid in live:
             live[rid].unpersist()
     return labels.select("id", F.col("label").alias("cluster"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Two-phase connected components (alternating large-star /
+    small-star, Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): converges in O(log² n) rounds REGARDLESS of graph
+    diameter, where plain min-label propagation needs O(diameter)
+    rounds. Use this for deep/path-shaped graphs (reply chains,
+    citation paths); ``connected_components`` stays the cheaper choice
+    for the shallow clique-heavy graphs near-dup dedup produces.
+
+    Each phase is one agg + one join, keyed on vertex id:
+      large-star: every neighbor v > u re-points to min(N(u) ∪ {u})
+      small-star: every neighbor v ≤ u re-points to min(N(u) ∪ {u})
+    The edge set monotonically flattens into depth-1 stars rooted at
+    each component's min vertex — which IS the final labeling, so no
+    separate propagation pass is needed. Convergence is detected by an
+    order-insensitive edge-set fingerprint (count + xxhash64 sum);
+    lineage is truncated per round with localCheckpoint exactly like
+    the propagation variant.
+    """
+    jsc = edges.sparkSession.sparkContext._jsc
+    pre_ids = set(jsc.getPersistentRDDs().keys())
+
+    # directed high→low, no self-loops, deduped
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df):
+        # bit_xor: order-insensitive, overflow-free (ANSI-safe where a
+        # sum of hashes would overflow long); edge set is distinct so
+        # xor-cancellation of duplicates cannot occur
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(hi, lo))").alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    fp = fingerprint(e)
+    for _ in range(max_iter):
+        # ---- large-star ----
+        sym = e.union(e.select(F.col("lo").alias("hi"), F.col("hi").alias("lo")))
+        m = sym.groupBy(F.col("hi").alias("u")).agg(
+            F.least(F.min("lo"), F.first("hi")).alias("m")
+        )
+        large = (
+            sym.join(m, sym.hi == m.u)
+            .filter(F.col("lo") > F.col("hi"))  # neighbors strictly larger than u
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(e)  # edges already high→low are kept by large-star
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # ---- small-star ----
+        m2 = large.groupBy(F.col("hi").alias("u")).agg(F.min("lo").alias("m"))
+        small = (
+            large.join(m2, large.hi == m2.u)
+            .select(F.col("lo").alias("node"), F.col("m"))
+            .union(m2.select(F.col("u").alias("node"), F.col("m")))
+            .filter(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = fingerprint(small)
+        e = small
+        if new_fp == fp:
+            break
+        fp = new_fp
+
+    labels = e.select(F.col("hi").alias("id"), F.col("lo").alias("cluster")).union(
+        e.select(F.col("lo").alias("id"), F.col("lo").alias("cluster"))
+    ).groupBy("id").agg(F.min("cluster").alias("cluster"))
+
+    live = jsc.getPersistentRDDs()
+    new_ids = sorted(set(live.keys()) - pre_ids)
+    for rid in new_ids[:-1]:
+        if rid in live:
+            live[rid].unpersist()
+    return labels

@@ -35,3 +35,51 @@ def test_real_header_decode_bmp_wav(spark):
     assert got[3].duration_ms == 3000
     assert got[4].width > 0 and got[4].checksum  # fake path still typed
     assert got[1].n_bytes == len(bmp(640, 480))
+
+
+def test_two_phase_cc_deep_and_random_graphs(spark):
+    """large-star/small-star CC must label a deep chain correctly in
+    O(log^2 n) rounds — where plain min propagation would need
+    O(diameter) — and must agree with the propagation variant on
+    random graphs and cliques."""
+    import random
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # chain 0-1-...-120: diameter 120 >> max_iter 20
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id, r.cluster)
+        for r in connected_components_star(chain, max_iter=20).collect()
+    }
+    assert got == {(i, 0) for i in range(121)}, "chain must collapse to root 0"
+
+    # two cliques + isolated edge; compare with the propagation variant
+    rng = random.Random(7)
+    edges = [(a, b) for a in range(0, 8) for b in range(a + 1, 8)]
+    edges += [(a, b) for a in range(20, 26) for b in range(a + 1, 26)]
+    edges += [(100, 101)]
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {
+        (r.id, r.cluster) for r in connected_components_star(df).collect()
+    }
+    prop = {
+        (r.id, r.cluster) for r in connected_components(df).collect()
+    }
+    assert star == prop
+
+    # random sparse graph
+    redges = [
+        (rng.randrange(40), rng.randrange(40)) for _ in range(60)
+    ]
+    redges = [(a, b) for a, b in redges if a != b]
+    df = spark.createDataFrame(redges, "id_a long, id_b long")
+    star = {(r.id, r.cluster) for r in connected_components_star(df).collect()}
+    prop = {(r.id, r.cluster) for r in connected_components(df, max_iter=50).collect()}
+    assert star == prop
