@@ -103,6 +103,13 @@ def ngram_jaccard_pairs(
         toked.select("id", F.size(dsh).alias("n"), F.explode(dsh).alias("shingle"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if max_df is not None:
+        # materialize sh's cache from toked's, then release toked —
+        # otherwise every max_df call leaks a second persisted frame
+        # into the caller's session (sh stays persisted: both sides
+        # of the self-join below read it; harnesses clearCache it)
+        sh.count()
+        toked.unpersist()
     a = sh.alias("a")
     b = sh.alias("b")
     return (

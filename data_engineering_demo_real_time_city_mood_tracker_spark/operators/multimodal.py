@@ -61,7 +61,9 @@ def _decode_one(payload: bytes) -> tuple[int, int, int]:
     BMP: 'BM' magic; width/height are little-endian int32 at offsets
     18/22 of the BITMAPINFOHEADER (height may be negative for
     top-down rows). WAV: RIFF/WAVE magic; byte rate is little-endian
-    uint32 at offset 28, duration = data-chunk bytes / byte rate.
+    uint32 at offset 8 of the 'fmt ' CHUNK — located by the chunk
+    scan, never assumed to sit first (editors emit JUNK/LIST chunks
+    before it) — and duration = data-chunk bytes / byte rate.
     """
     import struct
 
@@ -69,13 +71,20 @@ def _decode_one(payload: bytes) -> tuple[int, int, int]:
         width, height = struct.unpack_from("<ii", payload, 18)
         return abs(width), abs(height), 0
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 44:
-        byte_rate = struct.unpack_from("<I", payload, 28)[0]
-        # scan chunks for 'data' (fmt may be followed by other chunks)
+        byte_rate = None
+        data_size = None
         off = 12
         while off + 8 <= len(payload):
-            cid, size = payload[off : off + 4], struct.unpack_from("<I", payload, off + 4)[0]
-            if cid == b"data" and byte_rate:
-                return 0, 0, int(size * 1000 // byte_rate)
+            cid = payload[off : off + 4]
+            size = struct.unpack_from("<I", payload, off + 4)[0]
+            if cid == b"fmt " and size >= 12 and off + 8 + 12 <= len(payload):
+                byte_rate = struct.unpack_from("<I", payload, off + 8 + 8)[0]
+            elif cid == b"data":
+                data_size = size
+            if byte_rate is not None and data_size is not None:
+                if byte_rate:
+                    return 0, 0, int(data_size * 1000 // byte_rate)
+                break
             off += 8 + size + (size % 2)
     return _fake_decode(payload)
 

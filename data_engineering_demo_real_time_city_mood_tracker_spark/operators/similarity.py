@@ -296,6 +296,10 @@ def build_ivf_index(
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cluster int, cvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(n_centroids, n_probe_default, max_iter)],
+        "n_centroids int, n_probe_default int, max_iter int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     assign_clusters(corpus, vec_col, id_col, cents).write.mode(
         "overwrite"
     ).partitionBy("cluster").parquet(f"{path}/cells")
@@ -309,16 +313,20 @@ def query_ivf_index(
     vec_col: str,
     id_col: str,
     k: int = 5,
-    n_probe: int = 2,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """Query a :func:`build_ivf_index` layout: centroids load as a
     k×dim literal (map-only query assignment), and the corpus scan
     carries ``cluster IN (probed cells)`` — a PartitionFilter that
     prunes unprobed cell directories at planning time (plan-asserted
     in tests). Same output shape/ordering as ivf_trained_topk.
+    ``n_probe=None`` uses the default stored in the index meta at
+    build time.
     """
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import assign_top_cells
 
+    if n_probe is None:
+        n_probe = spark.read.parquet(f"{path}/meta").first().n_probe_default
     cents_rows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(),
         key=lambda r: r.cluster,

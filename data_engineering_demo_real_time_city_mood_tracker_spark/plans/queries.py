@@ -2830,9 +2830,9 @@ ranked AS (
   FROM pv
 )
 SELECT l_partkey, CAST(val AS DOUBLE) AS revenue,
-       CAST(cum_before IS NULL OR cum_before < total * 0.8 AS BOOLEAN) AS in_top80
+       TRUE AS in_top80
 FROM ranked
-WHERE COALESCE(cum_before, 0) < total * 0.8
+WHERE CAST(COALESCE(cum_before, 0) AS DOUBLE) < CAST(total AS DOUBLE) * 0.8
 ORDER BY revenue DESC, l_partkey""",
 )
 def q_revenue_concentration(spark, sf_dir):
@@ -2861,17 +2861,20 @@ def q_revenue_concentration(spark, sf_dir):
         F.sum("val").over(w_cum).alias("cum_before"),
         F.sum("val").over(w_all).alias("total"),
     )
+    # boundary compare in DOUBLE on BOTH engines (identical expression
+    # shape: cast each exact-decimal side to double, THEN scale by the
+    # float 0.8) — mixing decimal and double promotion rules across
+    # engines can flip a row within one ulp of the 80% boundary
+    at_boundary = (
+        F.coalesce("cum_before", F.lit(0)).cast("double")
+        < F.col("total").cast("double") * 0.8
+    )
     return (
-        ranked.filter(
-            F.coalesce("cum_before", F.lit(0)) < F.col("total") * 0.8
-        )
+        ranked.filter(at_boundary)
         .select(
             "l_partkey",
             F.col("val").cast("double").alias("revenue"),
-            (
-                F.col("cum_before").isNull()
-                | (F.col("cum_before") < F.col("total") * 0.8)
-            ).alias("in_top80"),
+            F.lit(True).alias("in_top80"),
         )
         .orderBy(F.col("revenue").desc(), "l_partkey")
     )

@@ -43,12 +43,19 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     ``bits`` bits via approx quantiles of ``df`` (one tiny agg job),
     then bit-interleaved. 2 cols × 8 bits = 16-bit key — plenty: files
     ≫ 2^16 would raise bits."""
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"z-key needs {bits * len(cols)} bits; max 62 (long) — lower bits"
+        )
     n = (1 << bits) - 1
     quantiles = df.stat.approxQuantile(
         cols, [i / (n + 1) for i in range(1, n + 1)], 0.001
     )
+    # ranks are LONG: shiftleft on the default int rank overflows at
+    # bit 31 (sign flip) and wraps mod 32 — silently breaking the
+    # hyper-rectangle property for bits*len(cols) > 31
     ranks = [
-        _bucket_rank(c, qs, bits) for c, qs in zip(cols, quantiles)
+        _bucket_rank(c, qs, bits).cast("long") for c, qs in zip(cols, quantiles)
     ]
     # interleave: output bit (b*len + i) takes bit b of rank i
     parts = []

@@ -38,17 +38,29 @@ def compact(
     ``partition_cols`` is given.
 
     Staged swap: the rewrite lands in ``path/../<name>__compact_tmp``
-    and replaces the original only after success, so a failed
-    compaction leaves the table untouched. (On an object store, make
-    the swap a manifest/catalog pointer flip — directory rename is not
-    atomic there; this local layout mirrors that contract.)
+    and replaces the original only after success — a failure BEFORE
+    the swap leaves the table untouched; a crash BETWEEN the two
+    renames leaves the data intact in ``<path>__compact_old`` and the
+    next run refuses to start until it is restored (fail-fast guard).
+    (On an object store, make the swap a manifest/catalog pointer
+    flip — directory rename is not atomic there; this local layout
+    mirrors that contract.)
 
     Returns {files_before, files_after, bytes}.
     """
+    backup = path.rstrip("/") + "__compact_old"
+    if os.path.exists(backup):
+        raise RuntimeError(
+            f"stale {backup} from an interrupted compaction — restore it "
+            f"to {path} (or delete it if {path} is intact) before re-running"
+        )
     files = data_files(path)
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
+    # mergeSchema: a directory with additive schema drift (see
+    # read_evolved) must compact to the UNION schema — a plain read
+    # would take one file's footer and silently drop late-added columns
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     tmp = os.path.join(
         os.path.dirname(path.rstrip("/")),
         os.path.basename(path.rstrip("/")) + "__compact_tmp",
@@ -60,7 +72,10 @@ def compact(
 
     import shutil
 
-    backup = path.rstrip("/") + "__compact_old"
+    # two renames cannot be atomic together on a plain filesystem: a
+    # crash between them leaves `path` absent but FULLY recoverable
+    # from `backup` (the guard above points the operator at it). The
+    # backup is dropped only after the new layout is in place.
     os.rename(path, backup)
     os.rename(tmp, path)
     shutil.rmtree(backup)

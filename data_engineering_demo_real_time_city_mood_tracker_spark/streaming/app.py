@@ -19,7 +19,6 @@ brokers and pass ``mongo_writer_factory``; no pipeline code changes.
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -90,20 +89,33 @@ def run_mood_demo(
     parquet_path = f"{out_dir}/out/mood_parquet"
     docs_path = f"{out_dir}/out/mood_docs"
     os.makedirs(docs_path, exist_ok=True)
+    # checkpoints are DETERMINISTIC under out_dir: re-running with the
+    # same out_dir resumes from committed offsets (exactly-once, no
+    # duplicated windows in the append sinks) instead of replaying
+    # everything under a fresh checkpoint. The document sink's commit
+    # log lives beside its checkpoint — the two must share a lifetime
+    # (a cleared checkpoint restarts batch ids at 0, which a surviving
+    # commit log would wrongly mark as delivered).
     q1 = start_parquet_sink(
-        mood,
-        parquet_path,
-        f"{out_dir}/chk/parquet_{uuid.uuid4().hex[:8]}",
-        availableNow=True,
+        mood, parquet_path, f"{out_dir}/chk/parquet", availableNow=True
     )
     q2 = (
-        mood.writeStream.foreachBatch(document_sink(jsonl_writer_factory(docs_path)))
-        .option("checkpointLocation", f"{out_dir}/chk/docs_{uuid.uuid4().hex[:8]}")
+        mood.writeStream.foreachBatch(
+            document_sink(
+                jsonl_writer_factory(docs_path),
+                commit_log_dir=f"{out_dir}/chk/docs_commits",
+            )
+        )
+        .option("checkpointLocation", f"{out_dir}/chk/docs")
         .trigger(availableNow=True)
         .start()
     )
-    q1.awaitTermination(timeout_sec)
-    q2.awaitTermination(timeout_sec)
+    for q in (q1, q2):
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {q.name or q.id} exceeded {timeout_sec}s"
+            )
 
     n_parquet = spark.read.parquet(parquet_path).count()
     return {

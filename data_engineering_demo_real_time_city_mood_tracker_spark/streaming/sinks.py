@@ -42,6 +42,12 @@ def document_sink(
     foreachBatch pattern. (The marker is written AFTER the batch
     succeeds: a crash mid-batch re-runs it, so the per-record writer
     should still upsert by key when true exactly-once is required.)
+
+    LIFETIME WARNING: batch ids are scoped to the query's CHECKPOINT.
+    The commit log must be created and deleted together with the
+    checkpointLocation — a commit log that survives a cleared/new
+    checkpoint would see the restarted batch ids (0, 1, ...) as
+    already delivered and silently drop fresh data.
     """
 
     def write_batch(df: DataFrame, batch_id: int) -> None:

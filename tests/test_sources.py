@@ -230,3 +230,26 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
     # user filter: z-order trades a little user-clustering away but must
     # still prune vs "touch everything"
     assert touched(z_dir, "user_id", lo_u, hi_u) < n_files
+
+
+def test_zorder_key_wide_no_overflow(spark, sf_dir):
+    """4 cols × 8 bits = 32-bit keys: ranks must be long before the
+    interleave shifts (an int rank flips sign at bit 31 and wraps at
+    32), and >62 total bits is rejected."""
+    import pytest
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.col("ts").cast("double").alias("tsd")
+    )
+    zk = zorder_key(ev, ["event_id", "user_id", "value", "tsd"], bits=8)
+    row = ev.select(zk).agg(
+        F.min("zkey").alias("lo"), F.max("zkey").alias("hi")
+    ).first()
+    assert row.lo >= 0, "z-keys must never go negative (sign-bit overflow)"
+    assert row.hi < (1 << 32)
+    assert row.hi >= (1 << 24), "top interleave bits should be exercised"
+
+    with pytest.raises(ValueError, match="max 62"):
+        zorder_key(ev, ["event_id"] * 8, bits=8)
