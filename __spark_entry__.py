@@ -67,6 +67,9 @@ _FRONT = [
     "sequence_packing",
     "repetition_ratio",
     "contamination_check",
+    "token_df_stats",
+    "pii_redaction",
+    "doc_chunking",
     # multimodal
     "multimodal_meta",
     "multimodal_frames",

@@ -2878,3 +2878,163 @@ def q_revenue_concentration(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), "l_partkey")
     )
+
+
+@register(
+    "token_df_stats",
+    f"""WITH toked AS (
+  SELECT doc_id, unnest(string_split({_docs_norm_sql()}, ' ')) AS tok
+  FROM documents
+),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toked GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       MIN(d.df) AS min_df,
+       CAST(SUM(d.df) AS BIGINT) AS sum_df,
+       CAST(SUM(CASE WHEN d.df * 20 < nd.n_docs THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare
+FROM toked t JOIN df d USING (tok) CROSS JOIN nd
+GROUP BY t.doc_id""",
+)
+def q_token_df_stats(spark, sf_dir):
+    """document-frequency quality profile per doc: token count, the
+    rarest token's corpus df, total df mass, and a rare-token count
+    (df*20 < |corpus| — integer compare, engine-exact). This is the
+    df-based half of a CCNet-style quality scorer with none of the
+    float-log nondeterminism. Plan shape: one token-keyed shuffle to
+    build the df table (vocab-sized — natural-language vocabs are
+    millions of rows at web scale, so it BROADCASTS back), then one
+    doc_id-keyed agg over the exploded corpus. No corpus self-join.
+    If the vocab outgrows broadcast, the same plan falls back to a
+    sort-merge join on tok — still linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # parquet metadata count, no scan
+    toked = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    df_tbl = (
+        toked.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        toked.join(F.broadcast(df_tbl), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.min("df").alias("min_df"),
+            F.sum("df").cast("long").alias("sum_df"),
+            F.sum(
+                F.when(F.col("df") * 20 < F.lit(n_docs), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_DIGITS = "[0-9]{6,}"
+
+
+@register(
+    "pii_redaction",
+    f"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_PII_DIGITS}')) AS BIGINT) AS n_digit_runs,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+           '{_PII_DIGITS}', '<NUM>', 'g')) AS redacted_fp,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+           '{_PII_DIGITS}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+FROM documents""",
+)
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub pass (standard pre-training hygiene stage): count and
+    replace emails, IPv4s, and long digit runs with typed markers.
+    Map-only Column regex work — whole-stage codegen, zero shuffles,
+    embarrassingly parallel at any scale. The patterns use only
+    syntax shared by Java regex and RE2 so the DuckDB oracle matches
+    byte-for-byte. Returns match counts + md5 of the redacted text so
+    the redaction itself (not just the counts) is correctness-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_DIGITS,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count("text", F.lit(_PII_DIGITS))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.md5(red).alias("redacted_fp"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+
+
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+@register(
+    "doc_chunking",
+    f"""WITH toked AS (
+  SELECT doc_id, string_split({_docs_norm_sql()}, ' ') AS toks FROM documents
+),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, {_CHUNK_S}))
+           AS start_pos
+  FROM toked
+)
+SELECT doc_id,
+       CAST(start_pos // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, start_pos + 1, start_pos + {_CHUNK_W}))
+            AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(
+           list_slice(toks, start_pos + 1, start_pos + {_CHUNK_W}), ' '))
+         AS chunk_fp
+FROM st""",
+)
+def q_doc_chunking(spark, sf_dir):
+    """token-window chunking for training-sequence prep: W=32
+    token chunks at stride S=24 (8-token overlap so no span is
+    split across a chunk boundary unseen). Map-only: the start-offset
+    list is a per-row ``sequence`` and each chunk a ``slice`` of the
+    already-materialized token array — explode multiplies rows ~n/S×
+    but never shuffles. Pairs with sequence_packing (which packs docs
+    into fixed budgets); this splits over-long docs. At 100 TB this is
+    the shape you want: pure narrow transformations, output partition
+    count grows with input, no key skew possible."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("_toks") - 1, F.lit(0)),
+        F.lit(_CHUNK_S),
+    )
+    chunks = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.slice(F.col("_toks"), s + 1, _CHUNK_W)
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_fp"),
+    )

@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_engineering_demo_real_time_city_mood_tracker_spark.schemas import TESTDATA_TABLES
 
@@ -20,12 +21,18 @@ from data_engineering_demo_real_time_city_mood_tracker_spark.schemas import TEST
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read as long ns and truncate to micros (the
-        # DuckDB oracle's CAST(ts_ns AS TIMESTAMP) truncates identically).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader rejects — read as long ns and truncate to
+        # micros, matching the DuckDB oracle's CAST) and as TIMESTAMP(US)
+        # NTZ; normalize either to session-zone (UTC) TimestampType.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(path)
 
 

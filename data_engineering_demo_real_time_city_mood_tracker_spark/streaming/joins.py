@@ -93,3 +93,52 @@ def enrich_with_static(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on, how)
+
+
+def join_windowed_aggs(
+    left: DataFrame,
+    right: DataFrame,
+    left_agg,
+    right_agg,
+    time_col: str = "event_time",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    how: str = "full_outer",
+) -> DataFrame:
+    """Windowed-aggregate stream-stream join — the streaming twin of
+    the batch ``full_outer_minutes`` query (and of the reference's
+    minute-agg left joins, jobs/spark_mood_tracker.py:64-79, upgraded
+    to any join type including FULL OUTER).
+
+    Each side is aggregated per event-time window first, then the two
+    window-keyed aggregates are joined on window equality. This is the
+    chained-stateful-operator pattern (windowed agg → window join)
+    Spark supports natively from 3.5: the window struct carries the
+    event-time semantics, so outer rows flush exactly when the
+    watermark passes the window end — no banding/explode needed (state
+    is one row per window per side, not per event, so an outer join
+    here is exact on BOTH sides, unlike per-event interval joins where
+    the exploded side would double-emit).
+
+    At scale: the join keys on the window struct — state and shuffle
+    are proportional to #windows × key-cardinality, independent of
+    event rate. Works identically on batch frames (watermarks no-op)
+    so tests assert stream == batch.
+    """
+    spark_how = {
+        "inner": "inner",
+        "left_outer": "leftOuter",
+        "full_outer": "fullOuter",
+    }[how]
+
+    def win_agg(df: DataFrame, agg) -> DataFrame:
+        d = df.withWatermark(time_col, watermark) if df.isStreaming else df
+        return d.groupBy(F.window(time_col, window)).agg(agg)
+
+    la = win_agg(left, left_agg)
+    ra = win_agg(right, right_agg)
+    out_cols = [c for c in la.columns + ra.columns if c != "window"]
+    return (
+        la.join(ra, ["window"], spark_how)
+        .select(F.col("window.start").alias("minute"), *out_cols)
+    )

@@ -1075,3 +1075,74 @@ def test_document_sink_idempotent_batch_replay(spark, sf_dir, tmp_path):
     assert len(_read_recorded(str(out))) == n1, "replayed batch must be skipped"
     sink(df, batch_id=8)
     assert len(_read_recorded(str(out))) == 2 * n1
+
+
+def test_windowed_full_outer_join_matches_batch(spark, tmp_path):
+    """full-outer windowed-agg stream-stream join (chained stateful
+    operators): per-minute traffic/weather aggregates full-outer
+    joined on the window; emitted rows must equal the batch join for
+    every flushed window, including one-sided (null) rows."""
+    import datetime as dt
+    import time as _time
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.joins import join_windowed_aggs
+
+    base = dt.datetime(2025, 1, 1, 10, 0, 0)
+    # traffic covers minutes 0..29; weather only 0..9 and 25..27 →
+    # minutes 10..24 are traffic-only (null temp), and weather minute
+    # 28-29 absent entirely. Late tail rows keep the watermark moving.
+    traffic_rows = [
+        (base + dt.timedelta(minutes=m, seconds=s), 30.0 + m)
+        for m in range(0, 30)
+        for s in (0, 30)
+    ]
+    weather_rows = [
+        (base + dt.timedelta(minutes=m, seconds=15), 5.0 + m)
+        for m in list(range(0, 10)) + [25, 26, 27]
+    ]
+    traffic = spark.createDataFrame(traffic_rows, "event_time timestamp, speed double")
+    weather = spark.createDataFrame(weather_rows, "event_time timestamp, temp double")
+
+    largs = dict(
+        left_agg=F.avg("speed").alias("avg_speed"),
+        right_agg=F.avg("temp").alias("avg_temp"),
+    )
+    batch = join_windowed_aggs(traffic, weather, **largs).collect()
+    batch_by_min = {str(r.minute): (r.avg_speed, r.avg_temp) for r in batch}
+    assert any(r.avg_temp is None for r in batch), "fixture needs traffic-only minutes"
+
+    t_dir, w_dir = str(tmp_path / "t"), str(tmp_path / "w")
+    for lo, hi in [(0, 20), (20, 40), (40, 60)]:
+        spark.createDataFrame(
+            traffic_rows[lo:hi], "event_time timestamp, speed double"
+        ).coalesce(1).write.mode("append").parquet(t_dir)
+        _time.sleep(1.1)
+    weather.coalesce(1).write.mode("overwrite").parquet(w_dir)
+
+    t_stream = (
+        spark.readStream.schema(traffic.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(t_dir)
+    )
+    w_stream = spark.readStream.schema(weather.schema).parquet(w_dir)
+    out = join_windowed_aggs(t_stream, w_stream, **largs)
+    qname = f"fowj_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table(qname).collect()
+    assert rows, "watermark must flush at least the early windows"
+    seen = set()
+    for r in rows:
+        key = str(r.minute)
+        assert key not in seen, f"window {key} emitted twice"
+        seen.add(key)
+        assert key in batch_by_min, f"window {key} not in batch result"
+        assert (r.avg_speed, r.avg_temp) == batch_by_min[key]
+    # at least one emitted row must be a one-sided (outer) row
+    assert any(r.avg_temp is None for r in rows), "outer rows must flush"
