@@ -34,6 +34,9 @@ _FRONT = [
     # new OLAP rows this round (never driver-gated yet)
     "late_sole_suppliers",
     "revenue_concentration",
+    "nation_trade_volume",
+    "nation_market_share",
+    "multi_res_rollup",
     # dedup family
     "dedup_exact",
     "dedup_ngram_topk",

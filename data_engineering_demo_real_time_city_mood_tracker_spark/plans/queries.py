@@ -3038,3 +3038,173 @@ def q_doc_chunking(spark, sf_dir):
         F.size("chunk").cast("long").alias("chunk_tokens"),
         F.md5(F.array_join("chunk", " ")).alias("chunk_fp"),
     )
+
+
+@register(
+    "nation_trade_volume",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_nationkey <> n2.n_nationkey
+GROUP BY 1, 2, 3""",
+)
+def q_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7-shaped: cross-border revenue per (supplier nation,
+    customer nation, ship year). The one genuinely big join is
+    lineitem⋈orders (both fact-sized → sort-merge on orderkey); every
+    other side is dimension-sized. nation (25 rows) broadcasts
+    explicitly; customer/supplier are left to AQE — broadcast at test
+    SF, shuffle-hash at 100 TB where they no longer fit. The <> filter
+    runs post-join on the two broadcast keys — essentially free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nat.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("s_nk") != F.col("c_nk"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "nation_market_share",
+    """WITH base AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS vol,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r ON n2.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+       CAST(SUM(vol) AS DOUBLE) AS total_volume
+FROM base GROUP BY o_year""",
+)
+def q_nation_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped: NATION_2's share of ECONOMY-part revenue sold
+    into ASIA, per order year. Both sums are exact DECIMAL (partition-
+    order independent); the share is ONE double division at the end so
+    Spark and the oracle agree bitwise. Part is filtered to 1/6 of
+    rows BEFORE its join (predicate pushed to the scan); region/nation
+    broadcast; lineitem⋈orders stays the only fact-fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    base = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("vol")).otherwise(zero)).cast("double")
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share"),
+        F.sum("vol").cast("double").alias("total_volume"),
+    )
+
+
+@register(
+    "multi_res_rollup",
+    """WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+)
+SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+         AS avg_value
+FROM e GROUP BY 1, 2""",
+)
+def q_multi_res_rollup(spark, sf_dir):
+    """hypertable-style multi-resolution rollup: minute partials are
+    aggregated once, then MERGED upward to hour and day — the day
+    level never rescans raw events. Correctness of the merge is the
+    point: (count, exact-decimal sum) partials are associative, so the
+    cascaded day result is bit-identical to the oracle's direct
+    day-level aggregation over raw rows. At 100 TB this is the
+    continuous-aggregate pattern: the raw scan happens once at the
+    finest grain; each coarser level reduces ~60× fewer rows, and the
+    same minute partials can serve dashboards at every resolution."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("minute")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+    )
+    hour = (
+        minute.groupBy(
+            "event_type", F.date_trunc("hour", "minute").alias("hour")
+        )
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return (
+        hour.groupBy("event_type", F.to_date("hour").alias("day"))
+        .agg(F.sum("n").alias("n2"), F.sum("s").alias("s2"))
+        .select(
+            "event_type",
+            "day",
+            F.col("n2").cast("long").alias("n"),
+            F.col("s2").cast("double").alias("sum_value"),
+            (F.col("s2").cast("double") / F.col("n2")).alias("avg_value"),
+        )
+    )
