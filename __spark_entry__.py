@@ -79,6 +79,8 @@ _FRONT = [
     "binary_ingest",
     # remaining rows-only / sketch entries never driver-checked in r1
     "quantile_sketch",
+    "heavy_hitters_cms",
+    "paned_sliding_window",
 ]
 
 

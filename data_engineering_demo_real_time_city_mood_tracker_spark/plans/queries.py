@@ -3208,3 +3208,110 @@ def q_multi_res_rollup(spark, sf_dir):
             (F.col("s2").cast("double") / F.col("n2")).alias("avg_value"),
         )
     )
+
+
+@register(
+    "heavy_hitters_cms",
+    """WITH ev AS (
+  SELECT user_id, CAST(user_id AS VARCHAR) AS key FROM events
+),
+hi AS (SELECT unnest([0, 1, 2, 3]) AS i),
+cells AS (
+  SELECT hi.i, substr(md5(CAST(hi.i AS VARCHAR) || ':' || ev.key), 1, 2) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev CROSS JOIN hi GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, key, CAST(COUNT(*) AS BIGINT) AS exact_n FROM ev GROUP BY 1, 2
+),
+est AS (
+  SELECT e.user_id, MIN(c.n) AS est_n
+  FROM exact e CROSS JOIN hi
+  JOIN cells c
+    ON c.i = hi.i
+   AND c.b = substr(md5(CAST(hi.i AS VARCHAR) || ':' || e.key), 1, 2)
+  GROUP BY 1
+)
+SELECT e.user_id, e.exact_n, est.est_n, est.est_n - e.exact_n AS overcount
+FROM exact e JOIN est ON e.user_id = est.user_id""",
+)
+def q_heavy_hitters_cms(spark, sf_dir):
+    """count-min sketch built as a pure DataFrame composition: d=4
+    hash rows × w=256 buckets (bucket id = first 2 hex chars of the
+    salted md5 — deterministic, oracle-portable). Point estimates are
+    min-over-rows; the query returns est vs exact per key so the CMS
+    overestimate guarantee (0 ≤ overcount, E[over] ≤ N/w per row) is
+    itself correctness-gated, not just 'runs'.
+
+    Scale shape: the sketch build is ONE shuffle of d×N exploded rows
+    that map-side-combines down to ≤ d×w cells per partition — the
+    classic mergeable-sketch property (cells add across partitions).
+    The finished sketch is d×w=1024 rows → BROADCAST for the estimate
+    join; the exact side (for the audit) is a plain per-key agg. In
+    production you'd keep only the sketch — O(d×w) memory for any N —
+    and skip the exact pass; it exists here as the oracle audit."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    cms = cms_build(ev, key)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    est = cms_estimate(exact.select("user_id"), cms, key)
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+@register(
+    "paned_sliding_window",
+    f"""SELECT window_start, event_type,
+       COUNT(*) AS n_events, {davg_sql('value')} AS avg_value
+FROM (
+  SELECT date_trunc('minute', ts) - o * INTERVAL 1 MINUTE AS window_start,
+         event_type, value
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS o) offs
+) sub
+GROUP BY window_start, event_type""",
+)
+def q_paned_sliding_window(spark, sf_dir):
+    """pane-optimized sliding windows ('no pane, no gain' / CPiX-style
+    incremental aggregation): each raw row is aggregated ONCE into its
+    1-minute pane; every overlapping 5-minute window is then a merge
+    of 5 pane partials. Identical results to sliding_window_events
+    (same oracle — (count, exact-decimal sum) partials are mergeable,
+    so the window avg is bitwise equal), but the ×5 window replication
+    happens on pane-cardinality rows (≤ minutes × types), not on the
+    raw event stream — at 100 TB that's the difference between
+    exploding a trillion rows and exploding a few hundred thousand.
+    Two shuffles: pane agg (map-side combines hard), then window merge
+    over the tiny pane frame."""
+    ev = load_table(spark, sf_dir, "events")
+    panes = (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("pane"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("ps"),
+        )
+    )
+    return (
+        panes.select(
+            "pane", "event_type", "pn", "ps",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("o"),
+        )
+        .withColumn(
+            "window_start", F.expr("pane - o * INTERVAL 1 MINUTE")
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            (F.sum("ps").cast("double") / F.sum("pn")).alias("avg_value"),
+        )
+    )

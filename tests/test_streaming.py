@@ -1146,3 +1146,40 @@ def test_windowed_full_outer_join_matches_batch(spark, tmp_path):
         assert (r.avg_speed, r.avg_temp) == batch_by_min[key]
     # at least one emitted row must be a one-sided (outer) row
     assert any(r.avg_temp is None for r in rows), "outer rows must flush"
+
+
+def test_cms_sketch_streaming_merges_to_batch(spark, sf_dir, tmp_path):
+    """count-min sketch cells built as an update-mode streaming agg
+    (state IS the sketch) must equal the batch-built sketch after all
+    micro-batches merge — the mergeability property that makes CMS
+    usable as a streaming operator."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.sketches import cms_build
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    batch_cells = {
+        (r.i, r.b): r.n for r in cms_build(ev, F.col("key")).collect()
+    }
+
+    src = str(tmp_path / "ev")
+    # three files → three micro-batches with maxFilesPerTrigger=1
+    for i, part in enumerate(ev.randomSplit([1.0, 1.0, 1.0], seed=7)):
+        part.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    cells = cms_build(stream, F.col("key"))
+    qname = f"cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    stream_cells = {(r.i, r.b): r.n for r in spark.table(qname).collect()}
+    assert stream_cells == batch_cells
