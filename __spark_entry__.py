@@ -45,6 +45,7 @@ _FRONT = [
     "dedup_minhash_pairs",
     "dedup_clusters",
     "dedup_simhash",
+    "simhash_portable",
     "dedup_embedding",
     "edit_distance_pairs",
     # similarity search
@@ -73,6 +74,7 @@ _FRONT = [
     "token_df_stats",
     "pii_redaction",
     "doc_chunking",
+    "corpus_prep_pipeline",
     # multimodal
     "multimodal_meta",
     "multimodal_frames",

@@ -198,3 +198,38 @@ def run_with_alert(step, name: str, notifier=None):
                 f"*Error*: `{type(exc).__name__}: {exc}`"
             )
         raise
+
+
+# --------------------------------------------------------------------------
+# incremental aggregate maintenance
+
+def merge_agg_partials(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    count_col: str = "n",
+    sum_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: merge a small
+    delta's partial aggregates into the standing base table without
+    rescanning history — the batch analog of a streaming stateful agg,
+    and the only sane refresh strategy once the base is 100 TB deep.
+
+    Both inputs carry mergeable partials per key: a count plus any
+    number of (exact-decimal) sums. The merge is a union + re-agg over
+    ONLY (|base keys| + |delta keys|) rows — cost is proportional to
+    the dimension cardinality touched, independent of raw history
+    size. Works because (count, decimal-sum) partials are associative
+    and commutative; averages/variances derive from the merged
+    moments (reaggregate_monthly proves the moment algebra bitwise).
+
+    For partition-aligned bases, pair with ``write_partitioned`` and
+    overwrite only the partitions present in the delta (dynamic
+    partition overwrite) so the rewrite is delta-sized too.
+    """
+    cols = [*keys, count_col, *sum_cols]
+    merged = base.select(*cols).unionByName(delta.select(*cols))
+    return merged.groupBy(*keys).agg(
+        F.sum(count_col).alias(count_col),
+        *[F.sum(c).alias(c) for c in sum_cols],
+    )

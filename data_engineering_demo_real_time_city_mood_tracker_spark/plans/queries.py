@@ -3315,3 +3315,127 @@ def q_paned_sliding_window(spark, sf_dir):
             (F.sum("ps").cast("double") / F.sum("pn")).alias("avg_value"),
         )
     )
+
+
+def _shb_sql(i: int) -> str:
+    """bit i of the 16-bit md5-hex token hash, DuckDB form."""
+    return (
+        f"((strpos('0123456789abcdef', substr(md5(tok), {i // 4 + 1}, 1)) - 1)"
+        f" >> {i % 4}) & 1"
+    )
+
+
+@register(
+    "simhash_portable",
+    f"""WITH toked AS (
+  SELECT doc_id, unnest(string_split({_docs_norm_sql()}, ' ')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, """
+    + ", ".join(
+        f"SUM(CASE WHEN {_shb_sql(i)} = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16)
+    )
+    + """
+  FROM toked GROUP BY doc_id
+)
+SELECT doc_id, CAST("""
+    + " + ".join(f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+    + """ AS BIGINT) AS simhash16
+FROM votes""",
+)
+def q_simhash_portable(spark, sf_dir):
+    """16-bit SimHash with md5-hex bit votes — the oracle-portable
+    twin of dedup_simhash (whose xxhash64 is JVM-only, rows-only
+    check). Same algorithm — per-token bit votes summed per doc, sign
+    fold — but every bit derives from md5 hex digits both engines
+    compute identically, so the fingerprint itself is value-hash
+    gated. Plan shape is identical: one doc-keyed shuffle with 16
+    map-side-combining vote sums; use the 32-bit xxhash64 variant in
+    production (one hash call vs four hex-digit conversions per
+    token), this one to prove the algorithm."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    hh = F.md5("tok")
+    digits = [
+        F.conv(F.substring(hh, p, 1), 16, 10).cast("int") for p in (1, 2, 3, 4)
+    ]
+    votes = toked.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(digits[i // 4], i % 4).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(16)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(16):
+        sim = sim + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return votes.select("doc_id", sim.alias("simhash16"))
+
+
+@register(
+    "corpus_prep_pipeline",
+    f"""WITH staged AS (
+  SELECT doc_id, lang,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_DIGITS}', '<NUM>', 'g') AS red
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         {T.normalize_sql('red')} AS norm,
+         CAST(len(string_split({T.normalize_sql('red')}, ' ')) AS BIGINT)
+           AS n_tokens
+  FROM staged
+),
+quality AS (SELECT * FROM scored WHERE n_tokens >= 20)
+SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+       md5(norm) AS clean_fp, arg_min(n_tokens, doc_id) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM quality GROUP BY md5(norm)""",
+)
+def q_corpus_prep_pipeline(spark, sf_dir):
+    """end-to-end training-corpus preparation as ONE declarative plan:
+    PII redaction (map) → normalize + token-count quality gate (map +
+    filter) → exact dedup keeping the lowest-id survivor (one md5-
+    keyed shuffle). This is the composition a real pre-training
+    pipeline runs as separate stages with materialization between —
+    expressed as a single query, Catalyst fuses the three map stages
+    into one codegen pass over the scan and the whole pipeline costs
+    exactly one shuffle. At 100 TB: no intermediate writes, no second
+    scan, quality-rejected rows never reach the exchange (filter
+    before shuffle). Returns the surviving docs with their clean-text
+    fingerprint and duplicate-group size."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_DIGITS,
+        "<NUM>",
+    )
+    staged = docs.select("doc_id", "lang", T.normalize(red).alias("norm"))
+    quality = staged.withColumn(
+        "n_tokens", F.size(F.split("norm", " ")).cast("long")
+    ).filter(F.col("n_tokens") >= 20)
+    return (
+        quality.groupBy(F.md5("norm").alias("clean_fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+        .select("doc_id", "lang", "clean_fp", "n_tokens", "dup_count")
+    )

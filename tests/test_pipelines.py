@@ -215,3 +215,30 @@ def test_gate_and_trigger_quality_check():
     out = gate_and_trigger(raising_gate, downstream, notifier=alerts.append)
     assert not out["triggered"] and "RuntimeError" in alerts[-1]
     assert ran == [1]
+
+
+def test_incremental_agg_maintenance_equals_full_recompute(spark, sf_dir):
+    """base-partials + delta-partials merged == full recompute over
+    all raw rows, bitwise (mergeable count/decimal-sum partials) —
+    history is never rescanned."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.pipelines import merge_agg_partials
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # simulate history vs a late-arriving slice (disjoint, exhaustive)
+    hist = ev.filter(F.col("event_id") % 10 != 0)
+    late = ev.filter(F.col("event_id") % 10 == 0)
+
+    def partials(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+
+    merged = merge_agg_partials(
+        partials(hist), partials(late), ["event_type"], "n", ("s",)
+    )
+    full = partials(ev)
+    m = {r.event_type: (r.n, r.s) for r in merged.collect()}
+    f = {r.event_type: (r.n, r.s) for r in full.collect()}
+    assert m == f

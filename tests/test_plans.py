@@ -216,3 +216,14 @@ def test_sequence_packing_two_level_prefix_sum(spark, sf_dir):
     per_doc = [l for l in win_args if "sum(n_tok" in l]
     assert per_doc and all("], [bucket#" in l for l in per_doc), per_doc
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_prep_single_shuffle(spark, sf_dir):
+    """PII redact → normalize → quality gate → exact dedup must fuse
+    into one codegen pass over the scan plus ONE md5-keyed exchange
+    (min_by carries the survivor's attributes through the agg — no
+    join back to the corpus)."""
+    plan = plan_of(QUERIES["corpus_prep_pipeline"](spark, sf_dir))
+    shuffle, _ = _exchanges(plan)
+    assert shuffle <= 1, f"expected one shuffle, got {shuffle}"
+    assert "Join" not in plan, "dedup survivor must not join back to the corpus"
