@@ -112,8 +112,17 @@ def ngram_jaccard_pairs(
         toked.unpersist()
     a = sh.alias("a")
     b = sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))
+    if threshold > 0:
+        # lossless length filter: J ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ —
+        # prune size-mismatched pairs inside the join, before the
+        # pair-keyed aggregation ever sees them
+        tau = F.lit(float(threshold))
+        cond = cond & (F.col("a.n") >= tau * F.col("b.n")) & (
+            F.col("b.n") >= tau * F.col("a.n")
+        )
     return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, cond)
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -330,12 +339,25 @@ def prefix_filter_jaccard_pairs(
     n = F.size(F.col("sh"))
     plen = (n - F.ceil(n * F.lit(float(threshold))).cast("int") + 1).cast("int")
     pref = (
-        arr.select("id", F.explode(F.slice(ordered, F.lit(1), plen)).alias("shingle"))
+        arr.select(
+            "id", n.alias("n"),
+            F.explode(F.slice(ordered, F.lit(1), plen)).alias("shingle"),
+        )
     )
     a = pref.alias("a")
     b = pref.alias("b")
+    # length filter (lossless): J(A,B) ≥ τ forces |A∩B| ≤ min sizes,
+    # so τ·|B| ≤ |A| and τ·|A| ≤ |B| — prune size-mismatched pairs
+    # INSIDE the candidate join, before the distinct and verify join
+    tau = F.lit(float(threshold))
     cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.n") >= tau * F.col("b.n"))
+            & (F.col("b.n") >= tau * F.col("a.n")),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
