@@ -66,6 +66,17 @@ def main() -> None:
                 rdd.unpersist()
     total = round(sum(timings.values()), 3)
 
+    # streaming throughput: replay the events table through the REAL
+    # Structured Streaming mood pipeline (file source → stateful agg →
+    # memory sink, availableNow) and report source rows/sec. The
+    # reference's consumers process ~1 event/sec/producer; this is the
+    # single-node number to beat.
+    streaming = {}
+    try:
+        streaming = _stream_throughput(spark, sf_dir)
+    except Exception as e:  # never let the throughput probe kill bench
+        streaming = {"error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -74,9 +85,80 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming": streaming,
             }
         )
     )
+
+
+def _stream_throughput(spark, sf_dir: str) -> dict:
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import WEATHER_CODES
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.mood_pipeline import mood_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    traffic = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("event_time"),
+        F.concat(F.lit("int_"), (F.col("user_id") % 4).cast("string")).alias(
+            "intersection"
+        ),
+        F.col("value").alias("speed"),
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    weather = ev.filter(F.col("event_type") == "view").select(
+        F.col("ts").alias("event_time"),
+        F.col("value").alias("temp"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in WEATHER_CODES]), (k % 22) + 1
+        ).alias("weather"),
+    )
+    news = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("event_time"),
+        F.when(F.col("value") < 150, "negative")
+        .when(F.col("value") < 300, "neutral")
+        .otherwise("positive")
+        .alias("sentiment"),
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        frames = {"traffic": traffic, "weather": weather, "news": news}
+        streams = {}
+        for name, df in frames.items():
+            path = f"{tmp}/{name}"
+            df.coalesce(4).write.mode("overwrite").parquet(path)
+            streams[name] = spark.readStream.schema(df.schema).parquet(path)
+        out = mood_stream(
+            streams["traffic"], streams["weather"], streams["news"],
+            [f"int_{i}" for i in range(4)],
+        )
+        qname = f"bench_mood_{uuid.uuid4().hex[:8]}"
+        t0 = time.time()
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        wall = time.time() - t0
+        n_out = spark.table(qname).count()
+        return {
+            "pipeline": "mood_stream availableNow, file source -> memory sink",
+            "source_rows": n_events,
+            "output_rows": n_out,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_events / wall, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
