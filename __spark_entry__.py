@@ -83,6 +83,7 @@ _FRONT = [
     "quantile_sketch",
     "heavy_hitters_cms",
     "paned_sliding_window",
+    "hll_merge_rollup",
 ]
 
 

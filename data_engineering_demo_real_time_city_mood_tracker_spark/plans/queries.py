@@ -3439,3 +3439,61 @@ def q_corpus_prep_pipeline(spark, sf_dir):
         )
         .select("doc_id", "lang", "clean_fp", "n_tokens", "dup_count")
     )
+
+
+# --------------------------------------------------------------------------
+# SQL frontend surface
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so raw
+    ``spark.sql`` works against the same data the queries use."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.schemas import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def register_query_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[str]:
+    """Expose registry queries as temp views (``q_<name>``) so users
+    can compose them from plain SQL — ``spark.sql("SELECT * FROM
+    q_mood_pipeline WHERE mood = 'TENSE'")``. Views are lazy logical
+    plans, not materializations: Catalyst still pushes filters and
+    prunes columns THROUGH the view into the underlying scans, so
+    composing on a view costs the same as inlining the query."""
+    out = []
+    for name in names if names is not None else sorted(QUERIES):
+        QUERIES[name](spark, sf_dir).createOrReplaceTempView(f"q_{name}")
+        out.append(f"q_{name}")
+    return out
+
+
+@register("hll_merge_rollup")  # sketch bytes engine-specific → rows-only
+def q_hll_merge_rollup(spark, sf_dir):
+    """mergeable-sketch rollup: per-(type, day) HLL sketches union'd
+    up to per-type distinct-user estimates — the sketch analog of
+    multi_res_rollup, and the 100 TB pattern for distinct-count
+    dashboards (store tiny daily sketches, never rescan history; any
+    date-range distinct = union of its days). Uses Spark's Apache
+    DataSketches functions (hll_sketch_agg / hll_union_agg). Output
+    carries the merged estimate, the direct one-pass estimate, and
+    the exact count so the merge property and the error bound are
+    both test-assertable (tests/test_properties.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("merged_est")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(14))
+        ).alias("direct_est"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type", "merged_est", "direct_est", "n_exact"
+    )

@@ -227,3 +227,21 @@ def test_corpus_prep_single_shuffle(spark, sf_dir):
     shuffle, _ = _exchanges(plan)
     assert shuffle <= 1, f"expected one shuffle, got {shuffle}"
     assert "Join" not in plan, "dedup survivor must not join back to the corpus"
+
+
+def test_query_views_compose_with_pushdown(spark, sf_dir):
+    """registry queries exposed as SQL views stay lazy logical plans:
+    a filter written OVER the view must reach the parquet scan under
+    it (no materialization boundary)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import register_query_views
+
+    register_query_views(spark, sf_dir, ["pricing_summary", "mood_pipeline"])
+    df = spark.sql(
+        "SELECT * FROM q_pricing_summary WHERE l_returnflag = 'A'"
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1].split("]")[0], (
+        "filter over the view must push into the lineitem scan"
+    )
+    assert spark.sql("SELECT COUNT(*) FROM q_mood_pipeline").collect()[0][0] > 0

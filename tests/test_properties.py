@@ -340,3 +340,20 @@ def test_persistent_ivf_index_matches_inline(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "cluster" in plan
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("cluster" in l and ("IN" in l or "in(" in l.lower()) for l in pf), pf
+
+
+def test_hll_merge_rollup_properties(spark, sf_dir):
+    """mergeable-sketch property: unioning per-day HLL sketches must
+    estimate within the sketch error bound of both the one-pass
+    sketch and the exact distinct (lgk=14 → rsd ≈ 0.81%, assert 5x
+    slack for the tiny-cardinality regime)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+
+    rows = QUERIES["hll_merge_rollup"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact > 0
+        for est in (r.merged_est, r.direct_est):
+            assert abs(est - r.n_exact) <= max(1, 0.05 * r.n_exact), (
+                f"{r.event_type}: est {est} vs exact {r.n_exact}"
+            )
