@@ -31,6 +31,17 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = [
     # round-1 red row, now fixed (oracle HUGEINT→BIGINT cast)
     "reaggregate_monthly",
+    # round-2 late additions (never driver-gated yet)
+    "funnel_analysis",
+    "cohort_retention",
+    "cdc_apply",
+    "session_window_native",
+    "robust_outliers",
+    "priority_linestatus",
+    "customer_order_distribution",
+    "small_qty_revenue",
+    "dedup_incremental",
+    "shard_export",
     # new OLAP rows this round (never driver-gated yet)
     "late_sole_suppliers",
     "revenue_concentration",

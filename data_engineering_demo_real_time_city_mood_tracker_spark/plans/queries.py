@@ -3497,3 +3497,419 @@ def q_hll_merge_rollup(spark, sf_dir):
     return merged.join(direct, "event_type").select(
         "event_type", "merged_est", "direct_est", "n_exact"
     )
+
+
+# --------------------------------------------------------------------------
+# event analytics (funnel / cohort / CDC / robust stats) — the product-
+# analytics surface a mood-tracker-style event stream feeds downstream
+# (ref events model: jobs/spark_mood_tracker.py:11-26)
+
+
+_EVENTS_US_CTE = """events_us AS (
+  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+)"""
+
+
+@register(
+    "funnel_analysis",
+    f"""WITH {_EVENTS_US_CTE},
+v AS (SELECT user_id, MIN(ts) AS t1 FROM events_us
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events_us e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events_us e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events_us),
+stages AS (
+  SELECT u.user_id,
+         CASE WHEN p.t3 IS NOT NULL THEN 3
+              WHEN c.t2 IS NOT NULL THEN 2
+              WHEN v.t1 IS NOT NULL THEN 1
+              ELSE 0 END AS funnel_stage
+  FROM u LEFT JOIN v ON u.user_id = v.user_id
+         LEFT JOIN c ON u.user_id = c.user_id
+         LEFT JOIN p ON u.user_id = p.user_id)
+SELECT funnel_stage, COUNT(*) AS n_users
+FROM stages GROUP BY funnel_stage""",
+)
+def q_funnel_analysis(spark, sf_dir):
+    """ordered conversion funnel view→click→purchase: each stage's
+    timestamp must strictly follow the previous stage's. The oracle
+    expresses the sequential dependency as three correlated min-joins;
+    the Spark plan does it in ONE shuffle — three chained unbounded
+    windows over the same user partition (t2's predicate references
+    t1's window result), which Catalyst stacks on a single Exchange +
+    Sort, then a per-user groupBy that map-side-collapses before the
+    tiny stage histogram. At 100 TB: cost = one user-keyed shuffle of
+    (user, ts, type) triples, no fact-fact join, no second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    typ = F.col("event_type")
+    staged = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("t1", F.min(F.when(typ == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when((typ == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when((typ == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "cohort_retention",
+    f"""WITH {_EVENTS_US_CTE},
+fe AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events_us),
+ch AS (SELECT user_id, MIN(day) AS cohort_day FROM fe GROUP BY user_id),
+act AS (SELECT DISTINCT fe.user_id, ch.cohort_day,
+               CAST(fe.day - ch.cohort_day AS INT) AS day_offset
+        FROM fe JOIN ch ON fe.user_id = ch.user_id)
+SELECT cohort_day, day_offset, COUNT(*) AS n_active
+FROM act GROUP BY cohort_day, day_offset""",
+)
+def q_cohort_retention(spark, sf_dir):
+    """cohort retention matrix: users grouped by first-seen day, one
+    row per (cohort_day, day_offset) with the count of cohort members
+    active that day. The oracle joins a per-user first-day aggregate
+    back to the facts; the Spark plan fuses that lookup into a window
+    min over the user partition — one user-keyed shuffle carries both
+    the cohort assignment and the activity rows, then the distinct +
+    histogram run on (user, day) granularity (≤ users × days rows,
+    already collapsed map-side). No fact-fact join at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    fe = ev.select("user_id", F.to_date("ts").alias("day"))
+    act = (
+        fe.withColumn("cohort_day", F.min("day").over(w))
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+@register(
+    "cdc_apply",
+    f"""WITH {_EVENTS_US_CTE},
+ranked AS (
+  SELECT user_id, ts, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM events_us)
+SELECT user_id, value AS last_value, ts AS updated_at, n_ops
+FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
+)
+def q_cdc_apply(spark, sf_dir):
+    """changelog compaction (CDC apply): events are an upsert stream
+    keyed on user_id ordered by (ts, event_id), with event_type
+    'error' acting as a tombstone/DELETE — the MERGE a lakehouse
+    applies to fold a CDC feed into a snapshot. Last-writer-wins via
+    one row_number window; the per-key op count rides the same
+    partition (same Exchange, no second shuffle). Keys whose final op
+    is a delete vanish from the snapshot. At scale this is the
+    standard compaction shape: one shuffle on the key, no join against
+    the history table (contrast dim_upsert, which merges against a
+    standing snapshot)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    ranked = ev.select("user_id", "ts", "value", "event_type", "event_id").select(
+        "user_id",
+        "ts",
+        "value",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_ops"),
+    )
+    return ranked.filter(
+        (F.col("rn") == 1) & (F.col("event_type") != "error")
+    ).select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("updated_at"),
+        "n_ops",
+    )
+
+
+@register(
+    "session_window_native",
+    f"""WITH {_EVENTS_US_CTE},
+flags AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events_us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grp AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM flags)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM grp GROUP BY user_id, g""",
+)
+def q_session_window_native(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation (10-min gap): the
+    engine merges overlapping [ts, ts+gap) intervals per key inside
+    the aggregation operator — one shuffle, no window sort, and the
+    IDENTICAL groupBy works under Structured Streaming with watermark
+    state eviction (the applyInPandasWithState / transformWithState
+    sessionizers in streaming/ are for custom state logic; this is
+    the declarative fast path). Oracle reproduces the merge with the
+    classic lag-flag + running-sum island construction; session_end =
+    last event + gap matches session_window's half-open semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "robust_outliers",
+    """WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       MIN(d.med) AS med, MIN(m.mad) AS mad
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type""",
+)
+def q_robust_outliers(spark, sf_dir):
+    """robust (median/MAD) outlier detection per event_type — the
+    data-quality screen that survives heavy tails where mean/stddev
+    z-scores break. Two fact passes by construction (the median must
+    exist before deviations can be scored); each per-type scalar frame
+    is broadcast back so neither pass shuffles the facts a second
+    time. Exact interpolated percentile (== DuckDB quantile_cont,
+    bitwise); at unbounded group sizes swap F.percentile for the GK
+    sketch (quantile_sketch) and keep the same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.select("event_type", "value").join(
+        F.broadcast(med), "event_type"
+    ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# OLAP additions: Q12/Q13/Q17 shapes
+
+
+@register(
+    "priority_linestatus",
+    """SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '2024-03-01' AND l_shipdate < DATE '2024-09-01'
+GROUP BY l_linestatus""",
+)
+def q_priority_linestatus(spark, sf_dir):
+    """TPC-H Q12 shape: fact-fact join + dual conditional counts per
+    line status over a shipdate slice. The date filter is pushed to
+    the lineitem scan (PushedFilters) so the join sees only the
+    window; both counts ride one aggregation — never two filtered
+    sub-joins. At 100×: sort-merge on orderkey with AQE; the orders
+    side prunes to (o_orderkey, o_orderpriority) via column pruning."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2024-03-01") & (F.col("l_shipdate") < "2024-09-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) per_cust GROUP BY c_count""",
+)
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: how many customers placed k orders, including
+    k=0. The oracle left-joins then counts; the Spark plan aggregates
+    orders FIRST (one fact shuffle on o_custkey, map-side combined)
+    and left-joins the customer dim against the already-collapsed
+    per-customer counts — the join input is |customers|, not |orders|.
+    Zero-order customers surface via coalesce(c_count, 0)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    oc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    per_cust = cust.join(
+        oc, cust.c_custkey == oc.o_custkey, "left"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "small_qty_revenue",
+    f"""WITH flt AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'),
+li AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+       FROM lineitem l JOIN flt ON l.l_partkey = flt.p_partkey),
+pa AS (SELECT l_partkey, {davg_sql('l_quantity')} AS avg_qty
+       FROM li GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM li JOIN pa ON li.l_partkey = pa.l_partkey
+WHERE li.l_quantity < 0.2 * pa.avg_qty""",
+)
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand's parts, where "small" is relative to each part's own
+    average quantity. The brand filter broadcasts (~1% of parts) so
+    the fact scan prunes before any shuffle; the per-part average is
+    computed on the filtered slice and broadcast back — the facts
+    shuffle ZERO times (two broadcast joins + one small agg on the
+    slice). Exact decimal average so the 0.2·avg threshold is
+    bit-identical across engines."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    pa = li.groupBy("l_partkey").agg(davg(F.col("l_quantity")).alias("avg_qty"))
+    return (
+        li.join(F.broadcast(pa), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline additions: incremental cross-corpus dedup + shard export
+
+
+@register(
+    "dedup_incremental",
+    f"""WITH fps AS (
+  SELECT doc_id, md5({_docs_norm_sql()}) AS fp,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents)
+SELECT n.doc_id, n.fp FROM fps n
+WHERE n.h < '8'
+  AND NOT EXISTS (SELECT 1 FROM fps b WHERE b.h >= '8' AND b.fp = n.fp)""",
+)
+def q_dedup_incremental(spark, sf_dir):
+    """incremental (cross-corpus) dedup: a new document batch is
+    cleaned AGAINST the standing corpus — the every-crawl-cycle
+    operation for a training-data lake, where re-deduping 100 TB of
+    history per increment is a non-starter. Deterministic md5 split
+    stands in for base/new; survivors = new docs whose normalized
+    fingerprint has no match in the base, via a fingerprint-keyed
+    LEFT ANTI join (shuffle ∝ batch + matching base keys only, and
+    the base side at scale is a pre-computed fingerprint index, not a
+    re-scan). Composes with dedup_exact for within-batch dups."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    new = fps.filter(F.col("h") < "8")
+    base = fps.filter(F.col("h") >= "8")
+    return new.join(base.select("fp"), "fp", "left_anti").select("doc_id", "fp")
+
+
+@register(
+    "shard_export",
+    """SELECT CAST(strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT)
+         AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY 1""",
+)
+def q_shard_export(spark, sf_dir):
+    """deterministic 16-way shard assignment for training-data export
+    + per-shard balance profile (the skew check before writing final
+    shards). Hash sharding via the first md5 nibble: map-only, RNG-
+    free, stable under re-partitioning and re-runs — rerunning an
+    export after a crash yields byte-identical shard membership. The
+    profile is one bounded-cardinality aggregation; the write itself
+    is repartition(shard) + partitionBy, which this assignment keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        .alias("shard")
+    )
+    return docs.groupBy(shard).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
