@@ -348,7 +348,14 @@ def prefix_filter_jaccard_pairs(
     b = pref.alias("b")
     # length filter (lossless): J(A,B) ≥ τ forces |A∩B| ≤ min sizes,
     # so τ·|B| ≤ |A| and τ·|A| ≤ |B| — prune size-mismatched pairs
-    # INSIDE the candidate join, before the distinct and verify join
+    # INSIDE the candidate join, before the distinct and verify join.
+    # (PPJoin's positional ubound filter was measured and REJECTED:
+    # lossless and it halves sparse-corpus candidates, but on a near-
+    # dup-heavy corpus — where filtering would matter — surviving
+    # candidates are mostly TRUE pairs, so it prunes ~nothing while
+    # its per-row arithmetic inside the hot hash-join doubled the x10
+    # stress wall time. The verify join on md5-bounded candidates is
+    # cheaper than the filter that would protect it.)
     tau = F.lit(float(threshold))
     cand = (
         a.join(

@@ -1665,12 +1665,21 @@ def q_value_histogram(spark, sf_dir):
 def q_approx_distinct_hll(spark, sf_dir):
     """HyperLogLog sketch distinct-count — the 100 TB path where exact
     distinct's full shuffle is unaffordable. rsd 1% default; rows-only
-    check (sketch estimates are engine-specific by construction)."""
+    check (sketch estimates are engine-specific by construction).
+    The exact column (kept so the error is visible in the output) is
+    computed as a SEPARATE aggregation joined on the tiny group frame:
+    mixing countDistinct with approx_count_distinct in one agg makes
+    Spark plan an Expand that doubles the input AND drags the 2^14-
+    register HLL buffers through the distinct shuffle — 2.7× slower
+    than two clean aggs over the scan."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
-        F.countDistinct("user_id").alias("n_users_exact"),
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
     )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return approx.join(exact, "event_type")
 
 
 @register("quantile_sketch")  # KLL/GK sketch internals engine-specific → rows-only

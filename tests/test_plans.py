@@ -245,3 +245,49 @@ def test_query_views_compose_with_pushdown(spark, sf_dir):
         "filter over the view must push into the lineitem scan"
     )
     assert spark.sql("SELECT COUNT(*) FROM q_mood_pipeline").collect()[0][0] > 0
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """The three chained stage windows + per-user rollup must share ONE
+    user_id exchange — the funnel's whole cost at scale."""
+    plan = plan_of(QUERIES["funnel_analysis"](spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_cohort_single_user_shuffle(spark, sf_dir):
+    """Cohort assignment (window min) and activity rows ride the same
+    user_id exchange; no fact-fact join."""
+    plan = plan_of(QUERIES["cohort_retention"](spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_cdc_apply_single_shuffle(spark, sf_dir):
+    """Last-writer-wins row_number and the per-key op count share one
+    user_id exchange (both windows partition identically)."""
+    plan = plan_of(QUERIES["cdc_apply"](spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_small_qty_revenue_all_broadcast(spark, sf_dir):
+    """Q17 shape: brand slice and per-part averages both broadcast —
+    the lineitem facts must never reach a shuffled join."""
+    plan = plan_of(QUERIES["small_qty_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_customer_order_distribution_pruned_scans(spark, sf_dir):
+    """Q13 shape: orders are aggregated BEFORE the dim join, so both
+    scans must be pruned to their single key column."""
+    plan = plan_of(QUERIES["customer_order_distribution"](spark, sf_dir))
+    schemas = [l.strip() for l in plan.splitlines() if "ReadSchema" in l]
+    assert any(s.endswith("struct<c_custkey:bigint>") for s in schemas), schemas
+    assert any(s.endswith("struct<o_custkey:bigint>") for s in schemas), schemas
+
+
+def test_robust_outliers_broadcasts_scalars(spark, sf_dir):
+    """Median/MAD per-type scalar frames broadcast back onto the fact
+    scan; the facts themselves are never reshuffled."""
+    plan = plan_of(QUERIES["robust_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
