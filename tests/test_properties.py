@@ -357,3 +357,83 @@ def test_hll_merge_rollup_properties(spark, sf_dir):
             assert abs(est - r.n_exact) <= max(1, 0.05 * r.n_exact), (
                 f"{r.event_type}: est {est} vs exact {r.n_exact}"
             )
+
+
+def test_funnel_and_cohort_conservation(spark, sf_dir):
+    """conservation invariants: funnel stage counts partition the user
+    base; every user is active on their own cohort day (offset 0)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+
+    funnel = {r.funnel_stage: r.n_users for r in QUERIES["funnel_analysis"](spark, sf_dir).collect()}
+    assert sum(funnel.values()) == n_users
+    assert all(s in (0, 1, 2, 3) for s in funnel)
+
+    cohort = QUERIES["cohort_retention"](spark, sf_dir).collect()
+    assert all(r.day_offset >= 0 for r in cohort)
+    day0 = sum(r.n_active for r in cohort if r.day_offset == 0)
+    assert day0 == n_users
+
+
+def test_cdc_apply_tombstone_semantics(spark, sf_dir):
+    """every surviving key's last op is a non-delete; keys whose final
+    event is a tombstone ('error') are absent from the snapshot."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = QUERIES["cdc_apply"](spark, sf_dir).collect()
+    got = {r.user_id for r in rows}
+    last = {
+        r.user_id: r.event_type
+        for r in ev.orderBy("ts", "event_id").collect()
+    }
+    expected = {u for u, t in last.items() if t != "error"}
+    assert got == expected
+    assert all(r.n_ops > 0 for r in rows)
+
+
+def test_session_window_event_conservation(spark, sf_dir):
+    """native session_window: sessions partition the events (counts sum
+    to the table size) and every window spans ≥ the gap."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = QUERIES["session_window_native"](spark, sf_dir).collect()
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert (r.session_end - r.session_start).total_seconds() >= 600
+
+
+def test_shard_export_covers_corpus(spark, sf_dir):
+    """shard sizes sum to the corpus; shard ids are the 16 nibbles."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = QUERIES["shard_export"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert {r.shard for r in rows} <= set(range(16))
+
+
+def test_dedup_incremental_against_base(spark, sf_dir):
+    """survivors are exactly the new-batch docs whose fingerprint is
+    absent from the base half."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import fingerprint
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    base_fps = {r.fp for r in docs.filter(F.col("h") >= "8").collect()}
+    new_rows = docs.filter(F.col("h") < "8").collect()
+    expected = {r.doc_id for r in new_rows if r.fp not in base_fps}
+    got = {r.doc_id for r in QUERIES["dedup_incremental"](spark, sf_dir).collect()}
+    assert got == expected
