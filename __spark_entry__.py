@@ -42,6 +42,8 @@ _FRONT = [
     "small_qty_revenue",
     "dedup_incremental",
     "shard_export",
+    "hybrid_search",
+    "semantic_dedup",
     # new OLAP rows this round (never driver-gated yet)
     "late_sole_suppliers",
     "revenue_concentration",

@@ -3922,3 +3922,140 @@ def q_shard_export(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+# --------------------------------------------------------------------------
+# retrieval + semantic dedup (LLM-pipeline late additions)
+
+
+@register(
+    "hybrid_search",
+    f"""WITH side AS (
+  SELECT d.doc_id AS id,
+         list_distinct(string_split({T.normalize_sql('d.text')}, ' ')) AS dt,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+pairs AS (
+  SELECT q.id AS query_id, c.id AS corpus_id,
+         len(list_intersect(q.dt, c.dt)) AS inter,
+         len(q.dt) AS nq, len(c.dt) AS nc,
+         {_cos_sql('q.vec', 'c.vec')} AS cos_sim
+  FROM side q JOIN side c ON q.id < 5 AND q.id != c.id
+),
+scored AS (
+  SELECT query_id, corpus_id,
+         inter / CAST(nq + nc - inter AS DOUBLE) AS lex_sim, cos_sim,
+         0.5 * (inter / CAST(nq + nc - inter AS DOUBLE)) + 0.5 * cos_sim
+           AS score
+  FROM pairs
+)
+SELECT query_id, corpus_id, lex_sim, cos_sim, score, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, corpus_id) AS rnk
+  FROM scored
+) t WHERE rnk <= 10""",
+)
+def q_hybrid_search(spark, sf_dir):
+    """hybrid retrieval (RAG-style): lexical token-set Jaccard fused
+    50/50 with embedding cosine, exact top-10 per query doc. The
+    lexical term is an integer-ratio (exact in both engines), the
+    cosine rides the same seeded left-fold as every vector op, so the
+    fused score is bit-reproducible and fully oracle-gated — rare for
+    a hybrid ranker. Plan: the 5-query side broadcasts against the
+    (documents ⋈ embeddings) corpus — one corpus pass, no shuffle of
+    the corpus itself; at scale the corpus side would come from the
+    cell-partitioned IVF index (build_ivf_index) with this same
+    scoring applied to the probed cells only."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    side = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(T.tokens(F.col("text"))).alias("dt"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("id"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+            ),
+            "id",
+        )
+    )
+    q = side.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"),
+        F.col("dt").alias("qdt"),
+        F.col("vec").alias("qvec"),
+    )
+    c = side.select(
+        F.col("id").alias("corpus_id"),
+        F.col("dt").alias("cdt"),
+        F.col("vec").alias("cvec"),
+    )
+    inter = F.size(F.array_intersect(F.col("qdt"), F.col("cdt")))
+    lex = inter / (F.size("qdt") + F.size("cdt") - inter).cast("double")
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            lex.alias("lex_sim"),
+            V.cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            (0.5 * lex + 0.5 * V.cosine(F.col("qvec"), F.col("cvec"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "corpus_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "query_id", "corpus_id", "lex_sim", "cos_sim", "score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@register("semantic_dedup")  # k-means-seeded (iterative) → rows-only
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space with trained k-means, then purge
+    within-cluster pairs above a similarity cutoff — pairwise work is
+    cluster-size-bounded, never corpus². As in the paper, the cutoff
+    is chosen for a target dedup RATE, not a magic constant: here the
+    p99 of the within-cluster cosine distribution (one tiny scalar
+    job over the cluster-bounded pair frame, which is persisted so
+    the threshold pass and the purge pass share one pairwise join).
+    Emits one row per purged doc with its lowest-id witness (greedy
+    keep-min policy, same discipline as exact_dedup). Rows-only: the
+    k-means step is iterative. Threshold/witness invariants are
+    asserted in tests/test_properties.py."""
+    from pyspark import StorageLevel
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, "embedding", "vec_id", k=8, max_iter=3)
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    ).join(assigned, "id")
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), "cluster"
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "cluster"
+    )
+    pairs = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    thr = pairs.agg(F.percentile("cos_sim", 0.99)).first()[0]
+    return (
+        pairs.filter(F.col("cos_sim") >= thr)
+        .groupBy(F.col("id_b").alias("purge_id"))
+        .agg(F.min("id_a").alias("kept_id"), F.max("cos_sim").alias("max_cos"))
+    )

@@ -437,3 +437,19 @@ def test_dedup_incremental_against_base(spark, sf_dir):
     expected = {r.doc_id for r in new_rows if r.fp not in base_fps}
     got = {r.doc_id for r in QUERIES["dedup_incremental"](spark, sf_dir).collect()}
     assert got == expected
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """purge list is non-empty at the p99 rate target, witnesses are
+    keep-min (kept < purged), similarities are valid cosines, and the
+    purge set never exceeds the corpus."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    rows = QUERIES["semantic_dedup"](spark, sf_dir).collect()
+    assert rows, "p99 rate-targeted cutoff must purge something"
+    assert len(rows) < n
+    for r in rows:
+        assert r.kept_id < r.purge_id
+        assert -1.0 - 1e-9 <= r.max_cos <= 1.0 + 1e-9
