@@ -44,6 +44,7 @@ _FRONT = [
     "shard_export",
     "hybrid_search",
     "semantic_dedup",
+    "image_dedup_dhash",
     # new OLAP rows this round (never driver-gated yet)
     "late_sole_suppliers",
     "revenue_concentration",

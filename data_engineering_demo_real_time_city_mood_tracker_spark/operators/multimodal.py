@@ -127,3 +127,134 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# perceptual-hash image dedup (real byte-level decode, no image libs)
+
+BMP_W, BMP_H = 9, 8  # 9×8 grayscale grid → (W-1)×H = 64 dHash bits
+
+
+def _make_bmp(group: int, variant: int) -> bytes:
+    """REAL 24-bit bottom-up BMP, 9×8, grayscale pixels derived from
+    md5(group:row:col). ``variant`` > 0 perturbs exactly one pixel by
+    +128, so same-group images differ in ≤2 dHash bits per variant —
+    deterministic planted near-dups for the pipeline under test."""
+    import struct
+
+    w, h = BMP_W, BMP_H
+    stride = (w * 3 + 3) // 4 * 4
+    px = bytearray(stride * h)
+    vr, vc = variant % h, (variant * 3) % w
+    for r in range(h):
+        for c in range(w):
+            g = hashlib.md5(f"{group}:{r}:{c}".encode()).digest()[0]
+            if variant and (r, c) == (vr, vc):
+                g = (g + 128) % 256
+            o = r * stride + c * 3
+            px[o : o + 3] = bytes((g, g, g))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(px)
+
+
+def synthesize_bmp_media(
+    df: DataFrame, id_col: str, group_col: str, variant_col: str
+) -> DataFrame:
+    """(media_id, kind, payload) with REAL BMP bytes, Arrow-batched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "kind": "image",
+                    "payload": [
+                        _make_bmp(int(g), int(v))
+                        for g, v in zip(pdf[group_col], pdf[variant_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(gen, schema="media_id long, kind string, payload binary")
+
+
+def dhash_image(payload: bytes) -> int:
+    """64-bit dHash from the BMP pixel grid (stdlib byte math): bit =
+    1 iff gray(r,c) < gray(r,c+1), row-major, two's-complement int64.
+    A real deployment swaps the grid source for PIL resize((9,8));
+    the hash definition and everything downstream stay identical."""
+    import struct
+
+    w, hgt = struct.unpack_from("<ii", payload, 18)
+    off = struct.unpack_from("<I", payload, 10)[0]
+    stride = (w * 3 + 3) // 4 * 4
+    topdown = hgt < 0
+    hgt = abs(hgt)
+    bits = 0
+    for r in range(hgt):
+        rr = r if topdown else hgt - 1 - r
+        base = off + rr * stride
+        for c in range(w - 1):
+            bits = (bits << 1) | (1 if payload[base + c * 3] < payload[base + (c + 1) * 3] else 0)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """perceptual near-dup pairs: Arrow-batched dHash (map-only Python,
+    the unavoidable decode step) → 4×16-bit band LSH candidate join →
+    exact Hamming verify via bit_count(xor), both JVM-side. Same
+    band-bucket discipline as minhash/simhash: a pair with Hamming ≤ 6
+    over 64 bits must match at least one 16-bit band exactly
+    (pigeonhole over 4 bands ⇒ lossless for max_hamming ≤ 3 and
+    near-lossless at 6 — documented recall tradeoff), so candidate
+    volume is band-bucket-bounded, never corpus²."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [dhash_image(p) for p in pdf["payload"]],
+                }
+            )
+
+    hashed = media.mapInPandas(hash_batches, schema="media_id long, dhash long")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("dhash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = hashed.select(
+        "media_id", "dhash", F.explode(bands).alias("b")
+    ).select("media_id", "dhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("dh_a"),
+            F.col("b.dhash").alias("dh_b"),
+        )
+        .distinct()
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

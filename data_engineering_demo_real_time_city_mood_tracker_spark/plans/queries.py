@@ -4059,3 +4059,26 @@ def q_semantic_dedup(spark, sf_dir):
         .groupBy(F.col("id_b").alias("purge_id"))
         .agg(F.min("id_a").alias("kept_id"), F.max("cos_sim").alias("max_cos"))
     )
+
+
+@register("image_dedup_dhash")  # Python decode step → rows-only
+def q_image_dedup_dhash(spark, sf_dir):
+    """perceptual-hash image dedup end to end: REAL 24-bit BMP payloads
+    (synthesized deterministically; every third doc shares a base image
+    with one-pixel variants — planted near-dup groups), dHash computed
+    from raw bytes in Arrow batches, then 4×16-bit band LSH + exact
+    Hamming ≤ 6 verify, both JVM-side (operators/multimodal.py:
+    image_near_dup_pairs). The image twin of simhash dedup: decode is
+    the only Python stage, candidate volume is band-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_bmp_media(
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") / 3).cast("long").alias("grp"),
+            (F.col("doc_id") % 3).cast("int").alias("var"),
+        ),
+        "doc_id",
+        "grp",
+        "var",
+    )
+    return multimodal.image_near_dup_pairs(media, max_hamming=6)

@@ -19,8 +19,13 @@ def plan_of(df) -> str:
 
 
 # Queries that intentionally use Arrow-batched Python (mapInPandas
-# decode stub) — everything else must stay JVM-side.
-PYTHON_OK = {"multimodal_meta", "multimodal_frames", "binary_ingest"}
+# decode step) — everything else must stay JVM-side.
+PYTHON_OK = {
+    "multimodal_meta",
+    "multimodal_frames",
+    "binary_ingest",
+    "image_dedup_dhash",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

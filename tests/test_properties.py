@@ -453,3 +453,22 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     for r in rows:
         assert r.kept_id < r.purge_id
         assert -1.0 - 1e-9 <= r.max_cos <= 1.0 + 1e-9
+
+
+def test_image_dedup_finds_exactly_planted_groups(spark, sf_dir):
+    """every within-group image pair (one-pixel variants, ≤4 dHash bits
+    apart) is recovered through band-LSH + Hamming verify, and no
+    cross-group pair sneaks in."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    ids = [r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()]
+    from collections import Counter
+
+    sizes = Counter(i // 3 for i in ids)
+    expected_pairs = sum(s * (s - 1) // 2 for s in sizes.values())
+    rows = QUERIES["image_dedup_dhash"](spark, sf_dir).collect()
+    assert len(rows) == expected_pairs
+    for r in rows:
+        assert r.id_a // 3 == r.id_b // 3, f"cross-group pair {r}"
+        assert r.hamming <= 4
