@@ -155,11 +155,14 @@ def _errors(spark, sf_dir):
 
 
 # events.ts is TIMESTAMP_NS in parquet; truncate to micros to match
-# Spark's reader (see sources/batch.py:load_table).
-EVENTS_CTE = f"""
-events_us AS (
+# Spark's reader (see sources/batch.py:load_table). The single source
+# of truth for that normalization — every oracle CTE interpolates it.
+_EVENTS_US_CTE = """events_us AS (
   SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
-),
+)"""
+
+EVENTS_CTE = f"""
+{_EVENTS_US_CTE},
 clicks AS (
   SELECT event_id, ts, user_id, date_trunc('minute', ts) AS minute,
          'int_' || CAST(user_id % 4 AS VARCHAR) AS intersection,
@@ -1679,7 +1682,15 @@ def q_approx_distinct_hll(spark, sf_dir):
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact")
     )
-    return approx.join(exact, "event_type")
+    # eqNullSafe: a NULL event_type group must survive the re-join
+    # (both sides aggregate the same source, so inner is complete)
+    return (
+        approx.join(
+            exact, approx["event_type"].eqNullSafe(exact["event_type"])
+        )
+        .drop(exact["event_type"])
+        .select("event_type", "n_users_approx", "n_users_exact")
+    )
 
 
 @register("quantile_sketch")  # KLL/GK sketch internals engine-specific → rows-only
@@ -3514,11 +3525,6 @@ def q_hll_merge_rollup(spark, sf_dir):
 # (ref events model: jobs/spark_mood_tracker.py:11-26)
 
 
-_EVENTS_US_CTE = """events_us AS (
-  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
-)"""
-
-
 @register(
     "funnel_analysis",
     f"""WITH {_EVENTS_US_CTE},
@@ -3673,7 +3679,7 @@ def q_cdc_apply(spark, sf_dir):
     "session_window_native",
     f"""WITH {_EVENTS_US_CTE},
 flags AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
               THEN 1 ELSE 0 END AS brk
@@ -3682,7 +3688,7 @@ flags AS (
 ),
 grp AS (
   SELECT user_id, ts,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS g
   FROM flags)
 SELECT user_id, MIN(ts) AS session_start,
@@ -3737,12 +3743,14 @@ GROUP BY d.event_type""",
 def q_robust_outliers(spark, sf_dir):
     """robust (median/MAD) outlier detection per event_type — the
     data-quality screen that survives heavy tails where mean/stddev
-    z-scores break. Two fact passes by construction (the median must
-    exist before deviations can be scored); each per-type scalar frame
-    is broadcast back so neither pass shuffles the facts a second
-    time. Exact interpolated percentile (== DuckDB quantile_cont,
-    bitwise); at unbounded group sizes swap F.percentile for the GK
-    sketch (quantile_sketch) and keep the same plan shape."""
+    z-scores break. Three scan passes by construction (median → MAD →
+    flag: each statistic must exist before the next can be computed,
+    and the deviation frame is deliberately NOT cached — re-scanning
+    parquet beats persisting a fact-scale intermediate); each per-type
+    scalar frame is broadcast back so the facts are never shuffled.
+    Exact interpolated percentile (== DuckDB quantile_cont, bitwise);
+    at unbounded group sizes swap F.percentile for the GK sketch
+    (quantile_sketch) and keep the same plan shape."""
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
     dev = ev.select("event_type", "value").join(
@@ -4022,15 +4030,15 @@ def q_semantic_dedup(spark, sf_dir):
     within-cluster pairs above a similarity cutoff — pairwise work is
     cluster-size-bounded, never corpus². As in the paper, the cutoff
     is chosen for a target dedup RATE, not a magic constant: here the
-    p99 of the within-cluster cosine distribution (one tiny scalar
-    job over the cluster-bounded pair frame, which is persisted so
-    the threshold pass and the purge pass share one pairwise join).
+    p99 of the within-cluster cosine distribution (one scalar job
+    over the cluster-bounded pair frame; the purge pass recomputes
+    that join rather than persisting it — assignment is map-only from
+    literal centroids, so the recompute is cheaper than leaking a
+    cached frame into the caller's session).
     Emits one row per purged doc with its lowest-id witness (greedy
     keep-min policy, same discipline as exact_dedup). Rows-only: the
     k-means step is iterative. Threshold/witness invariants are
     asserted in tests/test_properties.py."""
-    from pyspark import StorageLevel
-
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import kmeans
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4051,7 +4059,6 @@ def q_semantic_dedup(spark, sf_dir):
         .select(
             "id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("cos_sim")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     thr = pairs.agg(F.percentile("cos_sim", 0.99)).first()[0]
     return (
