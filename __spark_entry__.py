@@ -45,6 +45,7 @@ _FRONT = [
     "hybrid_search",
     "semantic_dedup",
     "image_dedup_dhash",
+    "join_key_skew_profile",
     # new OLAP rows this round (never driver-gated yet)
     "late_sole_suppliers",
     "revenue_concentration",

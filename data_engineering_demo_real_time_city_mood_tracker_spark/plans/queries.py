@@ -4094,3 +4094,52 @@ def q_image_dedup_dhash(spark, sf_dir):
         "var",
     )
     return multimodal.image_near_dup_pairs(media, max_hamming=6)
+
+
+@register(
+    "join_key_skew_profile",
+    """WITH pk AS (
+  SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_orderkey
+),
+gstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         CAST(MAX(n_rows) AS BIGINT) AS max_rows,
+         quantile_cont(n_rows, 0.99) AS p99_rows
+  FROM pk
+)
+SELECT t.l_orderkey, t.n_rows,
+       t.n_rows / CAST(g.total_rows AS DOUBLE) AS share,
+       g.max_rows * g.n_keys / CAST(g.total_rows AS DOUBLE) AS skew_factor,
+       g.p99_rows, g.n_keys
+FROM (SELECT * FROM pk ORDER BY n_rows DESC, l_orderkey LIMIT 10) t
+CROSS JOIN gstats g""",
+)
+def q_join_key_skew_profile(spark, sf_dir):
+    """join-key skew diagnostic — the measurement that decides whether
+    a join needs the salted path (skew_salted_join) or plain AQE skew
+    handling: per-key row counts → heaviest 10 keys with their share,
+    plus the global skew factor (max/avg rows-per-key) and the p99.
+    One fact shuffle (key counts, map-side combined); the summary and
+    the top-k both derive from the key-cardinality frame, and the
+    1-row global profile joins back via broadcast. Run it on the
+    build-side key of any problem join before choosing a strategy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    glob = pk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.max("n_rows").cast("long").alias("max_rows"),
+        F.percentile("n_rows", 0.99).alias("p99_rows"),
+    )
+    top = pk.orderBy(F.col("n_rows").desc(), "l_orderkey").limit(10)
+    return top.crossJoin(F.broadcast(glob)).select(
+        "l_orderkey",
+        "n_rows",
+        (F.col("n_rows") / F.col("total_rows").cast("double")).alias("share"),
+        (
+            F.col("max_rows") * F.col("n_keys") / F.col("total_rows").cast("double")
+        ).alias("skew_factor"),
+        "p99_rows",
+        "n_keys",
+    )
