@@ -103,7 +103,12 @@ _FRONT = [
 
 
 def _ordered(d: dict) -> dict:
-    out = {k: d[k] for k in _FRONT if k in d}
+    # Within the front block, oracle-backed entries come first: each
+    # yields a hard hash_match row in the driver gate, while rows-only
+    # entries only prove they run — under any gate cap the hard-signal
+    # rows must land inside it. Stable sort keeps the family grouping.
+    front = sorted((k for k in _FRONT if k in d), key=lambda k: k not in ORACLES)
+    out = {k: d[k] for k in front}
     out.update({k: v for k, v in d.items() if k not in out})
     return out
 
