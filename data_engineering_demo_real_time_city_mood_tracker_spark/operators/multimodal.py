@@ -208,11 +208,15 @@ def image_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
     """perceptual near-dup pairs: Arrow-batched dHash (map-only Python,
     the unavoidable decode step) → 4×16-bit band LSH candidate join →
     exact Hamming verify via bit_count(xor), both JVM-side. Same
-    band-bucket discipline as minhash/simhash: a pair with Hamming ≤ 6
-    over 64 bits must match at least one 16-bit band exactly
-    (pigeonhole over 4 bands ⇒ lossless for max_hamming ≤ 3 and
-    near-lossless at 6 — documented recall tradeoff), so candidate
-    volume is band-bucket-bounded, never corpus²."""
+    band-bucket discipline as minhash/simhash. Recall guarantee, by
+    pigeonhole over 4 bands: LOSSLESS for Hamming ≤ 3 (some band must
+    be untouched). For 4..6 a pair is found only when its differing
+    bits cluster in ≤ 3 bands — true for localized perceptual edits
+    (and for the planted one-pixel variants, recovery test-asserted),
+    but a pair with ≥ 1 flipped bit in EVERY band is missed. If a
+    hard ≤ 7 guarantee is needed, use 8×8-bit bands and pay ~2⁸× more
+    random band collisions; candidate volume stays band-bounded
+    either way, never corpus²."""
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -254,7 +258,10 @@ def image_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
             F.col("a.dhash").alias("dh_a"),
             F.col("b.dhash").alias("dh_b"),
         )
-        .distinct()
+        # verify BEFORE the distinct: far pairs (random cross-band
+        # collisions) die on the map side instead of riding the
+        # distinct shuffle with two 8-byte hash columns
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -4086,7 +4086,10 @@ def q_image_dedup_dhash(spark, sf_dir):
     media = multimodal.synthesize_bmp_media(
         docs.select(
             "doc_id",
-            (F.col("doc_id") / 3).cast("long").alias("grp"),
+            # integral division: exact at any id magnitude (double
+            # division loses exactness past 2^53); == the test
+            # model's // for the non-negative ids this table carries
+            F.expr("doc_id div 3").alias("grp"),
             (F.col("doc_id") % 3).cast("int").alias("var"),
         ),
         "doc_id",

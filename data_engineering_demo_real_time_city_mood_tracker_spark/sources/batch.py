@@ -213,10 +213,11 @@ def write_jdbc(df: DataFrame, url: str, table: str, user: str, password: str, dr
 
 
 def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
-    """ORC lake write (zlib default) — the columnar alternative when a
-    downstream consumer is Hive/Trino-flavored. Same layout options as
-    the parquet writes: optional hive partitioning for directory
-    pruning."""
+    """ORC lake write (zstd-compressed under this Spark's defaults —
+    set spark.sql.orc.compression.codec for legacy zlib-only readers)
+    — the columnar alternative when a downstream consumer is
+    Hive/Trino-flavored. Same layout options as the parquet writes:
+    optional hive partitioning for directory pruning."""
     w = df.write.mode("overwrite").format("orc")
     if partition_by:
         w = w.partitionBy(*partition_by)

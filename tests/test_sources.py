@@ -268,10 +268,10 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, ev.select("event_id", "user_id", "value").collect()))
     b = sorted(map(tuple, back.select("event_id", "user_id", "value").collect()))
     assert a == b
+    from tests.test_plans import plan_of
+
     q = back.filter(F.col("event_type") == "click").select("event_id")
-    plan = q._sc._jvm.PythonSQLUtils.explainString(
-        q._jdf.queryExecution(), "formatted"
-    )
+    plan = plan_of(q)
     assert "PushedFilters" in plan and "event_type" in plan
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "value" not in read_schema and "props" not in read_schema
@@ -282,14 +282,12 @@ def test_orc_partitioned_write_prunes(spark, sf_dir, tmp_path):
     pruning (PartitionFilters), not a data filter."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_orc, write_orc
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.to_date("ts")
-    )
+    ev = load_table(spark, sf_dir, "events")
     path = str(tmp_path / "events_orc_part")
     write_orc(ev.limit(2000), path, partition_by=["event_type"])
+    from tests.test_plans import plan_of
+
     back = read_orc(spark, path).filter(F.col("event_type") == "click")
-    plan = back._sc._jvm.PythonSQLUtils.explainString(
-        back._jdf.queryExecution(), "formatted"
-    )
+    plan = plan_of(back)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and any("event_type" in l for l in pf), plan
