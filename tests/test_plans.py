@@ -296,3 +296,15 @@ def test_robust_outliers_broadcasts_scalars(spark, sf_dir):
     plan = plan_of(QUERIES["robust_outliers"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_hybrid_search_prunes_doc_scan(spark, sf_dir):
+    """the documents scan must read only (doc_id, text) — the token
+    arrays derive from text, nothing else crosses the broadcast."""
+    plan = plan_of(QUERIES["hybrid_search"](spark, sf_dir))
+    schemas = [l.strip() for l in plan.splitlines() if "ReadSchema" in l]
+    doc_lines = [s for s in schemas if "text" in s]
+    assert doc_lines, schemas
+    for s in doc_lines:
+        for unused in ("lang", "source", "n_chars"):
+            assert unused not in s, s
