@@ -90,6 +90,13 @@ _FRONT = [
     "pii_redaction",
     "doc_chunking",
     "corpus_prep_pipeline",
+    # round-2 late block: retrieval / bloom gate / tokenizer prep
+    "bm25_topk",
+    "bloom_dedup",
+    "knn_classify",
+    "dedup_report",
+    "stratified_kfold",
+    "bpe_merges",
     # multimodal
     "multimodal_meta",
     "multimodal_frames",

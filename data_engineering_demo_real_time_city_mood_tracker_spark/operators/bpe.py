@@ -1,0 +1,112 @@
+"""Distributed BPE merge training (tokenizer prep for LLM corpora).
+
+Classic byte-pair-encoding merge learning (Sennrich et al. 2016,
+public algorithm), re-shaped for Spark: the corpus collapses to a
+word-frequency table in ONE shuffle (vocabulary-sized from then on —
+Zipf makes this tiny relative to the corpus), and every merge round
+is a map-only pair-merge over that table plus one tiny aggregation to
+pick the next pair. The per-round driver collect is a single (pair,
+count) row — O(1), like the k-means centroid collect. At 100 TB the
+iteration frame is ~10^7 vocabulary rows regardless of corpus size.
+
+Merging is a JVM-side ``F.aggregate`` left fold over the symbol
+array — greedy leftmost non-overlapping application, exactly the BPE
+rule semantics — so there is no Python in the loop and no regex
+escaping hazard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
+
+
+def word_frequencies(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(word, weight) — the one corpus-wide shuffle (map-side combined)."""
+    toked = docs.select(T.tokens(F.col(text_col)).alias("_toks"))
+    return (
+        toked.select(F.explode("_toks").alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def _merge_pair(syms, left: str, right: str):
+    """greedy leftmost non-overlapping merge of (left, right) in a
+    symbol array, as a codegen'd left fold: a just-merged symbol never
+    re-matches as ``left`` within the same pass (its text differs),
+    matching the standard simultaneous-application rule."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(pair_left, pair_right, n) weighted adjacent-pair counts."""
+    pairs = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("l"),
+                F.element_at("syms", (i + 1).cast("int")).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        words.select(F.explode(pairs).alias("p"), "weight")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("weight").alias("n"))
+    )
+
+
+def train_bpe(docs: DataFrame, text_col: str, id_col: str, n_merges: int = 8) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns (rank, left, right,
+    pair_count) with rank 1 = first merge learned. Deterministic:
+    ties on count break on (left, right) lexicographic order."""
+    spark = docs.sparkSession
+    words = word_frequencies(docs, text_col, id_col).withColumn(
+        "syms", F.split("word", "")
+    )
+    words = words.persist()
+    words.count()  # materialize the vocabulary once
+    merges: list[tuple[int, str, str, int]] = []
+    live = words
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (
+                _pair_counts(live)
+                .orderBy(F.col("n").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+            merges.append((rank, left, right, n))
+            nxt = live.select(
+                "word", "weight", _merge_pair(F.col("syms"), left, right).alias("syms")
+            ).persist()
+            nxt.count()  # cut lineage growth per round
+            if live is not words:
+                live.unpersist()
+            live = nxt
+    finally:
+        if live is not words:
+            live.unpersist()
+        words.unpersist()
+    return spark.createDataFrame(
+        merges, "rank bigint, left string, right string, pair_count bigint"
+    )

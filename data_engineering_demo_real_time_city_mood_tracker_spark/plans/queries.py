@@ -35,6 +35,7 @@ from data_engineering_demo_real_time_city_mood_tracker_spark.functions.scoring i
 )
 from data_engineering_demo_real_time_city_mood_tracker_spark.functions.sentiment import sentiment, sentiment_sql
 from data_engineering_demo_real_time_city_mood_tracker_spark.operators import (
+    bpe,
     dedup,
     joins,
     multimodal,
@@ -4146,3 +4147,380 @@ def q_join_key_skew_profile(spark, sf_dir):
         "p99_rows",
         "n_keys",
     )
+
+
+# --------------------------------------------------------------------------
+# lexical retrieval / bloom-gated incremental dedup / tokenizer prep
+# (round-2 additions beyond the first LLM-pipeline block)
+
+
+def _hex4_sql(col: str, off: int, mod: int) -> str:
+    """DuckDB: 4 hex digits of ``col`` starting at 1-based ``off`` as an
+    integer mod ``mod`` — mirrors Spark ``conv(substring(col,off,4),16,10)``."""
+    d = [
+        f"(strpos('0123456789abcdef', substr({col}, {off + i}, 1)) - 1)"
+        for i in range(4)
+    ]
+    return f"(((({d[0]} * 16 + {d[1]}) * 16 + {d[2]}) * 16 + {d[3]}) % {mod})"
+
+
+def _hex4(col, off: int, mod: int):
+    """Spark twin of :func:`_hex4_sql`."""
+    return F.conv(F.substring(col, off, 4), 16, 10).cast("long") % mod
+
+
+@register(
+    "dedup_report",
+    f"""WITH normd AS (
+  SELECT source, md5({_docs_norm_sql()}) AS fp FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS dup_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM normd GROUP BY source""",
+)
+def q_dedup_report(spark, sf_dir):
+    """dedup audit: per-source doc counts, distinct fingerprints and
+    duplication rate — the measurement a pipeline runs BEFORE choosing
+    a dedup strategy (and after, to prove the purge). One (source,
+    fp)-keyed distinct inside a source-keyed agg; source cardinality
+    is tiny so the final agg is a broadcast-scale frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    normd = docs.select("source", T.fingerprint(F.col("text")).alias("fp"))
+    g = normd.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_unique"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).cast("long").alias("dup_docs"),
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs")
+        ).alias("dup_rate"),
+    )
+
+
+@register(
+    "stratified_kfold",
+    f"""WITH assigned AS (
+  SELECT lang, {_hex4_sql("md5(CAST(doc_id AS VARCHAR))", 1, 5)} AS fold
+  FROM documents
+),
+g AS (
+  SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM assigned GROUP BY fold, lang
+)
+SELECT fold, lang, n_docs,
+       n_docs / CAST(SUM(n_docs) OVER (PARTITION BY fold) AS DOUBLE) AS share
+FROM g""",
+)
+def q_stratified_kfold(spark, sf_dir):
+    """deterministic k-fold assignment (k=5) by md5(doc_id) — the
+    cross-validation twin of train_test_split: byte-identical folds
+    across re-runs and engines, no RNG, map-only assignment. Returns
+    the per-(fold, lang) balance profile — 25 rows — so fold skew is
+    audited in the same pass. One bounded-cardinality shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "lang",
+        _hex4(F.md5(F.col("doc_id").cast("string")), 1, 5).alias("fold"),
+    )
+    g = assigned.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("fold")
+    return g.select(
+        "fold",
+        "lang",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w).cast("double")).alias("share"),
+    )
+
+
+@register(
+    "knn_classify",
+    f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_COS_SQL} AS cos_sim
+  FROM v q JOIN v c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+),
+topk AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rnk
+    FROM scored
+  ) t WHERE rnk <= 5
+),
+votes AS (
+  SELECT t.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.corpus_id
+  GROUP BY t.query_id, e.label
+)
+SELECT query_id, label AS pred_label, votes FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+  FROM votes
+) t WHERE rn = 1""",
+)
+def q_knn_classify(spark, sf_dir):
+    """k-NN label prediction (k=5 cosine neighbors, majority vote,
+    deterministic tie-break on votes desc then label asc) — the
+    standard auto-labeling / label-propagation step when extending a
+    hand-labeled seed set over a large corpus. Composes the exact
+    top-k operator (operators/similarity.py) with a broadcast label
+    join; vote counting happens on the k×|queries| frame, never the
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nb = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5
+    )
+    labels = emb.select(F.col("vec_id").alias("corpus_id"), "label")
+    votes = (
+        nb.join(F.broadcast(labels), "corpus_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+_BLOOM_M = 4096  # bits; sized ~10x the sf0.01 corpus keys (see docstring)
+
+
+@register(
+    "bloom_dedup",
+    f"""WITH fps AS (
+  SELECT doc_id, md5({_docs_norm_sql()}) AS fp FROM documents
+),
+pos AS (
+  SELECT doc_id, fp,
+         {_hex4_sql('fp', 1, _BLOOM_M)} AS p0, {_hex4_sql('fp', 5, _BLOOM_M)} AS p1,
+         {_hex4_sql('fp', 9, _BLOOM_M)} AS p2, {_hex4_sql('fp', 13, _BLOOM_M)} AS p3
+  FROM fps
+),
+corpus AS (SELECT * FROM pos WHERE doc_id % 10 != 0),
+bitmap AS (
+  SELECT list(DISTINCT p) AS bits
+  FROM (SELECT unnest([p0, p1, p2, p3]) AS p FROM corpus)
+),
+newb AS (SELECT * FROM pos WHERE doc_id % 10 = 0),
+probed AS (
+  SELECT n.doc_id, n.fp,
+         list_has_all(b.bits, [n.p0, n.p1, n.p2, n.p3]) AS maybe_dup
+  FROM newb n CROSS JOIN bitmap b
+)
+SELECT p.doc_id, p.fp, p.maybe_dup,
+       (p.maybe_dup AND c.fp IS NOT NULL) AS true_dup
+FROM probed p LEFT JOIN (SELECT DISTINCT fp FROM corpus) c ON p.fp = c.fp""",
+)
+def q_bloom_dedup(spark, sf_dir):
+    """bloom-filter-gated incremental dedup: the standing corpus
+    (doc_id % 10 != 0) is summarized into a 4096-bit bloom filter
+    (k=4 positions from md5 hex quartets); the incoming batch probes
+    the filter MAP-ONLY and only probe survivors pay the exact
+    fingerprint anti-join. This is the cheap front gate for the
+    per-crawl increment path (dedup_incremental): at 100 TB the
+    bitmap is a few hundred MB broadcast once, the probe never
+    shuffles, and the exact join runs on the (tiny) maybe-dup subset.
+    Here the bitmap rides the plan as an m/64-long packed-words
+    literal (the real bloom shape) whose every bit derives from md5
+    quartets the oracle reproduces; no false negatives by
+    construction (true_dup ⇒ maybe_dup, test-asserted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # no _spread: the fingerprint map is light (one normalize+md5), so
+    # the repartition shuffle costs more than it parallelizes here
+    fps = docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    pos = fps.select(
+        "doc_id",
+        "fp",
+        *[_hex4(F.col("fp"), 4 * j + 1, _BLOOM_M).alias(f"p{j}") for j in range(4)],
+    )
+    corpus = pos.filter(F.col("doc_id") % 10 != 0)
+    bits = sorted(
+        r["p"]
+        for r in corpus.select(
+            F.explode(F.array("p0", "p1", "p2", "p3")).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    newb = pos.filter(F.col("doc_id") % 10 == 0)
+    # The bitmap rides the plan as the REAL bloom shape: m bits packed
+    # into m/64 longs, probed with shift-and-mask codegen. (First cuts
+    # tried here and rejected: 4x isin(|bits| literals) — plan analysis
+    # alone cost 10.9 s at sf0.1; array_contains over an F.lit(list) —
+    # 1.8 s of Py4J literal conversion per plan. The packed form is 64
+    # longs: microseconds to build, O(1) per probe.)
+    packed = [0] * (_BLOOM_M // 64)
+    for p in bits:
+        packed[p >> 6] |= 1 << (p & 63)
+    words_sql = (
+        "array("
+        + ",".join(f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in packed)
+        + ")"
+    )
+
+    def _bit(pc: str) -> str:
+        return (
+            f"((shiftright(element_at({words_sql}, "
+            f"cast(shiftright({pc}, 6) as int) + 1), "
+            f"cast(({pc} & 63) as int)) & 1) = 1)"
+        )
+
+    maybe = F.expr(" AND ".join(_bit(f"p{j}") for j in range(4)))
+    probed = newb.select("doc_id", "fp", maybe.alias("maybe_dup"))
+    cfp = corpus.select("fp").distinct().withColumn("_hit", F.lit(1))
+    hits = (
+        probed.filter(F.col("maybe_dup"))
+        .join(cfp, "fp", "left")
+        .select(
+            "doc_id", "fp", "maybe_dup", F.col("_hit").isNotNull().alias("true_dup")
+        )
+    )
+    misses = probed.filter(~F.col("maybe_dup")).withColumn("true_dup", F.lit(False))
+    return hits.unionByName(misses.select("doc_id", "fp", "maybe_dup", "true_dup"))
+
+
+# BM25-lite: the standard BM25 shape (k1=1.2, b=0.75) with the log
+# dropped from the idf — (N - df + 0.5)/(df + 0.5) is a monotone
+# transform of the classic idf, keeping ranking behavior while every
+# arithmetic step stays a plain IEEE op both engines execute
+# identically (ln differs by ulps across libms; see module docstring
+# parity rules).
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "fast"), (1, "table"), (1, "scan"),
+    (2, "window"), (2, "merge"), (2, "stream"),
+    (3, "vector"), (3, "hash"), (3, "join"),
+]
+_BM25_TERMS = sorted({t for _, t in _BM25_QUERIES})
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_BM25_VALUES_SQL = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+
+@register(
+    "bm25_topk",
+    f"""WITH q AS (SELECT * FROM (VALUES {_BM25_VALUES_SQL}) AS t(query_id, term)),
+normd AS (SELECT doc_id, {_docs_norm_sql()} AS norm FROM documents),
+tok AS (
+  SELECT doc_id, len(string_split(norm, ' ')) AS dl,
+         unnest(string_split(norm, ' ')) AS tok
+  FROM normd
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         {davg_sql("len(string_split(norm, ' '))", 0)} AS avgdl
+  FROM normd
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+  FROM tok WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY tok
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id, q.term,
+         ((CAST(s.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+         * (CAST(tf.tf AS DOUBLE) * 2.2)
+         / (CAST(tf.tf AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))) AS s
+  FROM q JOIN tf ON tf.tok = q.term JOIN df ON df.tok = q.term CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         list_reduce(list(s ORDER BY term), (acc, x) -> acc + x) AS score
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_terms, score, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM agg
+) t WHERE rnk <= 10""",
+)
+def q_bm25_topk(spark, sf_dir):
+    """BM25-lite lexical retrieval, top-10 docs for 3 query strings.
+    Search-engine-shaped at scale: the corpus pays ONE tokenize pass
+    whose explode is filtered to query terms BEFORE the exchange, so
+    only the query-term postings (a vanishing fraction of 100 TB)
+    shuffle into tf; df and the query table are vocabulary-/constant-
+    sized broadcasts; corpus stats (N, avgdl) are one tiny agg
+    embedded as plan literals. Per-(query, doc) term scores fold in
+    sorted term order so the double sum is partition-order
+    independent and bitwise equal to the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = dedup._spread(docs).select(
+        "doc_id", T.tokens(F.col("text")).alias("_toks")
+    )
+    toked = base.select(
+        "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("tok")
+    )
+    stats = (
+        base.select(F.size("_toks").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg(F.col("dl"), 0).alias("avgdl"),
+        )
+        .first()
+    )
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    hits = toked.filter(F.col("tok").isin(_BM25_TERMS))
+    tf = hits.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.min("dl").alias("dl")
+    )
+    dfr = hits.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    idf = ((F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    num = F.col("tf").cast("double") * F.lit(2.2)
+    den = F.col("tf").cast("double") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.lit(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfr), "tok")
+        .join(F.broadcast(qdf), F.col("tok") == F.col("term"))
+        .select("query_id", "doc_id", "term", (idf * num / den).alias("s"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("term").alias("t"), F.col("s").alias("s")))
+        ).alias("_ts"),
+    )
+    agg = agg.withColumn(
+        "score",
+        F.aggregate(F.col("_ts"), F.lit(0.0), lambda acc, x: acc + x["s"]),
+    ).drop("_ts")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "query_id", "doc_id", "n_terms", "score", F.col("rnk").cast("long").alias("rnk")
+        )
+    )
+
+
+@register("bpe_merges")  # iterative (one driver-picked pair per round) → rows-only
+def q_bpe_merges(spark, sf_dir):
+    """distributed BPE tokenizer training: learn the first 8 merge
+    rules over the corpus (operators/bpe.py). The corpus collapses to
+    a word-frequency table in one shuffle; every round after that is
+    vocabulary-sized. Rows-only: the 8-round iteration isn't
+    SQL-expressible, its invariants are test-asserted
+    (tests/test_operators.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.train_bpe(docs, "text", "doc_id", n_merges=8)

@@ -83,3 +83,51 @@ def test_two_phase_cc_deep_and_random_graphs(spark):
     star = {(r.id, r.cluster) for r in connected_components_star(df).collect()}
     prop = {(r.id, r.cluster) for r in connected_components(df, max_iter=50).collect()}
     assert star == prop
+
+
+def test_bpe_learns_expected_merges(spark):
+    """BPE on the classic toy corpus: the most frequent adjacent pair
+    merges first, greedy leftmost application, deterministic
+    (count desc, pair asc) tie-break."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.bpe import train_bpe
+
+    # "low" x5, "lower" x2, "newest" x6, "widest" x3 — textbook example
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = train_bpe(docs, "text", "doc_id", n_merges=4).collect()
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"]) for r in merges]
+    # pair counts over word frequencies: (e,s)=9, (s,t)=9, (t? ...);
+    # tie on 9 breaks lexicographically: ("e","s") < ("s","t").
+    assert got[0] == (1, "e", "s", 9)
+    assert got[1] == (2, "es", "t", 9)
+    # after "est": newest->n e w est (6), widest->w i d est (3):
+    # next best is (l,o)=7 from low/lower
+    assert got[2] == (3, "l", "o", 7)
+    assert got[3] == (4, "lo", "w", 7)
+
+
+def test_bpe_merge_fold_is_greedy_nonoverlapping(spark):
+    """'a a a a' under merge (a,a) becomes 'aa aa', never 'aaa a' —
+    a just-merged symbol cannot re-match within the same pass."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.bpe import _merge_pair
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a"],), (["a", "b", "a", "b"],), (["x"],)],
+        "syms array<string>",
+    )
+    got = [r[0] for r in df.select(_merge_pair(F.col("syms"), "a", "a")).collect()]
+    assert got[0] == ["aa", "aa"]
+    assert got[1] == ["a", "b", "a", "b"]
+    assert got[2] == ["x"]
+
+
+def test_bpe_charization_has_no_empty_symbols(spark):
+    """F.split(word, '') must yield exactly the characters (no empty
+    trailing element) — the symbol alphabet the first round counts."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("abc",), ("x",)], "word string")
+    got = [r[0] for r in df.select(F.split("word", "")).collect()]
+    assert got == [["a", "b", "c"], ["x"]]

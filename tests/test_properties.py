@@ -472,3 +472,26 @@ def test_image_dedup_finds_exactly_planted_groups(spark, sf_dir):
     for r in rows:
         assert r.id_a // 3 == r.id_b // 3, f"cross-group pair {r}"
         assert r.hamming <= 4
+
+
+def test_bloom_dedup_no_false_negatives_and_fold_coverage(spark, sf_dir):
+    """bloom gate invariant: every true duplicate is flagged maybe_dup
+    (no false negatives — the property that makes the bloom front
+    gate safe); stratified_kfold covers all 5 folds and each fold's
+    shares sum to 1."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+
+    rows = QUERIES["bloom_dedup"](spark, sf_dir).collect()
+    assert rows, "probe batch must be non-empty"
+    for r in rows:
+        if r["true_dup"]:
+            assert r["maybe_dup"], f"false negative at doc {r['doc_id']}"
+
+    folds = QUERIES["stratified_kfold"](spark, sf_dir).collect()
+    by_fold = {}
+    for r in folds:
+        by_fold.setdefault(r["fold"], 0.0)
+        by_fold[r["fold"]] += r["share"]
+    assert set(by_fold) == {0, 1, 2, 3, 4}
+    for f, s in by_fold.items():
+        assert abs(s - 1.0) < 1e-9, f"fold {f} shares sum to {s}"
