@@ -91,6 +91,10 @@ _FRONT = [
     "doc_chunking",
     "corpus_prep_pipeline",
     # round-2 late block: retrieval / bloom gate / tokenizer prep
+    "returned_revenue_customers",
+    "important_parts",
+    "supplier_part_variety",
+    "dominant_part_suppliers",
     "bm25_topk",
     "bloom_dedup",
     "knn_classify",

@@ -4524,3 +4524,211 @@ def q_bpe_merges(spark, sf_dir):
     (tests/test_operators.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe.train_bpe(docs, "text", "doc_id", n_merges=8)
+
+
+# --------------------------------------------------------------------------
+# final TPC-H shapes (Q10 / Q11 / Q16 / Q20 analogs) — with these, every
+# TPC-H query shape has a registry twin on the driver's star schema
+# (partsupp-dependent queries derive the supply relation from lineitem)
+
+
+_DEC2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+@register(
+    "returned_revenue_customers",
+    f"""SELECT c_custkey, c_name, n_name, c_acctbal,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-04-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY SUM({_REV_SQL}) DESC, c_custkey
+LIMIT 20""",
+)
+def q_returned_revenue_customers(spark, sf_dir):
+    """TPC-H Q10: top-20 customers by revenue lost to returns in a
+    quarter. Plan beats the textbook join order at scale: the fact
+    join aggregates to (custkey, revenue) FIRST and takes its top-20
+    — customer attributes are 1:1 with the group key, so the
+    (broadcast) customer⋈nation join runs on 20 rows, not the whole
+    agg. At 100 TB customer does not broadcast into the fact join;
+    here it never has to."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.sum(_DEC2("l_extendedprice") * (F.lit(1) - _DEC2("l_discount")))
+    top = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(rev.alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("o_custkey"))
+        .limit(20)
+    )
+    return (
+        top.join(F.broadcast(cust), top.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "c_acctbal",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "important_parts",
+    f"""WITH supplied AS (
+  SELECT l_partkey, {_REV_SQL} AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+byp AS (SELECT l_partkey, SUM(val) AS value_dec FROM supplied GROUP BY l_partkey),
+tot AS (SELECT SUM(val) AS total FROM supplied)
+SELECT l_partkey AS partkey, CAST(value_dec AS DOUBLE) AS value
+FROM byp CROSS JOIN tot
+WHERE value_dec * 1000 > total""",
+)
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11: parts whose supplied value from one nation exceeds
+    0.1% of that nation's total. The threshold is the classic
+    agg-vs-scalar-subquery HAVING; both sums come off ONE (partkey)
+    shuffle of the filtered facts (the scalar total re-aggregates the
+    per-part partials, never the raw rows) and the 1-row total joins
+    back via broadcast. The comparison stays exact decimal
+    (value*1000 > total) — no float threshold drift between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supplied = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "l_partkey",
+            (_DEC2("l_extendedprice") * (F.lit(1) - _DEC2("l_discount"))).alias("val"),
+        )
+    )
+    byp = supplied.groupBy("l_partkey").agg(F.sum("val").alias("value_dec"))
+    tot = byp.agg(F.sum("value_dec").alias("total"))
+    return (
+        byp.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_dec") * 1000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value_dec").cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "supplier_part_variety",
+    """WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM supply
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#11'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+GROUP BY p_brand, p_type, p_size""",
+)
+def q_supplier_part_variety(spark, sf_dir):
+    """TPC-H Q16: how many distinct suppliers can provide each
+    (brand, type, size) — the supply relation derived from lineitem
+    (the schema has no partsupp), excluded suppliers (negative
+    balance, the complaints stand-in) removed by a broadcast
+    anti-join BEFORE the distinct so they never reach the exchange.
+    part is a broadcast dim with the brand/size slice pushed to its
+    scan; one (partkey, suppkey) distinct shuffle + one
+    distinct-count shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & F.col("p_size").isin([1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49])
+    )
+    excl = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    supply = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(excl), "l_suppkey", "left_anti")
+        .distinct()
+    )
+    return (
+        supply.join(F.broadcast(part), supply.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    """WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+parttot AS (SELECT l_partkey, SUM(qty) AS tot FROM shipped GROUP BY l_partkey),
+dominant AS (
+  SELECT DISTINCT s.l_suppkey
+  FROM shipped s JOIN parttot t ON s.l_partkey = t.l_partkey
+  WHERE s.qty * 2 > t.tot
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name IN
+    ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4'))""",
+)
+def q_dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20: suppliers in a nation group who shipped more than
+    half of some part's yearly volume (the excess-availability
+    nested-subquery chain, on the lineitem-derived supply relation).
+    The year slice pushes to the fact scan; parttot re-aggregates the
+    (partkey, suppkey) partials — mergeable partials, no second fact
+    scan; the dominance filter is exact decimal (qty*2 > tot); the
+    surviving supplier keys semi-join the supplier dim with the
+    nation slice broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin([f"NATION_{i}" for i in range(5)])
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_DEC2("l_quantity")).alias("qty")
+    )
+    parttot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("tot"))
+    dominant = (
+        shipped.join(parttot, "l_partkey")
+        .filter(F.col("qty") * 2 > F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            F.broadcast(nations), supp.s_nationkey == nations.n_nationkey, "left_semi"
+        )
+        .join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
