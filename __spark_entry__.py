@@ -91,6 +91,7 @@ _FRONT = [
     "doc_chunking",
     "corpus_prep_pipeline",
     # round-2 late block: retrieval / bloom gate / tokenizer prep
+    "data_quality_report",
     "returned_revenue_customers",
     "important_parts",
     "supplier_part_variety",

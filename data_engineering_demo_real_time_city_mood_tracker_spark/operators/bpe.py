@@ -81,17 +81,22 @@ def train_bpe(docs: DataFrame, text_col: str, id_col: str, n_merges: int = 8) ->
         "syms", F.split("word", "")
     )
     words = words.persist()
-    words.count()  # materialize the vocabulary once
     merges: list[tuple[int, str, str, int]] = []
-    live = words
+    live, prev = words, None
     try:
         for rank in range(1, n_merges + 1):
+            # this collect is the round's ONLY job: it computes the pair
+            # counts AND populates `live`'s cache as a side effect, so
+            # no separate materialization pass is needed (a per-round
+            # nxt.count() cost ~2 s of pure job overhead at sf0.1)
             top = (
                 _pair_counts(live)
                 .orderBy(F.col("n").desc(), "l", "r")
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()  # safe: `live` is materialized now
             if not top:
                 break
             left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
@@ -99,14 +104,11 @@ def train_bpe(docs: DataFrame, text_col: str, id_col: str, n_merges: int = 8) ->
             nxt = live.select(
                 "word", "weight", _merge_pair(F.col("syms"), left, right).alias("syms")
             ).persist()
-            nxt.count()  # cut lineage growth per round
-            if live is not words:
-                live.unpersist()
-            live = nxt
+            live, prev = nxt, live
     finally:
-        if live is not words:
-            live.unpersist()
-        words.unpersist()
+        for df in (live, prev, words):
+            if df is not None:
+                df.unpersist()
     return spark.createDataFrame(
         merges, "rank bigint, left string, right string, pair_count bigint"
     )

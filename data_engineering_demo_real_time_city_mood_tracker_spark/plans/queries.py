@@ -4732,3 +4732,84 @@ def q_dominant_part_suppliers(spark, sf_dir):
         .join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+@register(
+    "data_quality_report",
+    """WITH base AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS row_count,
+         CAST(COUNT(*) - COUNT(value) AS DOUBLE) / COUNT(*) AS null_value_rate,
+         CAST(COUNT(*) - COUNT(props) AS DOUBLE) / COUNT(*) AS null_props_rate,
+         CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS distinct_event_types,
+         CAST(COUNT(*) - COUNT(DISTINCT event_id) AS DOUBLE) AS duplicate_event_ids,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value,
+         CAST(COUNT(CASE WHEN value < 0 OR value > 400 THEN 1 END) AS DOUBLE)
+           AS value_range_violations
+  FROM events
+),
+orph AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM lineitem
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+),
+dupk AS (
+  SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS v FROM orders
+)
+SELECT 'row_count' AS metric, row_count AS value FROM base
+UNION ALL SELECT 'null_value_rate', null_value_rate FROM base
+UNION ALL SELECT 'null_props_rate', null_props_rate FROM base
+UNION ALL SELECT 'distinct_event_types', distinct_event_types FROM base
+UNION ALL SELECT 'duplicate_event_ids', duplicate_event_ids FROM base
+UNION ALL SELECT 'min_value', min_value FROM base
+UNION ALL SELECT 'max_value', max_value FROM base
+UNION ALL SELECT 'value_range_violations', value_range_violations FROM base
+UNION ALL SELECT 'orphan_lineitems', v FROM orph
+UNION ALL SELECT 'duplicate_orderkeys', v FROM dupk""",
+)
+def q_data_quality_report(spark, sf_dir):
+    """Deequ-style data-quality audit as a typed (metric, value)
+    report: completeness (null rates), uniqueness (duplicate keys),
+    cardinality, range violations, and cross-table referential
+    integrity (orphan facts). All eight single-table metrics come off
+    ONE aggregation pass over events — no per-check scans, which is
+    the difference between a usable and an unaffordable quality gate
+    at 100 TB; the two integrity checks add one anti-join count and
+    one key-distinct count. The 1-row metric frames unpivot via
+    ``stack`` into the report shape a pipeline gate consumes."""
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    base = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n_value"),
+        F.count("props").alias("n_props"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.when((F.col("value") < 0) | (F.col("value") > 400), 1)).alias(
+            "n_oob"
+        ),
+    ).select(
+        F.expr(
+            "stack(8,"
+            " 'row_count', cast(n as double),"
+            " 'null_value_rate', cast(n - n_value as double) / n,"
+            " 'null_props_rate', cast(n - n_props as double) / n,"
+            " 'distinct_event_types', cast(n_types as double),"
+            " 'duplicate_event_ids', cast(n - n_ids as double),"
+            " 'min_value', min_value,"
+            " 'max_value', max_value,"
+            " 'value_range_violations', cast(n_oob as double)"
+            ") as (metric, value)"
+        )
+    )
+    orph = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(F.lit("orphan_lineitems").alias("metric"), "value")
+    )
+    dupk = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("double").alias("value")
+    ).select(F.lit("duplicate_orderkeys").alias("metric"), "value")
+    return base.unionByName(orph).unionByName(dupk)

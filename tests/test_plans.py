@@ -308,3 +308,43 @@ def test_hybrid_search_prunes_doc_scan(spark, sf_dir):
     for s in doc_lines:
         for unused in ("lang", "source", "n_chars"):
             assert unused not in s, s
+
+
+def test_bm25_broadcasts_and_filters_before_exchange(spark, sf_dir):
+    """bm25: df/query tables broadcast (no fact-fact SMJ), and the
+    query-term filter sits below the tf exchange so only query-term
+    postings shuffle."""
+    plan = plan_of(QUERIES["bm25_topk"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    gen = plan.index("Generate")  # the token explode
+    exch = plan.index("Exchange")
+    filt = plan.find("Filter", gen, len(plan))
+    assert gen < filt, "term filter must exist above the explode"
+
+
+def test_returned_revenue_joins_after_topk(spark, sf_dir):
+    """Q10 analog: the 20-row TakeOrdered happens on the fact agg;
+    customer/nation join only the 20 survivors (broadcast, no SMJ on
+    the dims)."""
+    plan = plan_of(QUERIES["returned_revenue_customers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the dim joins must consume the TakeOrdered output, not precede it
+    assert plan.index("TakeOrderedAndProject") > plan.index("BroadcastHashJoin")
+
+
+def test_supplier_variety_anti_join_broadcast(spark, sf_dir):
+    """Q16 analog: the excluded-supplier anti-join is broadcast and the
+    part slice is pushed to the part scan."""
+    plan = plan_of(QUERIES["supplier_part_variety"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "p_size IN" in plan or "In(p_size" in plan  # pushed slice
+
+
+def test_data_quality_single_events_scan(spark, sf_dir):
+    """the 8 single-table metrics must come from ONE events scan — a
+    per-check scan design would show up as multiple events readers."""
+    plan = plan_of(QUERIES["data_quality_report"](spark, sf_dir))
+    assert plan.count("events.parquet") == 1
