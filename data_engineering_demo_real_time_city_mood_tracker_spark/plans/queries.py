@@ -4188,7 +4188,9 @@ def q_dedup_report(spark, sf_dir):
     fp)-keyed distinct inside a source-keyed agg; source cardinality
     is tiny so the final agg is a broadcast-scale frame."""
     docs = load_table(spark, sf_dir, "documents")
-    normd = docs.select("source", T.fingerprint(F.col("text")).alias("fp"))
+    normd = dedup._spread(docs).select(
+        "source", T.fingerprint(F.col("text")).alias("fp")
+    )
     g = normd.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("fp").cast("long").alias("n_unique"),
@@ -4337,9 +4339,13 @@ def q_bloom_dedup(spark, sf_dir):
     quartets the oracle reproduces; no false negatives by
     construction (true_dup ⇒ maybe_dup, test-asserted)."""
     docs = load_table(spark, sf_dir, "documents")
-    # no _spread: the fingerprint map is light (one normalize+md5), so
-    # the repartition shuffle costs more than it parallelizes here
-    fps = docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    # _spread matters here: the fingerprint pipeline runs 3x (bitmap
+    # build, probe, exact verify) and a single-file corpus would pin
+    # all of it to 1-2 tasks (measured 21 s vs 6 s at a 50k-doc 10x
+    # stress; costs ~0.1 s of repartition at the 5k bench SF)
+    fps = dedup._spread(docs).select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
     pos = fps.select(
         "doc_id",
         "fp",
@@ -4356,29 +4362,32 @@ def q_bloom_dedup(spark, sf_dir):
     )
     newb = pos.filter(F.col("doc_id") % 10 == 0)
     # The bitmap rides the plan as the REAL bloom shape: m bits packed
-    # into m/64 longs, probed with shift-and-mask codegen. (First cuts
-    # tried here and rejected: 4x isin(|bits| literals) — plan analysis
-    # alone cost 10.9 s at sf0.1; array_contains over an F.lit(list) —
-    # 1.8 s of Py4J literal conversion per plan. The packed form is 64
-    # longs: microseconds to build, O(1) per probe.)
+    # into m/64 longs, probed with shift-and-mask codegen. It MUST be
+    # an F.lit array (a true Literal node). Rejected forms, measured:
+    # 4x isin(|bits| literals) — 10.9 s of plan analysis at sf0.1; an
+    # F.lit of the raw positions list — 1.8 s of Py4J conversion per
+    # plan; an `array(...)` SQL string — parses to CreateArray, which
+    # codegen re-materializes per row per reference (18.6 s vs 3.3 s
+    # on the 50k-doc stress once the probe sat inside the join stage).
     packed = [0] * (_BLOOM_M // 64)
     for p in bits:
         packed[p >> 6] |= 1 << (p & 63)
-    words_sql = (
-        "array("
-        + ",".join(f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in packed)
-        + ")"
-    )
+    blit = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in packed])
 
-    def _bit(pc: str) -> str:
-        return (
-            f"((shiftright(element_at({words_sql}, "
-            f"cast(shiftright({pc}, 6) as int) + 1), "
-            f"cast(({pc} & 63) as int)) & 1) = 1)"
+    def _bit(pc: str):
+        word = F.element_at(blit, (F.shiftright(F.col(pc), 6) + F.lit(1)).cast("int"))
+        shifted = F.call_function(
+            "shiftright", word, F.col(pc).bitwiseAND(F.lit(63)).cast("int")
         )
+        return shifted.bitwiseAND(F.lit(1)) == 1
 
-    maybe = F.expr(" AND ".join(_bit(f"p{j}") for j in range(4)))
-    probed = newb.select("doc_id", "fp", maybe.alias("maybe_dup"))
+    maybe = _bit("p0") & _bit("p1") & _bit("p2") & _bit("p3")
+    # persist: the probe frame feeds BOTH union branches (hits +
+    # misses) and the join stage otherwise re-derives the whole
+    # normalize→md5→positions pipeline per consumer (measured 23 s vs
+    # 6 s on the 50k-doc stress); the cached frame is three narrow
+    # columns, exactly what a production bloom gate would checkpoint
+    probed = newb.select("doc_id", "fp", maybe.alias("maybe_dup")).persist()
     cfp = corpus.select("fp").distinct().withColumn("_hit", F.lit(1))
     hits = (
         probed.filter(F.col("maybe_dup"))
