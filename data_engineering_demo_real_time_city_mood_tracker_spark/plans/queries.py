@@ -4471,8 +4471,17 @@ def q_bm25_topk(spark, sf_dir):
     base = dedup._spread(docs).select(
         "doc_id", T.tokens(F.col("text")).alias("_toks")
     )
-    toked = base.select(
-        "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("tok")
+    # the term filter runs INSIDE the token array, before the explode:
+    # the Generate emits only query-term postings (a Filter placed
+    # above the explode instead both materializes the full token
+    # stream and trips the Generate-inlining trap from SURVEY §6 —
+    # the tokenizer re-evaluates per exploded row)
+    hits = base.select(
+        "doc_id",
+        F.size("_toks").alias("dl"),
+        F.explode(
+            F.filter("_toks", lambda t: t.isin(_BM25_TERMS))
+        ).alias("tok"),
     )
     stats = (
         base.select(F.size("_toks").alias("dl"))
@@ -4483,13 +4492,15 @@ def q_bm25_topk(spark, sf_dir):
         .first()
     )
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    hits = toked.filter(F.col("tok").isin(_BM25_TERMS))
+    # persisted: tf is the query-term postings list (corpus-vanishing
+    # size) and feeds both the score join and the df derivation — one
+    # corpus tokenize pass total, not one per consumer
     tf = hits.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf"), F.min("dl").alias("dl")
-    )
-    dfr = hits.groupBy("tok").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
-    )
+    ).persist()
+    # df derives from tf — one row per (doc, tok) — instead of a second
+    # tokenize+explode pass over the corpus
+    dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     idf = ((F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5)) / (
         F.col("df").cast("double") + F.lit(0.5)

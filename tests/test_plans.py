@@ -310,17 +310,18 @@ def test_hybrid_search_prunes_doc_scan(spark, sf_dir):
             assert unused not in s, s
 
 
-def test_bm25_broadcasts_and_filters_before_exchange(spark, sf_dir):
+def test_bm25_broadcasts_and_filters_inside_explode(spark, sf_dir):
     """bm25: df/query tables broadcast (no fact-fact SMJ), and the
-    query-term filter sits below the tf exchange so only query-term
-    postings shuffle."""
+    query-term filter runs INSIDE the token array so the Generate
+    emits only query-term postings (never the full token stream)."""
     plan = plan_of(QUERIES["bm25_topk"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
-    gen = plan.index("Generate")  # the token explode
-    exch = plan.index("Exchange")
-    filt = plan.find("Filter", gen, len(plan))
-    assert gen < filt, "term filter must exist above the explode"
+    # formatted mode prints the Generate expression in an Arguments
+    # block: assert the explode runs over the filtered array and no
+    # unfiltered full-token explode exists anywhere in the plan
+    assert "Generate" in plan and "explode(filter(" in plan
+    assert "explode(_toks" not in plan, "unfiltered token explode in plan"
 
 
 def test_returned_revenue_joins_after_topk(spark, sf_dir):
