@@ -4644,7 +4644,11 @@ def q_important_parts(spark, sf_dir):
             (_DEC2("l_extendedprice") * (F.lit(1) - _DEC2("l_discount"))).alias("val"),
         )
     )
-    byp = supplied.groupBy("l_partkey").agg(F.sum("val").alias("value_dec"))
+    # persisted: the per-part partials feed both the scalar total and
+    # the threshold filter; without it the second branch rescans and
+    # re-joins the whole fact table (exchange reuse does not fire
+    # across the two differently-pruned subtrees)
+    byp = supplied.groupBy("l_partkey").agg(F.sum("val").alias("value_dec")).persist()
     tot = byp.agg(F.sum("value_dec").alias("total"))
     return (
         byp.crossJoin(F.broadcast(tot))
@@ -4738,9 +4742,14 @@ def q_dominant_part_suppliers(spark, sf_dir):
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(_DEC2("l_quantity")).alias("qty")
     )
-    parttot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("tot"))
+    # part totals as a window over the (partkey, suppkey) partials —
+    # a separate parttot groupBy branch does NOT get its exchange
+    # reused (column pruning de-canonicalizes the subtrees) and
+    # rescans the whole fact table; the window re-shuffles only the
+    # partials frame
+    wp = Window.partitionBy("l_partkey")
     dominant = (
-        shipped.join(parttot, "l_partkey")
+        shipped.withColumn("tot", F.sum("qty").over(wp))
         .filter(F.col("qty") * 2 > F.col("tot"))
         .select("l_suppkey")
         .distinct()
