@@ -1402,10 +1402,13 @@ WHERE r = (SELECT MAX(r) FROM rev)""",
 )
 def q_top_supplier(spark, sf_dir):
     """Q15-style max-over-aggregate subquery: supplier(s) with the top
-    quarterly revenue. The revenue CTE is computed once (per-supplier
-    agg ≪ lineitem); the scalar max is a 1-row broadcast joined back —
-    no second scan of the fact table, and the equality compare is on
-    exact decimals so ties are handled identically to the oracle."""
+    quarterly revenue. The revenue partials are persisted so they are
+    computed once (per-supplier agg ≪ lineitem) — without the persist
+    the scalar-max branch silently rescans the fact table (exchange
+    reuse does not fire across the differently-pruned subtrees; found
+    by the plan-scan audit). The scalar max is a 1-row broadcast
+    joined back, and the equality compare is on exact decimals so
+    ties are handled identically to the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -1416,6 +1419,7 @@ def q_top_supplier(spark, sf_dir):
         )
         .groupBy("l_suppkey")
         .agg(F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))).alias("r"))
+        .persist()
     )
     mx = rev.agg(F.max("r").alias("mx"))
     return (
@@ -2223,15 +2227,18 @@ SELECT id, token, tf, df, score, rnk FROM (
 def q_tfidf_topk(spark, sf_dir):
     """per-doc top-5 terms by tf·(N/df) — a rational idf (no log) so
     the score is bitwise portable across engines. df side is small
-    (vocabulary) → broadcast; one explode feeds both tf and df."""
+    (vocabulary) → broadcast. The tf partials are persisted and df
+    DERIVES from them (one row per (id, token), so a per-token count
+    equals countDistinct(id) over the raw explode) — one tokenize
+    pass over the corpus instead of one per branch."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens as _tokens
 
     docs = load_table(spark, sf_dir, "documents")
     tok = dedup._spread(docs).select(
         F.col("doc_id").alias("id"), F.explode(_tokens(F.col("text"))).alias("token")
     )
-    tf = tok.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tok.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    tf = tok.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # scalar, embedded as a literal in the plan
     scored = tf.join(F.broadcast(df_t), "token").select(
         "id",
@@ -2923,10 +2930,12 @@ def q_token_df_stats(spark, sf_dir):
     rarest token's corpus df, total df mass, and a rare-token count
     (df*20 < |corpus| — integer compare, engine-exact). This is the
     df-based half of a CCNet-style quality scorer with none of the
-    float-log nondeterminism. Plan shape: one token-keyed shuffle to
-    build the df table (vocab-sized — natural-language vocabs are
-    millions of rows at web scale, so it BROADCASTS back), then one
-    doc_id-keyed agg over the exploded corpus. No corpus self-join.
+    float-log nondeterminism. Plan shape: ONE tokenize+explode pass
+    collapses to persisted (doc, tok, cnt) partials; the df table
+    (vocab-sized — natural-language vocabs are millions of rows at
+    web scale, so it BROADCASTS back) derives from the partials, and
+    the per-doc agg weights by cnt. No corpus self-join, no second
+    corpus scan.
     If the vocab outgrows broadcast, the same plan falls back to a
     sort-merge join on tok — still linear."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2934,18 +2943,21 @@ def q_token_df_stats(spark, sf_dir):
     toked = docs.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
     )
-    df_tbl = (
-        toked.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    )
+    # everything derives from the persisted (doc, tok, cnt) partials —
+    # one tokenize pass: df is a per-token count of the partials
+    # (== countDistinct(doc) over the raw explode), and the per-doc
+    # stats weight each token's contribution by cnt
+    tf = toked.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
-        toked.join(F.broadcast(df_tbl), "tok")
+        tf.join(F.broadcast(df_tbl), "tok")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
             F.min("df").alias("min_df"),
-            F.sum("df").cast("long").alias("sum_df"),
+            F.sum(F.col("df") * F.col("cnt")).cast("long").alias("sum_df"),
             F.sum(
-                F.when(F.col("df") * 20 < F.lit(n_docs), 1).otherwise(0)
+                F.when(F.col("df") * 20 < F.lit(n_docs), F.col("cnt")).otherwise(0)
             )
             .cast("long")
             .alias("n_rare"),
@@ -4129,7 +4141,11 @@ def q_join_key_skew_profile(spark, sf_dir):
     1-row global profile joins back via broadcast. Run it on the
     build-side key of any problem join before choosing a strategy."""
     li = load_table(spark, sf_dir, "lineitem")
-    pk = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    # persisted: the key-cardinality partials feed both the global
+    # profile and the top-k — unpersisted, the profile branch rescans
+    # the fact table (exchange reuse does not fire across the
+    # differently-pruned subtrees)
+    pk = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows")).persist()
     glob = pk.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("n_rows").cast("long").alias("total_rows"),
@@ -4283,8 +4299,12 @@ def q_knn_classify(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5
     )
     labels = emb.select(F.col("vec_id").alias("corpus_id"), "label")
+    # broadcast the k×|queries| top-k frame INTO the label table, not
+    # the other way round: at corpus scale the label column is as big
+    # as the corpus and broadcasting it is a driver OOM, while the
+    # top-k side is always tiny
     votes = (
-        nb.join(F.broadcast(labels), "corpus_id")
+        labels.join(F.broadcast(nb), "corpus_id")
         .groupBy("query_id", "label")
         .agg(F.count(F.lit(1)).cast("long").alias("votes"))
     )
