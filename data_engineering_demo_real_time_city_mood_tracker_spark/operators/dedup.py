@@ -435,3 +435,188 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> None:
+    """Build a PERSISTENT dedup index — the lake-native twin of
+    :func:`build_ivf_index` for the text-dedup path:
+
+        path/fingerprints/  (fp, id)        exact-dup membership
+        path/postings/      (band, sig, id) minhash-LSH postings
+        path/shingles/      (id, sh)        verify-side shingle arrays
+        path/meta/          parameters (k, bands, rows_per_band)
+
+    Build once per corpus; each incoming crawl probes it map-side
+    (:func:`query_dedup_index`) and appends its survivors
+    (:func:`append_dedup_index`) — the standing corpus is NEVER
+    re-shingled, re-hashed, or re-deduped. Ids must be globally
+    unique across corpus and future batches.
+    """
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(k, bands, rows_per_band)], "k int, bands int, rows_per_band int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _index_rows(corpus, text_col, id_col, k, bands, rows_per_band, path, "overwrite")
+
+
+def append_dedup_index(
+    new_docs: DataFrame, text_col: str, id_col: str, path: str
+) -> None:
+    """Append a new batch's postings to an existing index (the
+    per-crawl increment — call with the batch's dedup survivors)."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    _index_rows(
+        new_docs,
+        text_col,
+        id_col,
+        int(meta["k"]),
+        int(meta["bands"]),
+        int(meta["rows_per_band"]),
+        path,
+        "append",
+    )
+
+
+def _index_rows(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    bands: int,
+    rows_per_band: int,
+    path: str,
+    mode: str,
+) -> None:
+    from pyspark import StorageLevel
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
+
+    docs.select(
+        F.col(id_col).alias("id"), T.fingerprint(F.col(text_col)).alias("fp")
+    ).write.mode(mode).parquet(f"{path}/fingerprints")
+    arr = _shingle_arrays(docs, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        arr.write.mode(mode).parquet(f"{path}/shingles")
+        sig = arr.select("id", *_sig_cols(bands * rows_per_band))
+        band_cols = []
+        for bidx in range(bands):
+            parts = [
+                F.col(f"h{bidx * rows_per_band + r}") for r in range(rows_per_band)
+            ]
+            band_cols.append(
+                F.struct(
+                    F.lit(bidx).alias("band"),
+                    F.md5(F.concat_ws("|", *parts)).alias("sig"),
+                )
+            )
+        sig.select("id", F.explode(F.array(*band_cols)).alias("bs")).select(
+            F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"), "id"
+        ).write.mode(mode).parquet(f"{path}/postings")
+    finally:
+        arr.unpersist()
+
+
+def query_dedup_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Probe the index with an incoming batch. Returns one row per
+    (batch doc, matched index doc): (doc_id, match_id, kind, jaccard)
+    where kind is 'exact' (identical normalized text, jaccard 1.0) or
+    'near' (band-LSH candidate verified at exact Jaccard ≥ threshold;
+    exact matches are not re-reported as near).
+
+    Plan shape: the batch side is shingled/hashed map-only ONCE
+    (persisted, three consumers); the index contributes one
+    fingerprint equi-join, one (band, sig) postings join, and a
+    shingle lookup for the LSH-bounded candidates — never a scan-wide
+    verify. Index-side work is proportional to matches, not corpus.
+    """
+    from pyspark import StorageLevel
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    k, bands, rows_per_band = (
+        int(meta["k"]),
+        int(meta["bands"]),
+        int(meta["rows_per_band"]),
+    )
+    fp_idx = spark.read.parquet(f"{path}/fingerprints")
+    postings = spark.read.parquet(f"{path}/postings")
+    shingles = spark.read.parquet(f"{path}/shingles")
+
+    base = (
+        batch.select(
+            F.col(id_col).alias("doc_id"),
+            T.fingerprint(F.col(text_col)).alias("fp"),
+            T.tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            "fp",
+            F.array_distinct(T.shingles_from_tokens(F.col("_toks"), k)).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    exact = base.join(fp_idx, base.fp == fp_idx.fp).select(
+        "doc_id",
+        F.col("id").alias("match_id"),
+        F.lit("exact").alias("kind"),
+        F.lit(1.0).alias("jaccard"),
+    )
+
+    sig = base.select("doc_id", *_sig_cols(bands * rows_per_band))
+    band_cols = []
+    for bidx in range(bands):
+        parts = [F.col(f"h{bidx * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("sig"),
+            )
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    cand = (
+        banded.join(postings, ["band", "sig"])
+        .select("doc_id", F.col("id").alias("match_id"))
+        .distinct()
+    )
+    a = base.select(F.col("doc_id"), F.col("sh").alias("sh_a"))
+    b = shingles.select(F.col("id").alias("match_id"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    near = (
+        cand.join(a, "doc_id")
+        .join(b, "match_id")
+        .select(
+            "doc_id",
+            "match_id",
+            F.lit("near").alias("kind"),
+            (n_common / (F.size("sh_a") + F.size("sh_b") - n_common)).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .join(
+            exact.select("doc_id", "match_id"), ["doc_id", "match_id"], "left_anti"
+        )
+    )
+    return exact.unionByName(near)

@@ -495,3 +495,61 @@ def test_bloom_dedup_no_false_negatives_and_fold_coverage(spark, sf_dir):
     assert set(by_fold) == {0, 1, 2, 3, 4}
     for f, s in by_fold.items():
         assert abs(s - 1.0) < 1e-9, f"fold {f} shares sum to {s}"
+
+
+def test_persistent_dedup_index_matches_direct_computation(spark, tmp_path):
+    """build_dedup_index + query_dedup_index must find exactly the
+    cross-corpus pairs that a direct minhash run over corpus ∪ batch
+    finds (same bands, same threshold), with exact dups reported as
+    kind='exact' and not re-reported as near; appending a batch makes
+    it findable by later probes."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import dedup
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    corpus_rows = []
+    for i in range(20):
+        toks = [words[(i + j) % len(words)] for j in range(12)]
+        corpus_rows.append((i, " ".join(toks)))
+    batch_rows = [
+        (100, corpus_rows[3][1]),                       # exact dup of 3
+        (101, corpus_rows[5][1] + " extra trailing"),   # near dup of 5
+        (102, "totally unrelated text about nothing at all whatsoever"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    path = str(tmp_path / "dedup_index")
+
+    dedup.build_dedup_index(corpus, "text", "doc_id", path, k=3, bands=4, rows_per_band=2)
+    got = dedup.query_dedup_index(spark, path, batch, "text", "doc_id", threshold=0.2)
+    rows = got.collect()
+
+    # direct ground truth: minhash pairs over the union, cross-split only
+    union = corpus.unionByName(batch)
+    pairs = dedup.minhash_dedup_pairs(
+        union, "text", "doc_id", k=3, bands=4, rows_per_band=2, threshold=0.2
+    ).collect()
+    expected = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.jaccard
+        for r in pairs
+        if (r.id_a >= 100) != (r.id_b >= 100)
+    }
+    got_pairs = {(r.doc_id, r.match_id): r.jaccard for r in rows}
+    assert set(got_pairs) == set(expected)
+    for key, j in got_pairs.items():
+        assert abs(j - expected[key]) < 1e-12
+
+    by_kind = {(r.doc_id, r.match_id): r.kind for r in rows}
+    assert by_kind[(100, 3)] == "exact"
+    assert got_pairs[(100, 3)] == 1.0
+    assert by_kind[(101, 5)] == "near"
+    assert all(k != 102 for k, _ in got_pairs), "unrelated doc matched"
+
+    # incremental append: the batch joins the standing corpus; a copy
+    # of an appended doc must now match it
+    dedup.append_dedup_index(batch, "text", "doc_id", path)
+    probe2 = spark.createDataFrame(
+        [(200, batch_rows[2][1])], "doc_id long, text string"
+    )
+    got2 = dedup.query_dedup_index(spark, path, probe2, "text", "doc_id", threshold=0.2)
+    kinds2 = {(r.doc_id, r.match_id): r.kind for r in got2.collect()}
+    assert kinds2.get((200, 102)) == "exact"
