@@ -1183,3 +1183,63 @@ def test_cms_sketch_streaming_merges_to_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(300)
     stream_cells = {(r.i, r.b): r.n for r in spark.table(qname).collect()}
     assert stream_cells == batch_cells
+
+
+def test_streaming_dedup_ingest_with_persistent_index(spark, tmp_path):
+    """dedup_ingest_stream end-to-end: in-batch exact dups collapse,
+    docs matching the standing index (exact or near) are dropped,
+    survivors land in the output AND the index — so a second run sees
+    the first run's survivors as duplicates."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import dedup as D
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.dedup import dedup_ingest_stream
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    corpus = spark.createDataFrame(
+        [(i, " ".join(words[(i + j) % len(words)] for j in range(12)))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    index = str(tmp_path / "index")
+    D.build_dedup_index(corpus, "text", "doc_id", index, k=3, bands=4, rows_per_band=2)
+
+    corpus_rows = {r.doc_id: r.text for r in corpus.collect()}
+    batch1 = spark.createDataFrame(
+        [
+            (100, corpus_rows[3]),                      # exact dup of corpus
+            (101, corpus_rows[5] + " extra trailing"),  # near dup of corpus
+            (102, "completely novel text that matches nothing else here"),
+            (103, "completely novel text that matches nothing else here"),  # in-batch dup of 102
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    q = dedup_ingest_stream(
+        stream, "text", "doc_id", index, out, str(tmp_path / "ckpt1"),
+        threshold=0.2,
+    )
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {102}, f"run 1 survivors: {got1}"
+
+    # run 2: a copy of run 1's survivor must now be caught by the index
+    batch2 = spark.createDataFrame(
+        [
+            (200, "completely novel text that matches nothing else here"),  # dup of 102 via index
+            (201, "another genuinely fresh document with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    src2 = str(tmp_path / "src2")
+    batch2.coalesce(1).write.mode("append").parquet(src2)
+    stream2 = spark.readStream.schema(batch2.schema).parquet(src2)
+    q2 = dedup_ingest_stream(
+        stream2, "text", "doc_id", index, out, str(tmp_path / "ckpt2"),
+        threshold=0.2,
+    )
+    q2.awaitTermination(120)
+    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got2 == {102, 201}, f"after run 2: {got2}"
