@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
 
 
-def word_frequencies(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def word_frequencies(docs: DataFrame, text_col: str) -> DataFrame:
     """(word, weight) — the one corpus-wide shuffle (map-side combined)."""
     toked = docs.select(T.tokens(F.col(text_col)).alias("_toks"))
     return (
@@ -72,12 +72,12 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def train_bpe(docs: DataFrame, text_col: str, id_col: str, n_merges: int = 8) -> DataFrame:
+def train_bpe(docs: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns (rank, left, right,
     pair_count) with rank 1 = first merge learned. Deterministic:
     ties on count break on (left, right) lexicographic order."""
     spark = docs.sparkSession
-    words = word_frequencies(docs, text_col, id_col).withColumn(
+    words = word_frequencies(docs, text_col).withColumn(
         "syms", F.split("word", "")
     )
     words = words.persist()

@@ -234,18 +234,30 @@ def minhash_lsh_candidates(
     return _lsh_candidates_from_signatures(sig, bands, rows_per_band)
 
 
-def _lsh_candidates_from_signatures(
-    sig: DataFrame, bands: int, rows_per_band: int
+def _band_signatures(
+    sig: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
+    """(id_col, band, sig) band keys: md5 over the band's minhash rows.
+
+    THE single definition of the LSH join key — shared by the
+    in-memory candidate path, the persistent-index build, and the
+    index probe. Build and probe must stay byte-identical or postings
+    never match; keep every band-key change here."""
     band_cols = []
     for bidx in range(bands):
         parts = [F.col(f"h{bidx * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
             F.struct(F.lit(bidx).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("sig"))
         )
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bs")).select(
-        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    return sig.select(id_col, F.explode(F.array(*band_cols)).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+
+
+def _lsh_candidates_from_signatures(
+    sig: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    banded = _band_signatures(sig, "id", bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -496,35 +508,34 @@ def _index_rows(
     path: str,
     mode: str,
 ) -> None:
+    """Write one batch's index rows. Write ORDER is the crash-safety
+    contract: shingles → postings → fingerprints. Fingerprints land
+    LAST because the probe treats an fp hit as "this doc is already
+    indexed" — if an append dies partway, the replayed batch does NOT
+    self-match (its fingerprints never landed) and re-appends
+    everything; the resulting duplicate shingle/posting rows are
+    harmless because :func:`query_dedup_index` deduplicates its index
+    reads. Fingerprints-first would invert this: a replayed batch
+    would exact-match itself, skip the repair append, and silently
+    lose its LSH postings forever."""
     from pyspark import StorageLevel
 
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
 
-    docs.select(
-        F.col(id_col).alias("id"), T.fingerprint(F.col(text_col)).alias("fp")
-    ).write.mode(mode).parquet(f"{path}/fingerprints")
     arr = _shingle_arrays(docs, text_col, id_col, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
         arr.write.mode(mode).parquet(f"{path}/shingles")
         sig = arr.select("id", *_sig_cols(bands * rows_per_band))
-        band_cols = []
-        for bidx in range(bands):
-            parts = [
-                F.col(f"h{bidx * rows_per_band + r}") for r in range(rows_per_band)
-            ]
-            band_cols.append(
-                F.struct(
-                    F.lit(bidx).alias("band"),
-                    F.md5(F.concat_ws("|", *parts)).alias("sig"),
-                )
-            )
-        sig.select("id", F.explode(F.array(*band_cols)).alias("bs")).select(
-            F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"), "id"
+        _band_signatures(sig, "id", bands, rows_per_band).select(
+            "band", "sig", "id"
         ).write.mode(mode).parquet(f"{path}/postings")
     finally:
         arr.unpersist()
+    docs.select(
+        F.col(id_col).alias("id"), T.fingerprint(F.col(text_col)).alias("fp")
+    ).write.mode(mode).parquet(f"{path}/fingerprints")
 
 
 def query_dedup_index(
@@ -543,10 +554,34 @@ def query_dedup_index(
 
     Plan shape: the batch side is shingled/hashed map-only ONCE
     (persisted, three consumers); the index contributes one
-    fingerprint equi-join, one (band, sig) postings join, and a
-    shingle lookup for the LSH-bounded candidates — never a scan-wide
-    verify. Index-side work is proportional to matches, not corpus.
+    fingerprint equi-join (the exact pair set is persisted — it feeds
+    both the output and the near-branch anti-join), one (band, sig)
+    postings join, and a shingle lookup for the LSH-bounded
+    candidates — never a scan-wide verify. Index-side work is
+    proportional to matches, not corpus. Index reads are deduplicated
+    so a replayed partial append (see :func:`_index_rows`) cannot
+    produce duplicate match rows.
+
+    NB: the two persisted frames stay cached for the returned (lazy)
+    frame's lifetime; per-micro-batch callers that fully consume the
+    result should use :func:`_query_dedup_index_with_cleanup`.
     """
+    result, _ = _query_dedup_index_with_cleanup(
+        spark, path, batch, text_col, id_col, threshold
+    )
+    return result
+
+
+def _query_dedup_index_with_cleanup(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+):
+    """:func:`query_dedup_index` plus the list of persisted frames the
+    caller must unpersist once the result has been materialized."""
     from pyspark import StorageLevel
 
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
@@ -557,9 +592,9 @@ def query_dedup_index(
         int(meta["bands"]),
         int(meta["rows_per_band"]),
     )
-    fp_idx = spark.read.parquet(f"{path}/fingerprints")
-    postings = spark.read.parquet(f"{path}/postings")
-    shingles = spark.read.parquet(f"{path}/shingles")
+    fp_idx = spark.read.parquet(f"{path}/fingerprints").dropDuplicates()
+    postings = spark.read.parquet(f"{path}/postings").dropDuplicates()
+    shingles = spark.read.parquet(f"{path}/shingles").dropDuplicates(["id"])
 
     base = (
         batch.select(
@@ -575,28 +610,30 @@ def query_dedup_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    exact = base.join(fp_idx, base.fp == fp_idx.fp).select(
+    # doc_id != match_id: ids are globally unique across corpus and
+    # batches (documented contract), so a same-id match can only be
+    # the probing doc meeting its own partially-appended index rows
+    # after a crash-replay — filtering it is what lets the replay
+    # recompute the doc as a survivor and repair the append
+    exact_pairs = (
+        base.join(
+            fp_idx, (base.fp == fp_idx.fp) & (base.doc_id != fp_idx.id)
+        )
+        .select("doc_id", F.col("id").alias("match_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    exact = exact_pairs.select(
         "doc_id",
-        F.col("id").alias("match_id"),
+        "match_id",
         F.lit("exact").alias("kind"),
         F.lit(1.0).alias("jaccard"),
     )
 
     sig = base.select("doc_id", *_sig_cols(bands * rows_per_band))
-    band_cols = []
-    for bidx in range(bands):
-        parts = [F.col(f"h{bidx * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(bidx).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("sig"),
-            )
-        )
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    banded = _band_signatures(sig, "doc_id", bands, rows_per_band)
     cand = (
         banded.join(postings, ["band", "sig"])
+        .filter(F.col("doc_id") != F.col("id"))  # see exact_pairs note
         .select("doc_id", F.col("id").alias("match_id"))
         .distinct()
     )
@@ -615,8 +652,6 @@ def query_dedup_index(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .join(
-            exact.select("doc_id", "match_id"), ["doc_id", "match_id"], "left_anti"
-        )
+        .join(exact_pairs, ["doc_id", "match_id"], "left_anti")
     )
-    return exact.unionByName(near)
+    return exact.unionByName(near), [base, exact_pairs]

@@ -4563,7 +4563,7 @@ def q_bpe_merges(spark, sf_dir):
     SQL-expressible, its invariants are test-asserted
     (tests/test_operators.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return bpe.train_bpe(docs, "text", "doc_id", n_merges=8)
+    return bpe.train_bpe(docs, "text", n_merges=8)
 
 
 # --------------------------------------------------------------------------
@@ -4597,11 +4597,13 @@ LIMIT 20""",
 def q_returned_revenue_customers(spark, sf_dir):
     """TPC-H Q10: top-20 customers by revenue lost to returns in a
     quarter. Plan beats the textbook join order at scale: the fact
-    join aggregates to (custkey, revenue) FIRST and takes its top-20
-    — customer attributes are 1:1 with the group key, so the
-    (broadcast) customer⋈nation join runs on 20 rows, not the whole
-    agg. At 100 TB customer does not broadcast into the fact join;
-    here it never has to."""
+    join aggregates to (custkey, revenue) FIRST, so the (broadcast)
+    customer⋈nation join runs on the customers-with-returns agg
+    frame — dimension-sized — never inside the fact join, and the
+    top-20 is a TakeOrdered on that joined frame. (The inner join
+    must precede the limit: a dangling custkey inside a pre-join
+    top-20 would drop a row where the oracle promotes the
+    21st-ranked customer.)"""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
@@ -4610,16 +4612,16 @@ def q_returned_revenue_customers(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     rev = F.sum(_DEC2("l_extendedprice") * (F.lit(1) - _DEC2("l_discount")))
-    top = (
+    agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
         .agg(rev.alias("rev_dec"))
-        .orderBy(F.col("rev_dec").desc(), F.col("o_custkey"))
-        .limit(20)
     )
     return (
-        top.join(F.broadcast(cust), top.o_custkey == cust.c_custkey)
+        agg.join(F.broadcast(cust), agg.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+        .limit(20)
         .select(
             "c_custkey",
             "c_name",

@@ -79,7 +79,7 @@ def dedup_ingest_stream(
             F.col("keep_id").alias(id_col)
         )
         unique = batch.join(keep, id_col, "left_semi")
-        matches = D.query_dedup_index(
+        matches, cached = D._query_dedup_index_with_cleanup(
             spark, index_path, unique, text_col, id_col, threshold=threshold
         )
         survivors = unique.join(
@@ -91,7 +91,11 @@ def dedup_ingest_stream(
             survivors.write.mode("append").parquet(out_path)
             D.append_dedup_index(survivors, text_col, id_col, index_path)
         finally:
+            # release the probe's persisted frames too — one leaked
+            # cache entry per micro-batch is unbounded on a long stream
             survivors.unpersist()
+            for df in cached:
+                df.unpersist()
         if marker:
             os.makedirs(commit_log_dir, exist_ok=True)
             with open(marker, "w") as fh:

