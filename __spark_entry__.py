@@ -92,6 +92,7 @@ _FRONT = [
     "corpus_prep_pipeline",
     # round-2 late block: retrieval / bloom gate / tokenizer prep
     "data_quality_report",
+    "rrf_fusion",
     "returned_revenue_customers",
     "important_parts",
     "supplier_part_variety",

@@ -4864,3 +4864,116 @@ def q_data_quality_report(spark, sf_dir):
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("double").alias("value")
     ).select(F.lit("duplicate_orderkeys").alias("metric"), "value")
     return base.unionByName(orph).unionByName(dupk)
+
+
+@register(
+    "rrf_fusion",
+    f"""WITH side AS (
+  SELECT d.doc_id AS id,
+         list_distinct(string_split({T.normalize_sql('d.text')}, ' ')) AS dt,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+pairs AS (
+  SELECT q.id AS query_id, c.id AS corpus_id,
+         len(list_intersect(q.dt, c.dt))
+           / CAST(len(q.dt) + len(c.dt) - len(list_intersect(q.dt, c.dt)) AS DOUBLE)
+           AS lex_sim,
+         {_cos_sql('q.vec', 'c.vec')} AS cos_sim
+  FROM side q JOIN side c ON q.id < 5 AND q.id != c.id
+),
+lexr AS (
+  SELECT query_id, corpus_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY lex_sim DESC, corpus_id) AS rl
+  FROM pairs
+),
+denser AS (
+  SELECT query_id, corpus_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rd
+  FROM pairs
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.corpus_id, d.corpus_id) AS corpus_id,
+         CAST(l.rl AS BIGINT) AS lex_rank, CAST(d.rd AS BIGINT) AS dense_rank,
+         COALESCE(1.0 / (60 + l.rl), 0.0) + COALESCE(1.0 / (60 + d.rd), 0.0) AS rrf
+  FROM (SELECT * FROM lexr WHERE rl <= 20) l
+  FULL JOIN (SELECT * FROM denser WHERE rd <= 20) d
+    ON l.query_id = d.query_id AND l.corpus_id = d.corpus_id
+)
+SELECT query_id, corpus_id, lex_rank, dense_rank, rrf, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, corpus_id) AS rnk
+  FROM fused
+) t WHERE rnk <= 10""",
+)
+def q_rrf_fusion(spark, sf_dir):
+    """reciprocal-rank fusion (RRF, Cormack et al. 2009 — the standard
+    hybrid-retrieval combiner): each arm (lexical Jaccard, dense
+    cosine) contributes 1/(60+rank) for its top-20, fused score ranks
+    the union. Rank-based fusion is scale-free — no score calibration
+    between arms — and the integer ranks make the fused score exactly
+    1/(60+r) sums, bitwise oracle-portable with no float-threshold
+    hazard. Plan: ONE persisted pair frame feeds both arm rankings
+    (two windows over the same query_id partitioning); the fusion
+    full-outer join runs on two ≤20-row-per-query frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    side = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(T.tokens(F.col("text"))).alias("dt"),
+    ).join(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        ),
+        "id",
+    )
+    q = side.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("dt").alias("qdt"), F.col("vec").alias("qvec")
+    )
+    c = side.select(
+        F.col("id").alias("corpus_id"), F.col("dt").alias("cdt"), F.col("vec").alias("cvec")
+    )
+    inter = F.size(F.array_intersect(F.col("qdt"), F.col("cdt")))
+    lex = inter / (F.size("qdt") + F.size("cdt") - inter).cast("double")
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            lex.alias("lex_sim"),
+            V.cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        )
+        .persist()
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.col("lex_sim").desc(), "corpus_id")
+    wd = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "corpus_id")
+    lexr = (
+        pairs.withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= 20)
+        .select("query_id", "corpus_id", "rl")
+    )
+    denser = (
+        pairs.withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= 20)
+        .select("query_id", "corpus_id", "rd")
+    )
+    fused = lexr.join(denser, ["query_id", "corpus_id"], "full_outer").select(
+        "query_id",
+        "corpus_id",
+        F.col("rl").cast("long").alias("lex_rank"),
+        F.col("rd").cast("long").alias("dense_rank"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rl")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rd")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "corpus_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "query_id", "corpus_id", "lex_rank", "dense_rank", "rrf",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
