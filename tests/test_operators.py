@@ -131,3 +131,28 @@ def test_bpe_charization_has_no_empty_symbols(spark):
     df = spark.createDataFrame([("abc",), ("x",)], "word string")
     got = [r[0] for r in df.select(F.split("word", "")).collect()]
     assert got == [["a", "b", "c"], ["x"]]
+
+
+def test_pagerank_invariants_and_known_graphs(spark):
+    """PageRank: ranks sum to 1 (dangling mass redistributed), a ring
+    is uniform, a star's center outranks its leaves, and reruns are
+    deterministic."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import pagerank
+
+    # directed ring 0->1->2->3->0: perfectly symmetric => uniform
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "src long, dst long"
+    )
+    rr = {r.id: r.rank for r in pagerank(ring, iterations=20).collect()}
+    assert abs(sum(rr.values()) - 1.0) < 1e-9
+    for v in rr.values():
+        assert abs(v - 0.25) < 1e-9
+
+    # star: leaves 1..4 all point at 0; 0 has no out-edges (dangling)
+    star = spark.createDataFrame([(i, 0) for i in range(1, 5)], "src long, dst long")
+    sr = {r.id: r.rank for r in pagerank(star, iterations=20).collect()}
+    assert abs(sum(sr.values()) - 1.0) < 1e-9
+    assert sr[0] > max(sr[i] for i in range(1, 5))
+
+    sr2 = {r.id: r.rank for r in pagerank(star, iterations=20).collect()}
+    assert sr == sr2, "pagerank must be deterministic"
