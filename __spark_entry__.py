@@ -95,6 +95,7 @@ _FRONT = [
     "rrf_fusion",
     "gap_fill_minutes",
     "pagerank_topk",
+    "connected_components_star",
     "returned_revenue_customers",
     "important_parts",
     "supplier_part_variety",

@@ -5064,3 +5064,36 @@ def q_pagerank_topk(spark, sf_dir):
         .limit(20)
         .select("id", "rank")
     )
+
+
+@register(
+    "connected_components_star",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+und AS (
+  SELECT id_a AS a, id_b AS b FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+),
+reach(a, b) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a""",
+)
+def q_connected_components_star(spark, sf_dir):
+    """two-phase (large-star/small-star, Kiveris et al. 2014)
+    connected components over the minhash near-dup pair graph —
+    O(log² n) rounds regardless of graph diameter, vs the propagation
+    variant's O(diameter) (dedup_clusters registers that one; both
+    must and do produce identical min-id labels, so they share the
+    recursive-CTE closure oracle). The star variant is the choice
+    when dup chains can be deep (e.g. chained paraphrases); the
+    propagation variant is cheaper on shallow clique-shaped graphs."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", k=3, bands=4, rows_per_band=2, threshold=0.2
+    )
+    return connected_components_star(pairs)
