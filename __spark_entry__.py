@@ -96,6 +96,7 @@ _FRONT = [
     "gap_fill_minutes",
     "pagerank_topk",
     "connected_components_star",
+    "dedup_index_probe",
     "returned_revenue_customers",
     "important_parts",
     "supplier_part_variety",

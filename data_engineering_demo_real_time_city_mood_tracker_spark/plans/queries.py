@@ -5097,3 +5097,85 @@ def q_connected_components_star(spark, sf_dir):
         docs, "text", "doc_id", k=3, bands=4, rows_per_band=2, threshold=0.2
     )
     return connected_components_star(pairs)
+
+
+@register(
+    "dedup_index_probe",
+    f"""WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
+),
+sig AS (
+  SELECT id, """
+    + ", ".join(f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(8))
+    + """ FROM sh GROUP BY id
+),
+banded AS (
+  SELECT id, b.band, b.sig FROM sig, LATERAL (
+    SELECT * FROM (VALUES
+      (0, md5(h0 || '|' || h1)), (1, md5(h2 || '|' || h3)),
+      (2, md5(h4 || '|' || h5)), (3, md5(h6 || '|' || h7))
+    ) AS v(band, sig)
+  ) b
+),
+fps AS (
+  SELECT doc_id AS id, md5("""
+    + _docs_norm_sql()
+    + """) AS fp FROM documents
+),
+exact AS (
+  SELECT n.id AS doc_id, c.id AS match_id
+  FROM fps n JOIN fps c ON n.fp = c.fp AND n.id % 10 = 0 AND c.id % 10 != 0
+),
+cand AS (
+  SELECT DISTINCT a.id AS doc_id, b.id AS match_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.id % 10 = 0 AND b.id % 10 != 0
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT c.doc_id, c.match_id, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.id = c.doc_id
+  JOIN sh b ON b.id = c.match_id AND b.shingle = a.shingle
+  GROUP BY c.doc_id, c.match_id
+),
+near AS (
+  SELECT i.doc_id, i.match_id, 'near' AS kind,
+         i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.doc_id
+  JOIN sizes sb ON sb.id = i.match_id
+  WHERE i.n_common / (sa.n_sh + sb.n_sh - i.n_common) >= 0.2
+    AND NOT EXISTS (
+      SELECT 1 FROM exact e
+      WHERE e.doc_id = i.doc_id AND e.match_id = i.match_id)
+)
+SELECT doc_id, match_id, 'exact' AS kind, 1.0 AS jaccard FROM exact
+UNION ALL
+SELECT doc_id, match_id, kind, jaccard FROM near""",
+)
+def q_dedup_index_probe(spark, sf_dir):
+    """the persistent dedup index end-to-end, hash-gated: build the
+    index from the standing corpus (doc_id % 10 != 0), probe it with
+    the incoming batch (% 10 == 0), return every (batch doc, index
+    doc) exact/near match. The oracle recomputes the identical
+    result directly (same md5 minhash bands, same exact-Jaccard
+    verify, same τ=0.2) — proving the lake layout + probe path loses
+    and invents nothing vs the in-memory computation. The index
+    rebuilds into a deterministic per-SF scratch dir each call
+    (overwrite — idempotent, no tmp accumulation); real deployments
+    build once and append per crawl (see operators/dedup.py)."""
+    import hashlib
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/spark_graft_dedup_index_{tag}"
+    dedup.build_dedup_index(
+        corpus, "text", "doc_id", path, k=3, bands=4, rows_per_band=2
+    )
+    return dedup.query_dedup_index(
+        spark, path, batch, "text", "doc_id", threshold=0.2
+    )
