@@ -24,51 +24,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-1 driver gate covered only the first 50 of 80 registered
-# queries, leaving the LLM-pipeline block (dedup / similarity / text /
-# sampling / multimodal) without a hard correctness row. Front-load
-# those plus the round-1 red row so they land inside any driver cap;
-# the previously-green OLAP/window tail follows.
+# queries. Front-load the LLM-pipeline differentiators (dedup /
+# retrieval / text / sampling / data quality) plus the round-1 red row
+# so they land inside any driver cap; the previously-green OLAP/window
+# tail follows. Within this list, oracle-backed entries sort first
+# (see _ordered), so rows-only entries here only claim slots after
+# every hash-gated row.
 _FRONT = [
     # round-1 red row, now fixed (oracle HUGEINT→BIGINT cast)
     "reaggregate_monthly",
-    # round-2 late additions (never driver-gated yet)
-    "funnel_analysis",
-    "cohort_retention",
-    "cdc_apply",
-    "session_window_native",
-    "robust_outliers",
-    "priority_linestatus",
-    "customer_order_distribution",
-    "small_qty_revenue",
-    "dedup_incremental",
-    "shard_export",
-    "hybrid_search",
-    "semantic_dedup",
-    "image_dedup_dhash",
-    "join_key_skew_profile",
-    # new OLAP rows this round (never driver-gated yet)
-    "late_sole_suppliers",
-    "revenue_concentration",
-    "nation_trade_volume",
-    "nation_market_share",
-    "multi_res_rollup",
-    # dedup family
+    # deduplication (incl. the persistent-index probe + bloom gate)
     "dedup_exact",
     "dedup_ngram_topk",
     "dedup_prefix_filter",
     "minhash_signatures",
     "dedup_minhash_pairs",
     "dedup_clusters",
+    "connected_components_star",
     "dedup_simhash",
     "simhash_portable",
     "dedup_embedding",
     "edit_distance_pairs",
-    # similarity search
+    "dedup_incremental",
+    "dedup_index_probe",
+    "bloom_dedup",
+    "dedup_report",
+    "semantic_dedup",
+    "image_dedup_dhash",
+    # similarity search / retrieval
     "embedding_topk",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
     "embedding_ann_ivf_trained",
     "kmeans_embeddings",
+    "hybrid_search",
+    "bm25_topk",
+    "rrf_fusion",
+    "knn_classify",
     # text analysis
     "lang_id",
     "text_quality",
@@ -79,39 +71,47 @@ _FRONT = [
     "stopword_removal",
     "word_cooccurrence",
     "corpus_stats",
-    # training-data sampling / preparation
-    "train_test_split",
-    "balanced_sample",
-    "mixture_sample",
-    "sequence_packing",
-    "repetition_ratio",
-    "contamination_check",
     "token_df_stats",
     "pii_redaction",
     "doc_chunking",
     "corpus_prep_pipeline",
-    # round-2 late block: retrieval / bloom gate / tokenizer prep
+    # training-data sampling / preparation
+    "train_test_split",
+    "balanced_sample",
+    "mixture_sample",
+    "stratified_kfold",
+    "sequence_packing",
+    "repetition_ratio",
+    "contamination_check",
+    "shard_export",
+    # data quality + event analytics (never driver-gated)
     "data_quality_report",
-    "rrf_fusion",
+    "funnel_analysis",
+    "cohort_retention",
+    "cdc_apply",
+    "session_window_native",
+    "robust_outliers",
     "gap_fill_minutes",
-    "pagerank_topk",
-    "connected_components_star",
-    "dedup_index_probe",
+    "join_key_skew_profile",
+    # OLAP shapes added after round 1
+    "priority_linestatus",
+    "customer_order_distribution",
+    "small_qty_revenue",
+    "late_sole_suppliers",
+    "revenue_concentration",
+    "nation_trade_volume",
+    "nation_market_share",
+    "multi_res_rollup",
     "returned_revenue_customers",
     "important_parts",
     "supplier_part_variety",
     "dominant_part_suppliers",
-    "bm25_topk",
-    "bloom_dedup",
-    "knn_classify",
-    "dedup_report",
-    "stratified_kfold",
+    # iterative / multimodal / sketch rows-only entries
     "bpe_merges",
-    # multimodal
+    "pagerank_topk",
     "multimodal_meta",
     "multimodal_frames",
     "binary_ingest",
-    # remaining rows-only / sketch entries never driver-checked in r1
     "quantile_sketch",
     "heavy_hitters_cms",
     "paned_sliding_window",
