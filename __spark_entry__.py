@@ -37,10 +37,13 @@ _FRONT = [
     "dedup_exact",
     "dedup_ngram_topk",
     "dedup_prefix_filter",
+    "dedup_containment",
+    "repeated_ngram_spans",
     "minhash_signatures",
     "dedup_minhash_pairs",
     "dedup_clusters",
     "connected_components_star",
+    "triangle_count",
     "dedup_simhash",
     "simhash_portable",
     "dedup_embedding",
@@ -59,6 +62,7 @@ _FRONT = [
     "kmeans_embeddings",
     "hybrid_search",
     "bm25_topk",
+    "bm25_index_probe",
     "rrf_fusion",
     "knn_classify",
     # text analysis
@@ -91,6 +95,7 @@ _FRONT = [
     "cdc_apply",
     "session_window_native",
     "robust_outliers",
+    "seasonal_baseline",
     "gap_fill_minutes",
     "join_key_skew_profile",
     # OLAP shapes added after round 1

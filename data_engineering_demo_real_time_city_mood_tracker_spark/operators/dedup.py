@@ -67,15 +67,64 @@ def ngram_jaccard_pairs(
     embedded as an ``array_except`` literal so the filtered arrays and
     post-cap set sizes are computed map-side in one pass.
     """
+    sh = _sized_shingle_rows(df, text_col, id_col, k, max_df)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))
+    if threshold > 0:
+        # lossless length filter: J ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ —
+        # prune size-mismatched pairs inside the join, before the
+        # pair-keyed aggregation ever sees them
+        tau = F.lit(float(threshold))
+        cond = cond & (F.col("a.n") >= tau * F.col("b.n")) & (
+            F.col("b.n") >= tau * F.col("a.n")
+        )
+    return (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _sized_shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int, max_df: int | None
+) -> DataFrame:
+    """Persisted (id, n, shingle) rows: each doc's DISTINCT k-shingles
+    exploded, with the (post-``max_df``-cap) set size ``n`` carried on
+    every row so set-overlap joins never need a size-lookup join.
+
+    Shared candidate-generation front end for the exact set-similarity
+    joins (Jaccard / containment). The distinct-shingle array is built
+    INLINE in both the size and the explode — two evals per input row,
+    vs per-element re-eval if exploded from a bound column (Generate
+    inlines child projections). Persisted: both sides of a self-join
+    read the materialized bytes instead of re-running the
+    tokenize→shingle pipeline (3-4× at sf0.1).
+
+    The ``max_df`` hot-shingle cap costs one extra map+tiny-agg job,
+    NOT a window sort: hot shingles are found with a shingle-keyed
+    count (O(df) per shingle), collected (bounded: #hot ≤
+    total-shingle-instances / max_df), and embedded as an
+    ``array_except`` literal so the filtered arrays and post-cap set
+    sizes are computed map-side in one pass.
+    """
     from pyspark import StorageLevel
 
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
 
-    # distinct-shingle array built INLINE in both size and explode —
-    # two evals per input row, vs per-element re-eval if exploded from
-    # a bound column (Generate inlines child projections). Persisted:
-    # both sides of the self-join read the materialized bytes instead
-    # of re-running the tokenize→shingle pipeline (3-4× at sf0.1).
     dsh = F.array_distinct(shingles_from_tokens(F.col("_toks"), k))
     toked = _toked(df, text_col, id_col)
     if max_df is not None:
@@ -107,20 +156,42 @@ def ngram_jaccard_pairs(
         # materialize sh's cache from toked's, then release toked —
         # otherwise every max_df call leaks a second persisted frame
         # into the caller's session (sh stays persisted: both sides
-        # of the self-join below read it; harnesses clearCache it)
+        # of a self-join read it; harnesses clearCache it)
         sh.count()
         toked.unpersist()
+    return sh
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs:
+    ``containment = |A∩B| / min(|A|, |B|)`` ≥ threshold.
+
+    Broder's containment measure — the companion to resemblance
+    (Jaccard) — catches the duplication Jaccard structurally misses:
+    a short document wholly quoted inside a long one scores
+    containment 1.0 but Jaccard ≈ |A|/|B| → 0. That is exactly the
+    boilerplate / quoted-reply / wrapper-page shape a training-corpus
+    cleaner must find.
+
+    Same two-shuffle plan as :func:`ngram_jaccard_pairs` (shingle-keyed
+    candidate join → pair-keyed overlap count with sizes carried as
+    grouping keys). One deliberate difference: NO size-ratio length
+    filter — asymmetric pairs (tiny ⊂ huge) are the signal here, so
+    the only fan-out guard is the ``max_df`` hot-shingle cap, which is
+    also what bounds the join at corpus scale. Emits
+    (id_a, id_b, containment) with id_a < id_b.
+    """
+    sh = _sized_shingle_rows(df, text_col, id_col, k, max_df)
     a = sh.alias("a")
     b = sh.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))
-    if threshold > 0:
-        # lossless length filter: J ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ —
-        # prune size-mismatched pairs inside the join, before the
-        # pair-keyed aggregation ever sees them
-        tau = F.lit(float(threshold))
-        cond = cond & (F.col("a.n") >= tau * F.col("b.n")) & (
-            F.col("b.n") >= tau * F.col("a.n")
-        )
     return (
         a.join(b, cond)
         .groupBy(
@@ -133,11 +204,75 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            (
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
+            (F.col("n_common") / F.least("n_a", "n_b")).alias("containment"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def repeated_span_mass(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document duplicated-span mass at k-token granularity — the
+    n-gram proxy for exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): the fraction of a doc's POSITIONAL k-gram
+    instances whose gram also occurs in at least one OTHER document.
+    High mass = the doc is largely stitched from spans that exist
+    elsewhere (mirrors, template pages, aggregators) even when no
+    single whole-doc pair is similar — the case pairwise Jaccard /
+    containment joins structurally miss.
+
+    Scale shape: per-DOCUMENT output, so there is no candidate-pair
+    blowup at any corpus size. Cost is one (id, gram)-keyed count
+    shuffle, one gram-keyed document-frequency agg over it, a
+    gram-keyed membership join (both sides already hash-partitioned on
+    gram from the df agg), and an id-keyed rollup. All linear in
+    corpus token count. Emits (doc_id, n_instances, dup_instances,
+    dup_mass).
+    """
+    from pyspark import StorageLevel
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
+
+    # materialize the positional gram arrays ONCE: the instance total
+    # (map-side size()) and the explode both read the persisted bytes
+    # instead of re-running tokenize→shingle per consumer.
+    garr = (
+        _toked(df, text_col, id_col)
+        .select("id", shingles_from_tokens(F.col("_toks"), k).alias("grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    gc = (
+        garr.select("id", F.explode("grams").alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # grams seen in ≥2 docs; one row per (id, gram) in gc, so a plain
+    # count == document frequency
+    hot = (
+        gc.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .filter(F.col("docs") >= 2)
+        .select("gram")
+    )
+    dup = (
+        gc.join(hot, "gram")
+        .groupBy("id")
+        .agg(F.sum("cnt").alias("dup_instances"))
+    )
+    tot = garr.select("id", F.size("grams").cast("long").alias("n_instances"))
+    return tot.join(dup, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        "n_instances",
+        F.coalesce("dup_instances", F.lit(0)).alias("dup_instances"),
+        F.when(
+            F.col("n_instances") > 0,
+            F.coalesce("dup_instances", F.lit(0)) / F.col("n_instances"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_mass"),
     )
 
 

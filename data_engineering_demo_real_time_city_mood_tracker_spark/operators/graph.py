@@ -243,3 +243,115 @@ def pagerank(
         outdeg.unpersist()
         e.unpersist()
     return ranks
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    max_group: int | None = None,
+) -> DataFrame:
+    """Distinct co-participation edges: two ids are connected iff they
+    appear in at least one common group (equal values in
+    ``group_cols``) — the co-visitation / co-activity graph builder
+    (users active on the same (event_type, minute), docs sharing a
+    cluster, ...).
+
+    Pair fan-out is bounded per group at n·(n-1)/2, so the one scale
+    hazard is a trending group; ``max_group`` drops groups larger than
+    the cap BEFORE the self-join (one group-keyed count + semi-join —
+    same posture as the dedup family's ``max_df`` hot-shingle cap).
+    Emits distinct (id_a, id_b) with id_a < id_b.
+    """
+    g = df.select(F.col(id_col).alias("id"), *group_cols).distinct()
+    if max_group is not None:
+        ok = (
+            g.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_group)
+            .drop("_n")
+        )
+        g = g.join(ok, group_cols, "left_semi")
+    a = g.alias("a")
+    b = g.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in group_cols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    return (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "id_a", dst_col: str = "id_b"
+) -> DataFrame:
+    """Per-vertex triangle participation counts via the node-iterator
+    with DEGREE ordering (Suri & Vassilvitskii, WWW'11 MapReduce
+    pattern): each undirected edge is directed from its lower
+    (degree, id) endpoint to the higher, wedges are enumerated only
+    over each vertex's OUT-neighbors, and the closing edge is verified
+    with one more join.
+
+    Degree ordering is the skew guard that makes this feasible
+    distributed: out-degree under the ordering is O(√m) even for a
+    degree-d hub, so wedge volume is O(m^{3/2}) total instead of
+    Σd² — a star graph generates ZERO wedges at its center. Three
+    shuffle joins, all keyed on vertex/edge pairs; no driver loop.
+    Emits (id, n_triangles) for every vertex in ≥1 triangle; the
+    global triangle count is sum(n_triangles)/3.
+    """
+    e0 = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.alias("du")
+    dv = deg.alias("dv")
+    a_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    # direct low-rank → high-rank, carrying the dst endpoint's degree
+    # so the wedge join can compare ranks without another lookup
+    dirx = (
+        e0.join(du, F.col("u") == F.col("du.id"))
+        .join(dv, F.col("v") == F.col("dv.id"))
+        .select(
+            F.when(a_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(a_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(a_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("ddeg"),
+        )
+    )
+    e1 = dirx.alias("e1")
+    e2 = dirx.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.ddeg") < F.col("e2.ddeg"))
+            | (
+                (F.col("e1.ddeg") == F.col("e2.ddeg"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(
+        F.col("e1.src").alias("x"),
+        F.col("e1.dst").alias("y"),
+        F.col("e2.dst").alias("z"),
+    )
+    closing = dirx.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedge.join(closing, ["y", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

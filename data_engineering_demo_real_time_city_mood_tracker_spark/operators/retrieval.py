@@ -1,0 +1,211 @@
+"""Lexical retrieval: the shared BM25-lite scorer and a persistent,
+lake-native inverted index (Lucene-segment-shaped, parquet-backed).
+
+Scoring is the repo's BM25-lite (k1=1.2, b=0.75, log-free monotone
+idf — see plans/queries.py BM25 block for why the log is dropped:
+ln() differs by ulps across libms, the rational idf keeps every
+arithmetic step bitwise oracle-portable). The index makes the
+build-once / append-per-crawl / query-many lifecycle real:
+
+    index/
+      postings/seg=<name>/bucket=<0..n-1>/  (token, doc_id, tf, dl)
+      stats/seg=<name>/                     (n_docs, total_dl)
+
+- ``bucket = crc32(token) % n_buckets`` — a probe reads ONLY its query
+  terms' buckets (PartitionFilters directory pruning) and pushes the
+  token equality into the parquet scan; at 100 TB the probe I/O is the
+  query-term postings, not the corpus.
+- segments are MERGEABLE partials: df(token) is the posting-row count
+  for that token across segments, N = Σ n_docs, avgdl = Σ total_dl /
+  Σ n_docs — appending a crawl never re-tokenizes the standing corpus
+  (same posture as ``merge_agg_partials`` / the dedup index).
+- crash-replay safe: a segment's ``stats`` row is written LAST and is
+  the commit record — probes only read segments whose stats exist, and
+  both writes use dynamic partition overwrite so re-running a failed
+  append repairs the segment in place instead of duplicating postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_rank(
+    tf: DataFrame,
+    query_pairs: list[tuple[int, str]],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` docs per query over a (doc_id, tok, tf, dl) postings
+    frame already restricted to query terms.
+
+    df derives from ``tf`` (one row per (doc, tok) ⇒ per-token row
+    count == document frequency) — never a second corpus pass; both
+    df and the query table broadcast. Per-(query, doc) term scores
+    fold in sorted term order so the double sum is partition-order
+    independent and bitwise equal to the DuckDB oracle's
+    ``list_reduce(list(s ORDER BY term))``.
+    """
+    spark = tf.sparkSession
+    tf = tf.persist()
+    dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qdf = spark.createDataFrame(query_pairs, "query_id int, term string")
+    idf = ((F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    num = F.col("tf").cast("double") * F.lit(K1 + 1.0)
+    den = F.col("tf").cast("double") + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * (F.col("dl").cast("double") / F.lit(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfr), "tok")
+        .join(F.broadcast(qdf), F.col("tok") == F.col("term"))
+        .select("query_id", "doc_id", "term", (idf * num / den).alias("s"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("term").alias("t"), F.col("s").alias("s")))
+        ).alias("_ts"),
+    )
+    agg = agg.withColumn(
+        "score",
+        F.aggregate(F.col("_ts"), F.lit(0.0), lambda acc, x: acc + x["s"]),
+    ).drop("_ts")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms",
+            "score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, tok, tf, dl) term-frequency postings — ONE tokenize
+    pass, one (doc, token)-keyed shuffle."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
+
+    base = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    return (
+        base.select(
+            "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.min("dl").alias("dl"))
+    )
+
+
+def _bucket(tok_col, n_buckets: int):
+    return (F.crc32(F.encode(tok_col, "utf-8")) % n_buckets).cast("int")
+
+
+def _dyn_overwrite(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """dynamic partition overwrite: only the partitions present in
+    ``df`` (this segment) are replaced — idempotent per-segment
+    replay, other segments untouched."""
+    (
+        df.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def build_text_index(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    n_buckets: int = 64,
+    segment: str = "base",
+) -> None:
+    """Build (or rebuild) the index's ``segment`` from ``docs``.
+
+    Postings land first; the segment's stats row lands LAST as the
+    commit record (probes ignore stats-less segments, so a crash mid-
+    build leaves the index readable and a re-run repairs in place).
+    """
+    post = _postings(docs, text_col, id_col).withColumn(
+        "bucket", _bucket(F.col("tok"), n_buckets)
+    )
+    _dyn_overwrite(post.withColumn("seg", F.lit(segment)), f"{path}/postings", ["seg", "bucket"])
+    stats = (
+        docs.sparkSession.read.parquet(f"{path}/postings")
+        .filter(F.col("seg") == segment)
+        .groupBy("doc_id")
+        .agg(F.min("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("dl").cast("decimal(18,0)")).cast("long").alias("total_dl"),
+        )
+        .withColumn("seg", F.lit(segment))
+    )
+    _dyn_overwrite(stats, f"{path}/stats", ["seg"])
+    # stats derives from the WRITTEN postings (not the input frame) so
+    # the commit record can never claim docs whose postings didn't land
+
+
+def append_text_index(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    segment: str,
+    n_buckets: int = 64,
+) -> None:
+    """Add a crawl increment as a new segment — the standing corpus is
+    never re-read or re-tokenized. Same commit ordering as build."""
+    build_text_index(docs, text_col, id_col, path, n_buckets=n_buckets, segment=segment)
+
+
+def query_text_index(
+    spark: SparkSession,
+    path: str,
+    query_pairs: list[tuple[int, str]],
+    k: int = 10,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """BM25 top-``k`` per query against the persistent index.
+
+    Reads ONLY committed segments (stats is the commit record), ONLY
+    the query terms' hash buckets (PartitionFilters directory
+    pruning), with the token equality pushed into the parquet scan —
+    probe I/O is independent of corpus size. Corpus stats merge from
+    the per-segment partials (exact integer arithmetic ⇒ bitwise
+    equal to a from-scratch computation)."""
+    import zlib
+
+    stats = spark.read.parquet(f"{path}/stats")
+    segs = [r.seg for r in stats.select("seg").distinct().collect()]
+    tot = (
+        stats.filter(F.col("seg").isin(segs))
+        .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("dl"))
+        .first()
+    )
+    n_docs, avgdl = int(tot["n"]), float(tot["dl"]) / int(tot["n"])
+    terms = sorted({t for _, t in query_pairs})
+    buckets = sorted({zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms})
+    tf = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(
+            F.col("seg").isin(segs)
+            & F.col("bucket").isin(buckets)
+            & F.col("tok").isin(terms)
+        )
+        .select("doc_id", "tok", "tf", "dl")
+    )
+    return bm25_rank(tf, query_pairs, n_docs, avgdl, k=k)

@@ -1793,6 +1793,75 @@ def q_dedup_prefix_filter(spark, sf_dir):
 
 
 @register(
+    "dedup_containment",
+    f"""WITH sh0 AS (
+  SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
+),
+sh AS (
+  SELECT id, shingle FROM sh0
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_common / LEAST(sa.n_sh, sb.n_sh) AS containment
+FROM inter
+JOIN sizes sa ON id_a = sa.id
+JOIN sizes sb ON id_b = sb.id
+WHERE n_common / LEAST(sa.n_sh, sb.n_sh) >= 0.5""",
+)
+def q_dedup_containment(spark, sf_dir):
+    """Broder CONTAINMENT (|A∩B|/min set size ≥ 0.5) near-dup pairs —
+    the asymmetric companion to Jaccard: a short doc quoted wholesale
+    inside a long one scores 1.0 here but ~0 Jaccard, exactly the
+    boilerplate/quoting shape corpus cleaning must catch. Same
+    shingle-keyed two-shuffle plan as dedup_ngram_topk, max_df=50 hot-
+    shingle cap (no size-ratio filter — asymmetry IS the signal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.5, max_df=50
+    )
+
+
+_SH5 = T.word_shingles_sql("text", 5)
+
+
+@register(
+    "repeated_ngram_spans",
+    f"""WITH g0 AS (
+  SELECT doc_id AS id, unnest({_SH5}) AS gram FROM documents
+),
+gc AS (SELECT id, gram, COUNT(*) AS cnt FROM g0 GROUP BY id, gram),
+hot AS (SELECT gram FROM gc GROUP BY gram HAVING COUNT(*) >= 2),
+dup AS (
+  SELECT id, CAST(SUM(cnt) AS BIGINT) AS dup_instances
+  FROM gc JOIN hot USING (gram) GROUP BY id
+),
+tot AS (
+  SELECT doc_id AS id, CAST(len({_SH5}) AS BIGINT) AS n_instances
+  FROM documents
+)
+SELECT t.id AS doc_id, t.n_instances,
+       COALESCE(d.dup_instances, 0) AS dup_instances,
+       CASE WHEN t.n_instances > 0
+            THEN COALESCE(d.dup_instances, 0) / t.n_instances
+            ELSE 0.0 END AS dup_mass
+FROM tot t LEFT JOIN dup d ON t.id = d.id""",
+)
+def q_repeated_ngram_spans(spark, sf_dir):
+    """duplicated-SPAN mass per doc (Lee et al. 2021 ExactSubstr at
+    5-gram granularity): fraction of each doc's positional 5-gram
+    instances whose gram occurs in ≥2 docs. Per-document output — no
+    pair blowup at any corpus scale; the cross-doc signal pairwise
+    similarity joins miss (docs stitched from mirrored spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repeated_span_mass(docs, "text", "doc_id", k=5)
+
+
+@register(
     "minhash_signatures",
     f"""WITH sh AS (
   SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
@@ -3784,6 +3853,105 @@ def q_robust_outliers(spark, sf_dir):
     )
 
 
+@register(
+    "seasonal_baseline",
+    f"""WITH prof AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+         {davg_sql("value")} AS expected, COUNT(*) AS n_obs
+  FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
+)
+SELECT e.event_id, e.event_type, p.hod, e.value, p.expected, p.n_obs,
+       e.value - p.expected AS deviation
+FROM events e
+JOIN prof p ON e.event_type = p.event_type
+          AND EXTRACT(hour FROM e.ts) = p.hod
+ORDER BY ABS(e.value - p.expected) DESC, e.event_id LIMIT 50""",
+)
+def q_seasonal_baseline(spark, sf_dir):
+    """seasonal-profile anomaly screen: per (event_type, hour-of-day)
+    expected value learned in one agg pass (exact-decimal avg), then
+    every event scored against its seasonal slot — top-50 deviations.
+    The companion to robust_outliers for metrics with daily rhythm
+    (traffic volume at 3am ≠ at rush hour). Profile is bounded at
+    |types|×24 rows → broadcast back; facts are scanned twice, never
+    shuffled; top-50 via TakeOrdered, no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(davg(F.col("value")).alias("expected"), F.count(F.lit(1)).alias("n_obs"))
+    return (
+        ev.select("event_id", "event_type", F.hour("ts").alias("hod"), "value")
+        .join(F.broadcast(prof), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            "value",
+            "expected",
+            "n_obs",
+            (F.col("value") - F.col("expected")).alias("deviation"),
+        )
+        .orderBy(F.abs(F.col("deviation")).desc(), "event_id")
+        .limit(50)
+    )
+
+
+@register(
+    "triangle_count",
+    """WITH g AS (
+  SELECT DISTINCT user_id AS id, event_type, date_trunc('minute', ts) AS m
+  FROM events
+),
+e0 AS (
+  SELECT DISTINCT a.id AS u, b.id AS v
+  FROM g a JOIN g b ON a.event_type = b.event_type AND a.m = b.m
+                   AND a.id < b.id
+),
+deg AS (
+  SELECT id, COUNT(*) AS d
+  FROM (SELECT u AS id FROM e0 UNION ALL SELECT v AS id FROM e0)
+  GROUP BY id
+),
+dir AS (
+  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst,
+         CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS ddeg
+  FROM e0 JOIN deg du ON u = du.id JOIN deg dv ON v = dv.id
+),
+tri AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM dir e1
+  JOIN dir e2 ON e1.src = e2.src
+             AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
+  JOIN dir e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT id, COUNT(*) AS n_triangles
+FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY id""",
+)
+def q_triangle_count(spark, sf_dir):
+    """triangle counting on the user co-activity graph (users active
+    on the same (event_type, minute)) — the community-density /
+    clustering-coefficient primitive. Degree-ordered node-iterator
+    (Suri & Vassilvitskii WWW'11): edges directed low→high (degree,
+    id) rank, wedges enumerated per out-neighborhood (O(m^{3/2})
+    total — a hub's star closes ZERO wedges at its center), closing
+    edges verified by one more edge join. All shuffles keyed on
+    vertex/edge; no driver loop, no O(n³)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = graph_ops.cooccurrence_edges(
+        ev.select(
+            "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+        ),
+        "user_id",
+        ["event_type", "m"],
+    )
+    return graph_ops.triangle_counts(edges)
+
+
 # --------------------------------------------------------------------------
 # OLAP additions: Q12/Q13/Q17 shapes
 
@@ -4435,10 +4603,7 @@ _BM25_TERMS = sorted({t for _, t in _BM25_QUERIES})
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 _BM25_VALUES_SQL = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
 
-
-@register(
-    "bm25_topk",
-    f"""WITH q AS (SELECT * FROM (VALUES {_BM25_VALUES_SQL}) AS t(query_id, term)),
+_BM25_ORACLE = f"""WITH q AS (SELECT * FROM (VALUES {_BM25_VALUES_SQL}) AS t(query_id, term)),
 normd AS (SELECT doc_id, {_docs_norm_sql()} AS norm FROM documents),
 tok AS (
   SELECT doc_id, len(string_split(norm, ' ')) AS dl,
@@ -4475,8 +4640,10 @@ agg AS (
 SELECT query_id, doc_id, n_terms, score, rnk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
   FROM agg
-) t WHERE rnk <= 10""",
-)
+) t WHERE rnk <= 10"""
+
+
+@register("bm25_topk", _BM25_ORACLE)
 def q_bm25_topk(spark, sf_dir):
     """BM25-lite lexical retrieval, top-10 docs for 3 query strings.
     Search-engine-shaped at scale: the corpus pays ONE tokenize pass
@@ -4512,46 +4679,40 @@ def q_bm25_topk(spark, sf_dir):
         .first()
     )
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    # persisted: tf is the query-term postings list (corpus-vanishing
-    # size) and feeds both the score join and the df derivation — one
-    # corpus tokenize pass total, not one per consumer
+    # tf is the query-term postings list (corpus-vanishing size);
+    # bm25_rank persists it — it feeds both the score join and the df
+    # derivation — so the corpus pays ONE tokenize pass total
     tf = hits.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf"), F.min("dl").alias("dl")
-    ).persist()
-    # df derives from tf — one row per (doc, tok) — instead of a second
-    # tokenize+explode pass over the corpus
-    dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
-    idf = ((F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5)) / (
-        F.col("df").cast("double") + F.lit(0.5)
     )
-    num = F.col("tf").cast("double") * F.lit(2.2)
-    den = F.col("tf").cast("double") + F.lit(1.2) * (
-        F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.lit(avgdl))
-    )
-    scored = (
-        tf.join(F.broadcast(dfr), "tok")
-        .join(F.broadcast(qdf), F.col("tok") == F.col("term"))
-        .select("query_id", "doc_id", "term", (idf * num / den).alias("s"))
-    )
-    agg = scored.groupBy("query_id", "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_terms"),
-        F.sort_array(
-            F.collect_list(F.struct(F.col("term").alias("t"), F.col("s").alias("s")))
-        ).alias("_ts"),
-    )
-    agg = agg.withColumn(
-        "score",
-        F.aggregate(F.col("_ts"), F.lit(0.0), lambda acc, x: acc + x["s"]),
-    ).drop("_ts")
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select(
-            "query_id", "doc_id", "n_terms", "score", F.col("rnk").cast("long").alias("rnk")
-        )
-    )
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import retrieval
+
+    return retrieval.bm25_rank(tf, _BM25_QUERIES, n_docs, avgdl, k=10)
+
+
+@register("bm25_index_probe", _BM25_ORACLE)
+def q_bm25_index_probe(spark, sf_dir):
+    """the persistent inverted index end-to-end, hash-gated: build the
+    lake-native postings index (operators/retrieval.py — term-bucket
+    partitioned segments, per-segment mergeable corpus stats, stats-
+    last commit record), then answer the same 3 BM25 queries THROUGH
+    it. Oracle = the direct from-scratch BM25 computation, proving the
+    index layout + bucket-pruned probe path loses and invents nothing.
+    The probe reads only the query terms' hash buckets
+    (PartitionFilters, plan-asserted in tests) — probe I/O independent
+    of corpus size. Rebuilds into a deterministic per-SF scratch dir
+    (overwrite — idempotent); real deployments build once and append
+    per crawl (append_text_index, parity test-asserted)."""
+    import hashlib
+    import tempfile
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/spark_graft_text_index_{tag}"
+    retrieval.build_text_index(docs, "text", "doc_id", path)
+    return retrieval.query_text_index(spark, path, _BM25_QUERIES, k=10)
 
 
 @register("bpe_merges")  # iterative (one driver-picked pair per round) → rows-only

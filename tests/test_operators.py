@@ -156,3 +156,102 @@ def test_pagerank_invariants_and_known_graphs(spark):
 
     sr2 = {r.id: r.rank for r in pagerank(star, iterations=20).collect()}
     assert sr == sr2, "pagerank must be deterministic"
+
+
+def test_containment_catches_asymmetric_duplication(spark):
+    """a short doc quoted wholesale inside a long one scores
+    containment 1.0 while its Jaccard is far below any useful
+    threshold — the case the containment operator exists for."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = (
+        "intro words before the quote "
+        + short
+        + " and then a very long tail that keeps going with many more"
+        " unique tokens one two three four five six seven eight nine ten"
+    )
+    other = "completely different text about ships and harbors at dawn"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, "text", "doc_id", k=3, threshold=0.9).collect()
+    }
+    assert cont.get((1, 2)) == 1.0
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.5  # Jaccard alone would have missed it
+
+
+def test_repeated_span_mass_flags_stitched_docs(spark):
+    """a doc stitched from spans of two other docs has high dup_mass;
+    a fully unique doc has mass 0; totals count positional instances."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import repeated_span_mass
+
+    a = "the quick brown fox jumps over the lazy dog today"
+    b = "pack my box with five dozen liquor jugs right now"
+    stitched = a + " " + b  # every 5-gram inside a or b reappears here
+    unique = "zebra yonder quasar nimbus oracle pylon ember waltz"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, stitched), (4, unique)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_span_mass(df, "text", "doc_id", k=5).collect()}
+    assert out[4].dup_instances == 0 and out[4].dup_mass == 0.0
+    # docs a and b are fully contained in the stitched doc → mass 1.0
+    assert out[1].dup_mass == 1.0 and out[2].dup_mass == 1.0
+    # the stitched doc's own mass: all grams except the seam grams
+    # (spanning the a|b boundary) are repeats
+    assert out[3].n_instances == 16  # 20 tokens → 16 positional 5-grams
+    assert 0.5 < out[3].dup_mass < 1.0
+    # 10-token docs → 6 positional 5-grams each
+    assert out[1].n_instances == 6 and out[2].n_instances == 6
+
+
+def test_triangle_counts_known_graph_and_hub(spark):
+    """triangle + pendant star: exactly the triangle's vertices count
+    1 each; star spokes close nothing. A second diamond component
+    (two triangles sharing an edge) counts 2 on the shared edge."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import triangle_counts
+
+    edges = [
+        # triangle 1-2-3 with hub 1 fanning to pendants 4, 5 (+ dupes
+        # and reversed rows to prove canonicalization)
+        (1, 2), (2, 3), (3, 1), (1, 4), (5, 1), (2, 1),
+        # diamond 10-11-12-13: triangles (10,11,12) and (11,12,13)
+        (10, 11), (10, 12), (11, 12), (11, 13), (12, 13),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 1, 11: 2, 12: 2, 13: 1}
+
+
+def test_cooccurrence_edges_group_cap(spark):
+    """max_group drops trending groups BEFORE the pair self-join: a
+    3-member group is kept at cap 3, dropped at cap 2 — while the
+    2-member group's edge survives either way."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import cooccurrence_edges
+
+    rows = [
+        (1, "g1"), (2, "g1"), (3, "g1"),  # 3-member group
+        (4, "g2"), (5, "g2"),             # 2-member group
+        (6, "g3"),                        # singleton: no edges
+    ]
+    df = spark.createDataFrame(rows, "uid long, grp string")
+    full = {
+        (r.id_a, r.id_b)
+        for r in cooccurrence_edges(df, "uid", ["grp"], max_group=3).collect()
+    }
+    assert full == {(1, 2), (1, 3), (2, 3), (4, 5)}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in cooccurrence_edges(df, "uid", ["grp"], max_group=2).collect()
+    }
+    assert capped == {(4, 5)}

@@ -633,3 +633,79 @@ def test_dedup_index_append_crash_replay_repairs(spark, tmp_path):
         rows = D.query_dedup_index(spark, p2, probe, "text", "doc_id", 0.2).collect()
         assert len(rows) == 1 and rows[0]["kind"] == "exact", rows
         assert (rows[0]["doc_id"], rows[0]["match_id"]) == (200, 100)
+
+
+def test_text_index_append_merges_segments(spark, sf_dir, tmp_path):
+    """BM25 through the persistent index: (a) build-once over the full
+    corpus == the direct in-memory ranking; (b) build on half +
+    append_text_index on the other half == build-once (segment stats
+    are mergeable partials — the standing corpus is never
+    re-tokenized); (c) the probe plan prunes the postings read to the
+    query terms' hash buckets (PartitionFilters) and pushes the token
+    filter into the scan."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import retrieval
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import _BM25_QUERIES, QUERIES
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    direct = {
+        tuple(r) for r in QUERIES["bm25_topk"](spark, sf_dir).collect()
+    }
+
+    once = str(tmp_path / "ti_once")
+    retrieval.build_text_index(docs, "text", "doc_id", once)
+    got_once = retrieval.query_text_index(spark, once, _BM25_QUERIES, k=10)
+    assert {tuple(r) for r in got_once.collect()} == direct
+
+    seg = str(tmp_path / "ti_seg")
+    retrieval.build_text_index(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", seg
+    )
+    retrieval.append_text_index(
+        docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id", seg,
+        segment="crawl1",
+    )
+    got_seg = retrieval.query_text_index(spark, seg, _BM25_QUERIES, k=10)
+    assert {tuple(r) for r in got_seg.collect()} == direct
+
+    plan = got_seg._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("PartitionFilters", 1)
+    assert len(scan) == 2, "postings scan missing partition pruning"
+    assert "bucket" in scan[1].split("]", 1)[0]
+    assert "tok" in plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+
+
+def test_text_index_crash_replay_ignores_uncommitted_segment(spark, tmp_path):
+    """a segment whose postings landed but whose stats (commit record)
+    did not must be invisible to probes; re-running the append repairs
+    it in place without duplicating postings."""
+    import shutil
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import retrieval
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [(3, "alpha alpha beta")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "ti_crash")
+    retrieval.build_text_index(base, "text", "doc_id", path)
+    q = [(1, "alpha"), (1, "beta")]
+    before = {tuple(r) for r in retrieval.query_text_index(spark, path, q).collect()}
+
+    # simulate a crash: postings for crawl1 land, stats do not
+    retrieval.append_text_index(inc, "text", "doc_id", path, segment="crawl1")
+    shutil.rmtree(f"{path}/stats/seg=crawl1")
+    assert {
+        tuple(r) for r in retrieval.query_text_index(spark, path, q).collect()
+    } == before
+
+    # replaying the append repairs the segment (dynamic overwrite: no
+    # duplicated postings) and commits it
+    retrieval.append_text_index(inc, "text", "doc_id", path, segment="crawl1")
+    after = retrieval.query_text_index(spark, path, q)
+    by_doc = {(r.query_id, r.doc_id): r for r in after.collect()}
+    assert (1, 3) in by_doc
+    assert by_doc[(1, 3)].n_terms == 2  # alpha+beta, counted once each
