@@ -42,8 +42,10 @@ _FRONT = [
     "minhash_signatures",
     "dedup_minhash_pairs",
     "dedup_clusters",
+    "cluster_representatives",
     "connected_components_star",
     "triangle_count",
+    "kcore_decomposition",
     "dedup_simhash",
     "simhash_portable",
     "dedup_embedding",
@@ -88,6 +90,7 @@ _FRONT = [
     "repetition_ratio",
     "contamination_check",
     "shard_export",
+    "negative_sampling",
     # data quality + event analytics (never driver-gated)
     "data_quality_report",
     "funnel_analysis",

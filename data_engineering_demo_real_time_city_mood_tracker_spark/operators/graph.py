@@ -355,3 +355,63 @@ def triangle_counts(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every vertex has degree ≥ k — the standard graph-cleaning /
+    dense-community primitive (peels ribbons, pendants and sparse fuzz
+    off a similarity or interaction graph before community detection).
+
+    Iterative peel (the only way — k-core is not monotone-expressible
+    in one pass): each round computes degrees (one vertex-keyed agg)
+    and drops edges touching any vertex below ``k`` (two semi-joins
+    against the surviving-vertex frame). Rounds are O(peel depth);
+    ``localCheckpoint`` keeps lineage flat, persisted rounds release
+    their predecessor. Emits (id, core_degree) — each surviving
+    vertex's degree WITHIN the core.
+    """
+    cur = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .persist()
+    )
+    n_edges = cur.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            cur.select(F.explode(F.array("u", "v")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        good = deg.filter(F.col("d") >= k).select("id")
+        nxt = (
+            cur.join(good, cur.u == good.id, "left_semi")
+            .join(good, F.col("v") == good.id, "left_semi")
+            .localCheckpoint(eager=False)
+            .persist()
+        )
+        n_next = nxt.count()
+        cur.unpersist()
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    # cur stays persisted to back the returned frame; harnesses
+    # clearCache after collection
+    return (
+        cur.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

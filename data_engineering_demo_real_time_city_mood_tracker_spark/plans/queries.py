@@ -1960,6 +1960,149 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs, "id_a", "id_b")
 
 
+@register(
+    "cluster_representatives",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+und AS (
+  SELECT id_a AS a, id_b AS b FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+),
+reach(a, b) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+cl AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
+memb AS (
+  SELECT cl.cluster, cl.id, d.n_chars
+  FROM cl JOIN documents d ON cl.id = d.doc_id
+)
+SELECT cluster, n_members, id AS rep_id, n_chars AS rep_chars FROM (
+  SELECT m.*,
+         COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY n_chars DESC, id) AS rn
+  FROM memb m
+) t WHERE rn = 1""",
+)
+def q_cluster_representatives(spark, sf_dir):
+    """canonical-document selection per near-dup cluster: minhash
+    pairs → connected components → keep the LONGEST member (tie →
+    lowest id) as the cluster's representative — the 'which copy do we
+    train on' step after dedup clustering (keep-longest is the common
+    corpus-cleaning policy; swap the ORDER BY for any quality score).
+    The cluster frame is dup-members only (corpus-vanishing), one
+    cluster-keyed shuffle serves both the member count and the
+    rank-1 pick."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", k=3, bands=4, rows_per_band=2, threshold=0.2
+    )
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import connected_components
+
+    cl = connected_components(pairs, "id_a", "id_b")
+    memb = cl.join(docs.select(F.col("doc_id").alias("id"), "n_chars"), "id")
+    wc = Window.partitionBy("cluster")
+    wr = Window.partitionBy("cluster").orderBy(F.col("n_chars").desc(), F.col("id"))
+    return (
+        memb.select(
+            "cluster",
+            "id",
+            "n_chars",
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            "n_members",
+            F.col("id").alias("rep_id"),
+            F.col("n_chars").alias("rep_chars"),
+        )
+    )
+
+
+@register(
+    "negative_sampling",
+    """WITH q AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 97 = 0),
+pool AS (
+  SELECT doc_id AS neg_id FROM documents
+  ORDER BY md5('neg:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 64
+),
+scored AS (
+  SELECT query_id, neg_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY md5(CAST(query_id AS VARCHAR) || ':'
+                        || CAST(neg_id AS VARCHAR)), neg_id) AS rnk
+  FROM q CROSS JOIN pool WHERE neg_id != query_id
+)
+SELECT query_id, neg_id, rnk FROM scored WHERE rnk <= 4""",
+)
+def q_negative_sampling(spark, sf_dir):
+    """deterministic random-negative mining for contrastive training:
+    each query draws 4 negatives from a fixed 64-doc hash-selected
+    pool (global top-64 by md5('neg:'||id) — one TakeOrdered pass,
+    corpus-size independent), ranked per query by a query-salted hash.
+    No RNG anywhere: re-runs, retries, and engine swaps emit identical
+    pairs. Scale shape: pool is CONSTANT-sized and broadcast, so the
+    query×pool frame is 64 rows per query — linear in |Q|, never
+    |Q|×corpus; per-query rank is a 64-row window."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id")
+    )
+    pool = (
+        docs.select(
+            F.col("doc_id").alias("neg_id"),
+            F.md5(F.concat(F.lit("neg:"), F.col("doc_id").cast("string"))).alias(
+                "_pk"
+            ),
+        )
+        .orderBy("_pk", "neg_id")
+        .limit(64)
+        .drop("_pk")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("query_id").cast("string"),
+                F.lit(":"),
+                F.col("neg_id").cast("string"),
+            )
+        ),
+        "neg_id",
+    )
+    return (
+        q.crossJoin(F.broadcast(pool))
+        .filter(F.col("neg_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 4)
+    )
+
+
+@register("kcore_decomposition")  # iterative peel → rows-only (invariants test-asserted)
+def q_kcore_decomposition(spark, sf_dir):
+    """2-core of the user co-activity graph: iteratively peel vertices
+    with degree < 2 until fixpoint (operators/graph.py:k_core) — the
+    graph-cleaning step that strips pendants/ribbons before community
+    detection. Iterative (degree agg + semi-join per round, lineage
+    truncated), so no SQL oracle; peel-correctness invariants are
+    test-asserted on planted graphs (tests/test_operators.py)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = graph_ops.cooccurrence_edges(
+        ev.select(
+            "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+        ),
+        "user_id",
+        ["event_type", "m"],
+    )
+    return graph_ops.k_core(edges, k=2)
+
+
 @register("dedup_simhash")  # xxhash64 not oracle-portable → rows-only check
 def q_dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

@@ -255,3 +255,28 @@ def test_cooccurrence_edges_group_cap(spark):
         for r in cooccurrence_edges(df, "uid", ["grp"], max_group=2).collect()
     }
     assert capped == {(4, 5)}
+
+
+def test_k_core_peels_recursively(spark):
+    """2-core: a triangle with a pendant chain survives as exactly the
+    triangle (the chain peels away recursively, including the vertex
+    that only LOOKED degree-2 because of the chain); a square survives
+    whole; a pure chain vanishes."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import k_core
+
+    edges = [
+        # triangle 1-2-3 with chain 3-4-5 hanging off it
+        (1, 2), (2, 3), (1, 3), (3, 4), (4, 5),
+        # square 10-11-12-13 (degree 2 everywhere — survives 2-core)
+        (10, 11), (11, 12), (12, 13), (13, 10),
+        # chain 20-21-22 (vanishes)
+        (20, 21), (21, 22),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.id: r.core_degree for r in k_core(df, k=2).collect()}
+    assert out == {
+        1: 2, 2: 2, 3: 2,
+        10: 2, 11: 2, 12: 2, 13: 2,
+    }
+    # 3-core of the same graph is empty (max degree in any subgraph < 3)
+    assert k_core(df, k=3).count() == 0

@@ -353,3 +353,20 @@ def test_data_quality_single_events_scan(spark, sf_dir):
     per-check scan design would show up as multiple events readers."""
     plan = plan_of(QUERIES["data_quality_report"](spark, sf_dir))
     assert plan.count("events.parquet") == 1
+
+
+def test_seasonal_baseline_broadcasts_profile(spark, sf_dir):
+    """the |types|×24 seasonal profile must come back as a broadcast
+    join — the fact scan is never shuffled for the enrichment."""
+    plan = plan_of(QUERIES["seasonal_baseline"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_negative_sampling_pool_is_broadcast_nested_loop(spark, sf_dir):
+    """queries × constant-size pool: a BroadcastNestedLoopJoin over the
+    64-row pool is the intended shape (linear in |Q|); a shuffled or
+    cartesian plan would mean the pool stopped being constant-sized."""
+    plan = plan_of(QUERIES["negative_sampling"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

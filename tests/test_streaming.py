@@ -1243,3 +1243,50 @@ def test_streaming_dedup_ingest_with_persistent_index(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got2 == {102, 201}, f"after run 2: {got2}"
+
+
+def test_streaming_text_index_ingest_builds_searchable_segments(spark, tmp_path):
+    """text_index_ingest_stream: two micro-batches land as two index
+    segments; a BM25 probe after the stream sees docs from BOTH and
+    ranks them identically to a one-shot index over the union — the
+    mergeable-partials property, driven by streaming batch ids."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import retrieval
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.indexing import text_index_ingest_stream
+
+    b1 = spark.createDataFrame(
+        [(1, "spark shuffles data across executors"),
+         (2, "broadcast joins avoid the shuffle")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "shuffle partitions size the exchange"),
+         (4, "columnar scans prune unused data")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    index = str(tmp_path / "tindex")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = text_index_ingest_stream(
+        stream, "text", "doc_id", index, str(tmp_path / "ckpt"),
+        availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    segs = {r.seg for r in spark.read.parquet(f"{index}/stats").select("seg").collect()}
+    assert len(segs) == 2, f"expected one segment per micro-batch, got {segs}"
+
+    queries = [(1, "shuffle"), (1, "data")]
+    got = {tuple(r) for r in retrieval.query_text_index(spark, index, queries).collect()}
+
+    once = str(tmp_path / "t_once")
+    retrieval.build_text_index(b1.unionByName(b2), "text", "doc_id", once)
+    want = {tuple(r) for r in retrieval.query_text_index(spark, once, queries).collect()}
+    assert got == want
+    assert {d for (_, d, *_) in got} == {1, 2, 3, 4}  # both segments probed
