@@ -46,6 +46,7 @@ _FRONT = [
     "connected_components_star",
     "triangle_count",
     "kcore_decomposition",
+    "label_propagation",
     "dedup_simhash",
     "simhash_portable",
     "dedup_embedding",
@@ -62,6 +63,7 @@ _FRONT = [
     "embedding_ann_ivf",
     "embedding_ann_ivf_trained",
     "kmeans_embeddings",
+    "pq_ann_topk",
     "hybrid_search",
     "bm25_topk",
     "bm25_index_probe",
@@ -85,6 +87,7 @@ _FRONT = [
     "train_test_split",
     "balanced_sample",
     "mixture_sample",
+    "temperature_sample",
     "stratified_kfold",
     "sequence_packing",
     "repetition_ratio",

@@ -415,3 +415,60 @@ def k_core(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    rounds: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), made DETERMINISTIC: every vertex starts with its own
+    id as label, and each round simultaneously adopts the most
+    frequent label among its neighbors, ties broken toward the
+    SMALLEST label — no RNG, no visit-order dependence, identical
+    output on every run and partitioning. A fixed round budget keeps
+    the cost bounded (sync LPA can oscillate; for community mining a
+    few rounds is the useful regime — this is the cheap, local
+    alternative to connected components when dense subgraphs, not mere
+    reachability, define the communities).
+
+    Per round: one edge⋈label join (label frame is vertex-sized), one
+    (dst, label) count, one per-dst argmax via ``min_by`` over a
+    (-count, label) struct — all vertex/edge-keyed shuffles;
+    ``localCheckpoint`` truncates lineage. Emits (id, community).
+    """
+    und = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    und = und.union(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    ).distinct().persist()
+    verts = und.select(F.col("src").alias("id")).distinct().persist()
+    verts.count()
+    labels = verts.select("id", F.col("id").alias("label"))
+    for _ in range(rounds):
+        neigh = (
+            und.join(labels, und.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax label by (max count, min label) — deterministic
+        new_labels = neigh.groupBy("id").agg(
+            F.min_by("label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias(
+                "label"
+            )
+        )
+        labels = (
+            verts.join(new_labels, "id", "left")
+            .select(
+                verts.id.alias("id"),
+                F.coalesce(new_labels.label, verts.id).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    labels = labels.persist()
+    labels.count()
+    und.unpersist()
+    verts.unpersist()
+    return labels.select("id", F.col("label").alias("community"))

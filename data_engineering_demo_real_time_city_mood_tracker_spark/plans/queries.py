@@ -2103,6 +2103,27 @@ def q_kcore_decomposition(spark, sf_dir):
     return graph_ops.k_core(edges, k=2)
 
 
+@register("label_propagation")  # sync-iterative (fixed rounds) → rows-only
+def q_label_propagation(spark, sf_dir):
+    """deterministic synchronous label-propagation communities over
+    the user co-activity graph (3 rounds; most-frequent neighbor
+    label, ties → smallest): the density-sensitive alternative to
+    connected components for community mining. Rows-only (iterative);
+    determinism + known-graph community structure are test-asserted
+    (tests/test_operators.py)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = graph_ops.cooccurrence_edges(
+        ev.select(
+            "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+        ),
+        "user_id",
+        ["event_type", "m"],
+    )
+    return graph_ops.label_propagation(edges, rounds=3)
+
+
 @register("dedup_simhash")  # xxhash64 not oracle-portable → rows-only check
 def q_dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -2572,6 +2593,68 @@ def q_train_test_split(spark, sf_dir):
     return load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(h < "c", "train").when(h < "e", "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "temperature_sample",
+    """WITH lc AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+tot AS (
+  SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang),
+                     (a, x) -> a + x) AS s,
+         CAST(SUM(n) AS DOUBLE) / 2 AS half
+  FROM lc
+),
+tgt AS (
+  SELECT lang,
+         CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) / t.s * t.half) AS BIGINT) AS target
+  FROM lc, tot t
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang, t.target, (r.rn <= t.target) AS kept
+FROM ranked r JOIN tgt t USING (lang)""",
+)
+def q_temperature_sample(spark, sf_dir):
+    """temperature-based language rebalancing (the mT5/XLM-R α=0.5
+    mixture): per-language keep budgets ∝ √n_lang (down-weights the
+    head language, up-weights the tail), filled deterministically by
+    md5 rank within each language — half the corpus survives, no RNG,
+    byte-identical across engines and re-runs. √ is IEEE
+    correctly-rounded (bitwise portable, unlike pow/log); the
+    language-count fold and budget arithmetic run driver-side over the
+    BOUNDED lang table and ride the plan as literals, so the corpus
+    pays one lang-keyed rank shuffle and nothing else."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = sorted(
+        (r["lang"], r["n"])
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    total = sum(n for _, n in counts)
+    s = 0.0
+    for _, n in counts:  # left fold in lang order == oracle's list_reduce
+        s += math.sqrt(float(n))
+    half = float(total) / 2
+    targets = {
+        lang: int(math.floor(math.sqrt(float(n)) / s * half)) for lang, n in counts
+    }
+    tgt = F.create_map(
+        *[x for lang, t in sorted(targets.items()) for x in (F.lit(lang), F.lit(t))]
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        tgt[F.col("lang")].alias("target"),
+        (F.row_number().over(w) <= tgt[F.col("lang")]).alias("kept"),
     )
 
 
@@ -4856,6 +4939,28 @@ def q_bm25_index_probe(spark, sf_dir):
     path = f"{tempfile.gettempdir()}/spark_graft_text_index_{tag}"
     retrieval.build_text_index(docs, "text", "doc_id", path)
     return retrieval.query_text_index(spark, path, _BM25_QUERIES, k=10)
+
+
+@register("pq_ann_topk")  # k-means-trained codebooks → rows-only
+def q_pq_ann_topk(spark, sf_dir):
+    """product-quantization ANN (Jégou et al. 2011): 64-dim vectors →
+    4 subspace codes (16 centroids each, 64× compression), queries
+    answered by ADC — per-query distance LUT as a plan literal, the
+    scan reads CODES not vectors and sums 4 table lookups per row.
+    The memory-bandwidth answer to vector search at 100 TB (compose
+    with IVF cells for the I/O answer). Rows-only (iterative
+    training); code-range, determinism, and recall-vs-exact bounds
+    are test-asserted (tests/test_operators.py, test_properties.py)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq.train_pq(emb, "embedding", "vec_id", m=4, ksub=16, max_iter=3)
+    codes = pq.encode_pq(emb, "embedding", "vec_id", books).persist()
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+    ]
+    return pq.pq_topk(codes, books, queries, k=5)
 
 
 @register("bpe_merges")  # iterative (one driver-picked pair per round) → rows-only

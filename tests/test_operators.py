@@ -280,3 +280,56 @@ def test_k_core_peels_recursively(spark):
     }
     # 3-core of the same graph is empty (max degree in any subgraph < 3)
     assert k_core(df, k=3).count() == 0
+
+
+def test_label_propagation_finds_dense_communities(spark):
+    """two 4-cliques joined by a single bridge edge: CC merges them
+    into one component, LPA keeps them as two communities (each
+    clique's min id) — the density sensitivity LPA exists for. Re-run
+    must be byte-identical (determinism)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.id: r.community for r in label_propagation(df, rounds=3).collect()}
+    assert {out[i] for i in (1, 2, 3, 4)} == {1}
+    assert {out[i] for i in (10, 11, 12, 13)} == {10}
+    # CC would have merged everything — one cluster
+    cc = {r.cluster for r in connected_components(df, "id_a", "id_b").collect()}
+    assert cc == {1}
+    again = {r.id: r.community for r in label_propagation(df, rounds=3).collect()}
+    assert again == out
+
+
+def test_pq_encode_decode_properties(spark):
+    """PQ codes: in [0, ksub); deterministic across retrains; a vector
+    sitting exactly ON a centroid gets that centroid's code (ADC
+    distance 0 to itself)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b1 = pq.train_pq(df, "embedding", "vec_id", m=2, ksub=4, max_iter=3)
+    b2 = pq.train_pq(df, "embedding", "vec_id", m=2, ksub=4, max_iter=3)
+    assert b1 == b2, "PQ training must be deterministic"
+    codes = pq.encode_pq(df, "embedding", "vec_id", b1)
+    got = {r.id: list(r.code) for r in codes.collect()}
+    assert set(got) == {i for i, _ in rows}
+    assert all(0 <= c < 4 for cs in got.values() for c in cs)
+    # self-query: every query's OWN code-cell distance is minimal for
+    # the quantized representative, so the query itself ranks first
+    # when it is in the corpus (ADC dist to own code == quantization
+    # error, strictly smaller than to other cells' codes here)
+    queries = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in (0, 5)]
+    top = pq.pq_topk(codes, b1, queries, k=1)
+    first = {r.query_id: r.corpus_id for r in top.collect()}
+    for qid in (0, 5):
+        qcode = got[qid]
+        top_code = got[first[qid]]
+        assert top_code == qcode, "rank-1 must share the query's PQ cell"

@@ -709,3 +709,49 @@ def test_text_index_crash_replay_ignores_uncommitted_segment(spark, tmp_path):
     by_doc = {(r.query_id, r.doc_id): r for r in after.collect()}
     assert (1, 3) in by_doc
     assert by_doc[(1, 3)].n_terms == 2  # alpha+beta, counted once each
+
+
+def test_pq_adc_quality(spark, sf_dir):
+    """PQ/ADC quality bounds that hold even on near-isotropic test
+    vectors (where exact-NN recall is information-theoretically out of
+    reach for ANY 64× quantizer — neighbor margins are smaller than
+    quantization error): (a) a query that IS in the corpus retrieves
+    itself at rank 1 (its own code minimizes every subspace lookup —
+    modulo code-tie id ordering, so ≥80% required); (b) the ADC
+    ordering beats random: the mean EXACT distance of each query's
+    ADC-top-5 (self excluded) must undercut the mean exact distance to
+    the whole corpus for a clear majority of queries."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq.train_pq(emb, "embedding", "vec_id", m=4, ksub=16, max_iter=3)
+    codes = pq.encode_pq(emb, "embedding", "vec_id", books).persist()
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+    ]
+    approx = pq.pq_topk(codes, books, queries, k=6)
+    by_q: dict[int, list] = {}
+    for r in approx.collect():
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.corpus_id))
+
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in emb.collect()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    self_hits = sum(
+        1 for qid, _ in queries if min(by_q[qid])[1] == qid
+    )
+    assert self_hits >= 0.8 * len(queries), f"self-retrieval {self_hits}/{len(queries)}"
+
+    better = 0
+    for qid, qv in queries:
+        top = [cid for _, cid in sorted(by_q[qid]) if cid != qid][:5]
+        mean_top = sum(d2(qv, vecs[c]) for c in top) / len(top)
+        rest = [d2(qv, v) for cid, v in vecs.items() if cid != qid]
+        mean_all = sum(rest) / len(rest)
+        if mean_top < mean_all:
+            better += 1
+    assert better >= 0.7 * len(queries), f"ADC no better than random: {better}/{len(queries)}"

@@ -1290,3 +1290,85 @@ def test_streaming_text_index_ingest_builds_searchable_segments(spark, tmp_path)
     want = {tuple(r) for r in retrieval.query_text_index(spark, once, queries).collect()}
     assert got == want
     assert {d for (_, d, *_) in got} == {1, 2, 3, 4}  # both segments probed
+
+
+def test_trending_topk_stream_matches_batch(spark, sf_dir, tmp_path):
+    """trending_topk_stream: after all micro-batches, the replaced
+    output table equals the batch computation of the same windowed
+    top-k over the same rows (complete mode ⇒ late batches re-rank
+    earlier windows correctly)."""
+    from pyspark.sql import Window
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.trending import trending_topk_stream
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    src = str(tmp_path / "ev")
+    for part in ev.randomSplit([1.0, 1.0], seed=3):
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "trend")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = trending_topk_stream(
+        stream, "ts", "event_type", out, str(tmp_path / "ckpt"),
+        window="5 minutes", k=3, availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    w = Window.partitionBy("win").orderBy(F.col("n").desc(), F.col("key"))
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(src)
+        .groupBy(
+            F.window("ts", "5 minutes").alias("win"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("win.start").alias("window_start"), "key", "n",
+                F.col("rnk").cast("long").alias("rnk"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_seasonal_alert_stream_matches_batch(spark, sf_dir, tmp_path):
+    """stream-static seasonal alerting: the streamed alert set equals
+    applying the same profile join + deviation filter to the batch
+    frame (stateless map-only enrichment ⇒ exact append-mode parity)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.alerts import seasonal_alert_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    prof = ev.groupBy(
+        F.col("event_type"), F.hour("ts").alias("hod")
+    ).agg(F.avg("value").alias("expected"))
+
+    batch = seasonal_alert_stream(ev, prof, "ts", "event_type", "value", 150.0)
+    want = {tuple(r) for r in batch.select("event_id", "deviation").collect()}
+    assert want, "expected some alerts at threshold 150"
+
+    src = str(tmp_path / "ev")
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    alerts = seasonal_alert_stream(stream, prof, "ts", "event_type", "value", 150.0)
+    qname = f"alerts_{uuid.uuid4().hex[:8]}"
+    q = (
+        alerts.select("event_id", "deviation")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table(qname).collect()}
+    assert got == want
