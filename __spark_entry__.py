@@ -119,6 +119,7 @@ _FRONT = [
     "dominant_part_suppliers",
     # iterative / multimodal / sketch rows-only entries
     "bpe_merges",
+    "bpe_encode",
     "pagerank_topk",
     "multimodal_meta",
     "multimodal_frames",

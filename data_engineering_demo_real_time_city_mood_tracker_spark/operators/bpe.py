@@ -112,3 +112,44 @@ def train_bpe(docs: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank bigint, left string, right string, pair_count bigint"
     )
+
+
+def encode_bpe(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """The APPLY side of the tokenizer: segment every document with a
+    learned merge table — (id, n_words, n_subwords, subwords).
+
+    Pure map-only codegen: the merge rules ride the plan as literals
+    and are applied in rank order, each rule one greedy-leftmost fold
+    (:func:`_merge_pair`, the same pass the trainer uses — so encoding
+    reproduces training segmentation exactly). No shuffle, no Python:
+    at inference scale the corpus streams through m nested folds per
+    word. This is what tokenizing 100 TB for sequence prep actually
+    runs; pair with train_bpe's output via
+    ``[(r.left, r.right) for r in merges_df.orderBy("rank").collect()]``.
+    """
+
+    def seg(word):
+        syms = F.split(word, "")
+        for left, right in merges:
+            syms = _merge_pair(syms, left, right)
+        return syms
+
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(T.tokens(F.col(text_col)), lambda w: F.length(w) > 0).alias("_toks"),
+    )
+    return toked.select(
+        "id",
+        F.size("_toks").alias("n_words"),
+        F.flatten(F.transform("_toks", seg)).alias("subwords"),
+    ).select(
+        "id",
+        "n_words",
+        F.size("subwords").alias("n_subwords"),
+        "subwords",
+    )

@@ -45,18 +45,79 @@ def train_pq(
     ksub: int = 16,
     max_iter: int = 3,
 ) -> list[list[list[float]]]:
-    """codebooks[m][ksub][dsub]: one k-means per subspace slice."""
+    """codebooks[m][ksub][dsub]: k-means per subspace slice, with all
+    ``m`` subspaces trained in the SAME jobs.
+
+    Running :func:`clustering.kmeans` per subspace would cost m ×
+    (init + iterations) separate Spark jobs over the same corpus; the
+    subspace problems are independent, so this fuses them — ONE
+    md5-ordered init collect seeds every subspace (identical seeds to
+    the sequential form: the smallest-hash ids' slices), and each
+    Lloyd round is ONE pass computing every subspace's assignment
+    map-only and aggregating all means keyed on (subspace, cluster,
+    pos). Same exact-decimal update discipline ⇒ byte-identical
+    codebooks to m independent kmeans() runs (test-asserted), at
+    1/m-th the job count; the per-round shuffle payload is m × ksub ×
+    dsub partials per task — corpus-size-independent.
+    """
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
+
     dim = len(df.select(vec_col).first()[0])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     dsub = dim // m
-    books = []
-    for j in range(m):
-        sub = df.select(
-            F.col(id_col).alias("id"),
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("sub"),
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    seeds = (
+        base.select(F.md5(F.col("id").cast("string")).alias("h"), "_v")
+        .orderBy("h")
+        .limit(ksub)
+        .collect()
+    )
+    books = [
+        [list(r["_v"])[j * dsub : (j + 1) * dsub] for r in seeds] for j in range(m)
+    ]
+    for _ in range(max_iter):
+        per_sub = []
+        for j, book in enumerate(books):
+            sub = F.slice(F.col("_v"), j * dsub + 1, dsub)
+            cents = _centroid_array(book)
+            # NB: single-arg lambda (F.transform would pass an index
+            # as a second param); `sub` capture is safe — transform
+            # builds the expression eagerly within this iteration
+            dists = F.transform(
+                cents,
+                lambda c: F.aggregate(
+                    F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            )
+            cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            per_sub.append(
+                F.struct(
+                    F.lit(j).alias("j"), cluster.alias("cluster"), sub.alias("sub")
+                )
+            )
+        new_rows = (
+            base.select(F.explode(F.array(*per_sub)).alias("s"))
+            .select("s.j", "s.cluster", F.posexplode("s.sub").alias("pos", "x"))
+            .groupBy("j", "cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .collect()
         )
-        _, cents = kmeans(sub, "sub", "id", k=ksub, max_iter=max_iter)
-        books.append(cents)
+        new_books = [[list(c) for c in book] for book in books]
+        for r in new_rows:
+            new_books[r.j][r.cluster][r.pos] = r.c
+        if new_books == books:
+            break
+        books = new_books
     return books
 
 

@@ -4941,6 +4941,29 @@ def q_bm25_index_probe(spark, sf_dir):
     return retrieval.query_text_index(spark, path, _BM25_QUERIES, k=10)
 
 
+@register("bpe_encode")  # trained-merge apply; training iterative → rows-only
+def q_bpe_encode(spark, sf_dir):
+    """the APPLY side of the BPE tokenizer: learn 8 merges on a
+    deterministic corpus quarter (doc_id % 4 == 0 — codebooks train on
+    samples), then segment EVERY doc map-only with the merge table as
+    plan literals (operators/bpe.py:encode_bpe — one greedy-leftmost
+    fold per rule, identical to the trainer's pass, no shuffle). This
+    is the tokenize-100-TB-for-sequence-prep path. Rows-only;
+    segmentation correctness on known merges is test-asserted."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges_df = bpe.train_bpe(docs.filter(F.col("doc_id") % 4 == 0), "text", 8)
+    merges = [
+        (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
+    ]
+    enc = bpe.encode_bpe(docs, "text", "doc_id", merges)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_subwords",
+        F.slice("subwords", 1, 8).alias("sample"),
+    )
+
+
 @register("pq_ann_topk")  # k-means-trained codebooks → rows-only
 def q_pq_ann_topk(spark, sf_dir):
     """product-quantization ANN (Jégou et al. 2011): 64-dim vectors →

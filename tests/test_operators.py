@@ -333,3 +333,64 @@ def test_pq_encode_decode_properties(spark):
         qcode = got[qid]
         top_code = got[first[qid]]
         assert top_code == qcode, "rank-1 must share the query's PQ cell"
+
+
+def test_fused_pq_training_equals_sequential_kmeans(spark):
+    """train_pq fuses all subspaces into shared jobs; the codebooks
+    must be BYTE-identical to m independent kmeans() runs over the
+    subspace slices (same md5-ordered seeds, same exact-decimal
+    updates)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import kmeans
+
+    rows = [
+        (i, [float(((i * 13 + j * 5) % 17) - 8) for j in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fused = pq.train_pq(df, "embedding", "vec_id", m=2, ksub=4, max_iter=3)
+    seq = []
+    for j in range(2):
+        sub = df.select(
+            F.col("vec_id").alias("id"), F.slice("embedding", j * 4 + 1, 4).alias("sub")
+        )
+        _, cents = kmeans(sub, "sub", "id", k=4, max_iter=3)
+        seq.append(cents)
+    assert fused == seq
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    """encode_bpe reproduces hand-computed BPE segmentation: rules
+    fire in rank order, each greedy-leftmost; words untouched by any
+    rule stay character-split; counts line up."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.bpe import encode_bpe
+
+    df = spark.createDataFrame(
+        [(1, "hello hell oh"), (2, "aaab")], "doc_id long, text string"
+    )
+    merges = [("h", "e"), ("he", "l"), ("l", "o")]
+    out = {r.id: r for r in encode_bpe(df, "text", "doc_id", merges).collect()}
+    # hello: h e l l o -> he l l o -> hel l o -> hel lo
+    # hell:  h e l l   -> he l l   -> hel l
+    # oh:    o h (no rule matches)
+    assert list(out[1].subwords) == ["hel", "lo", "hel", "l", "o", "h"]
+    assert out[1].n_words == 3 and out[1].n_subwords == 6
+    # aaab: a a a b — no rule applies
+    assert list(out[2].subwords) == ["a", "a", "a", "b"]
+
+
+def test_bpe_train_then_encode_roundtrip(spark):
+    """the merges train_bpe learns, applied by encode_bpe, segment the
+    training corpus' dominant word into one symbol."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.bpe import encode_bpe, train_bpe
+
+    df = spark.createDataFrame(
+        [(i, "abab abab abab zz") for i in range(6)], "doc_id long, text string"
+    )
+    merges_df = train_bpe(df, "text", n_merges=3)
+    merges = [(r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()]
+    enc = {r.id: r for r in encode_bpe(df, "text", "doc_id", merges).collect()}
+    # 'abab' must collapse into a single subword within 3 merges
+    subs = list(enc[0].subwords)
+    assert "abab" in subs
