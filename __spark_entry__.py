@@ -60,6 +60,7 @@ _FRONT = [
     # similarity search / retrieval
     "embedding_topk",
     "embedding_ann_lsh",
+    "ann_recall_eval",
     "embedding_ann_ivf",
     "embedding_ann_ivf_trained",
     "kmeans_embeddings",
