@@ -233,3 +233,28 @@ def merge_agg_partials(
         F.sum(count_col).alias(count_col),
         *[F.sum(c).alias(c) for c in sum_cols],
     )
+
+
+# --------------------------------------------------------------------------
+# in-flight pipeline metrics (Observation API)
+
+
+def observed_write(df: DataFrame, writer, name: str = "metrics", metrics=None):
+    """Run a pipeline stage with data-quality metrics collected IN the
+    same pass — Spark's Observation API, the batch analog of the
+    streaming progress listener (streaming/monitor.py).
+
+    ``metrics`` is a list of aggregate Columns (default: row count);
+    they are computed as the data flows through the action ``writer``
+    triggers — NO second scan, unlike quality_check's separate
+    aggregation pass. The right tool when a 100 TB write wants its
+    row counts / null rates / value bounds recorded without paying
+    the scan twice. ``writer`` receives the observed frame and must
+    trigger exactly one action. Returns (writer result, metrics dict).
+    """
+    from pyspark.sql import Observation
+
+    ob = Observation(name)
+    observed = df.observe(ob, *(metrics or [F.count(F.lit(1)).alias("rows")]))
+    out = writer(observed)
+    return out, dict(ob.get)

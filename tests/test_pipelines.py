@@ -242,3 +242,35 @@ def test_incremental_agg_maintenance_equals_full_recompute(spark, sf_dir):
     m = {r.event_type: (r.n, r.s) for r in merged.collect()}
     f = {r.event_type: (r.n, r.s) for r in full.collect()}
     assert m == f
+
+
+def test_observed_write_collects_metrics_in_one_pass(spark, sf_dir, tmp_path):
+    """observed_write: row count + null rate + bounds arrive as a side
+    effect of the write action itself (no second scan), and match a
+    directly-computed aggregation."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.pipelines import observed_write
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    out = str(tmp_path / "obs")
+    _, metrics = observed_write(
+        ev,
+        lambda df: df.write.mode("overwrite").parquet(out),
+        metrics=[
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("value").isNull().cast("int")).alias("null_values"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        ],
+    )
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("value").isNull().cast("int")).alias("null_values"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).first()
+    assert metrics["rows"] == direct["rows"] > 0
+    assert metrics["null_values"] == direct["null_values"]
+    assert metrics["min_value"] == direct["min_value"]
+    assert metrics["max_value"] == direct["max_value"]
+    assert spark.read.parquet(out).count() == metrics["rows"]
