@@ -192,3 +192,54 @@ def test_sessionization_matches_python_model(spark, events, gap_sec):
             prev = t
         want.add((u, str(dt.datetime.utcfromtimestamp(start)), str(dt.datetime.utcfromtimestamp(prev)), n))
     assert got == want, (events, gap_sec)
+
+
+def py_containment_pairs(texts, k, threshold, max_df):
+    """brute-force model of containment_pairs (shares py_jaccard_pairs'
+    shingle + df-cap semantics; score = inter / min set size)."""
+    from collections import Counter
+
+    sh = {i: set(py_shingles(t, k)) for i, t in enumerate(texts)}
+    if max_df is not None:
+        df = Counter(s for ss in sh.values() for s in ss)
+        sh = {i: {s for s in ss if df[s] <= max_df} for i, ss in sh.items()}
+    out = {}
+    ids = sorted(sh)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sh[a] & sh[b])
+            mn = min(len(sh[a]), len(sh[b]))
+            if inter and mn and inter / mn >= threshold:
+                out[(a, b)] = inter / mn
+    return out
+
+
+@given(
+    st.lists(ASCII, min_size=2, max_size=12),
+    st.sampled_from([0.3, 0.6]),
+    st.sampled_from([None, 2]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_containment_matches_python_model(spark, texts, threshold, max_df):
+    """asymmetric containment pairs — with and without the df cap —
+    must agree with the brute-force Python model (pair set AND
+    values) on arbitrary input."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(
+            df, "text", "doc_id", k=2, threshold=threshold, max_df=max_df
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    want = py_containment_pairs(texts, 2, threshold, max_df)
+    assert set(got) == set(want), (texts, threshold, max_df)
+    for pair, c in want.items():
+        assert abs(got[pair] - c) < 1e-12
