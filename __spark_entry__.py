@@ -65,6 +65,7 @@ _FRONT = [
     "embedding_ann_ivf_trained",
     "kmeans_embeddings",
     "pq_ann_topk",
+    "ivfpq_index_probe",
     "hybrid_search",
     "bm25_topk",
     "bm25_index_probe",

@@ -5023,6 +5023,32 @@ def q_bm25_index_probe(spark, sf_dir):
     return retrieval.query_text_index(spark, path, _BM25_QUERIES, k=10)
 
 
+@register("ivfpq_index_probe")  # two trained quantizers → rows-only
+def q_ivfpq_index_probe(spark, sf_dir):
+    """the persistent IVF-PQ index end-to-end (FAISS IVFPQ layout,
+    lake-native): coarse k-means cells + residual product codes
+    written partitioned BY CELL, probed with n_probe=2 — the codes
+    scan is directory-pruned to the probed cells and reads 4-byte
+    codes, never vectors. Rebuilds into a deterministic per-SF scratch
+    dir (overwrite — idempotent). Rows-only (two iterative
+    trainings); the ADC arithmetic is verified against a pure-Python
+    model and the cell pruning is plan-asserted in tests."""
+    import hashlib
+    import tempfile
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/spark_graft_ivfpq_{tag}"
+    pq.build_ivfpq_index(emb, "embedding", "vec_id", path, n_cells=8, m=4, ksub=16)
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+    ]
+    return pq.query_ivfpq_index(spark, path, queries, k=5, n_probe=2)
+
+
 @register("bpe_encode")  # trained-merge apply; training iterative → rows-only
 def q_bpe_encode(spark, sf_dir):
     """the APPLY side of the BPE tokenizer: learn 8 merges on a

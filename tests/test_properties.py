@@ -755,3 +755,74 @@ def test_pq_adc_quality(spark, sf_dir):
         if mean_top < mean_all:
             better += 1
     assert better >= 0.7 * len(queries), f"ADC no better than random: {better}/{len(queries)}"
+
+
+def test_ivfpq_index_matches_python_model(spark, tmp_path):
+    """query_ivfpq_index's distributed ADC arithmetic must reproduce a
+    pure-Python model of the same index EXACTLY (same meta, same
+    codes, same residual LUTs): per-query top-5 ids and bitwise-equal
+    approximate distances. Also: results only come from probed cells,
+    and the codes scan is partition-pruned to them."""
+    import json
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
+
+    rows = [
+        (i, [float(((i * 31 + j * 7) % 23) - 11) / 3.0 for j in range(8)])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivfpq_index(df, "embedding", "vec_id", path, n_cells=4, m=2, ksub=4)
+
+    queries = [(i, [float(x) for x in v]) for i, v in rows[:3]]
+    got = {
+        (r.query_id, r.rnk): (r.corpus_id, r.approx_dist)
+        for r in pq.query_ivfpq_index(spark, path, queries, k=5, n_probe=2).collect()
+    }
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    cents = json.loads(meta["centroids"])
+    books = json.loads(meta["codebooks"])
+    codes = {
+        (r.id): (r.cell, list(r.code))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    m, dsub = len(books), len(books[0][0])
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for qid, qv in queries:
+        probed = sorted(
+            (d2(qv, c), ci) for ci, c in enumerate(cents)
+        )[:2]
+        probed_cells = {ci for _, ci in probed}
+        cand = []
+        for cid, (cell, code) in codes.items():
+            if cell not in probed_cells:
+                continue
+            res = [a - b for a, b in zip(qv, cents[cell])]
+            dist = 0.0
+            for j in range(m):
+                sub = res[j * dsub : (j + 1) * dsub]
+                dist += d2(sub, books[j][code[j]])
+            cand.append((dist, cid))
+        cand.sort()
+        for rnk, (dist, cid) in enumerate(cand[:5], start=1):
+            gcid, gdist = got[(qid, rnk)]
+            assert gcid == cid, (qid, rnk, gcid, cid)
+            assert gdist == dist, (qid, rnk, gdist, dist)
+        # nothing outside the probed cells
+        for rnk in range(1, 6):
+            if (qid, rnk) in got:
+                assert codes[got[(qid, rnk)][0]][0] in probed_cells
+
+    plan = (
+        pq.query_ivfpq_index(spark, path, queries, k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
