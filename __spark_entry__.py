@@ -98,6 +98,7 @@ _FRONT = [
     "negative_sampling",
     # data quality + event analytics (never driver-gated)
     "data_quality_report",
+    "distribution_drift",
     "funnel_analysis",
     "cohort_retention",
     "cdc_apply",

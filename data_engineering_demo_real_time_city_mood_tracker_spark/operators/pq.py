@@ -122,14 +122,20 @@ def train_pq(
 
 
 def encode_pq(
-    df: DataFrame, vec_col: str, id_col: str, codebooks: list[list[list[float]]]
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[list[list[float]]],
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, code: array<int>) — map-only nearest-centroid code per
-    subspace, codebooks as plan literals, ties → lowest code."""
+    """(id, [carry...], code: array<int>) — map-only nearest-centroid
+    code per subspace, codebooks as plan literals, ties → lowest code.
+    ``carry`` columns ride through the projection so callers never
+    need an id-keyed join to re-attach metadata (cell, source, ...)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    out = df.select(F.col(id_col).alias("id"), vec.alias("_v"))
+    out = df.select(F.col(id_col).alias("id"), *carry, vec.alias("_v"))
     codes = []
     for j, book in enumerate(codebooks):
         sub = F.slice(F.col("_v"), j * dsub + 1, dsub)
@@ -145,7 +151,7 @@ def encode_pq(
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
-    return out.select("id", F.array(*codes).alias("code"))
+    return out.select("id", *carry, F.array(*codes).alias("code"))
 
 
 def pq_topk(
@@ -269,24 +275,29 @@ def build_ivfpq_index(
     _, cents = kmeans(df, vec_col, id_col, k=n_cells, max_iter=max_iter)
     assigned = assign_clusters(df, vec_col, id_col, cents)
     cmat = _centroid_array(cents)
+    # persisted: the residual pipeline (assignment argmin + subtract)
+    # otherwise re-evaluates on every PQ Lloyd round AND the encode
+    # pass; `cell` then rides the encode projection (carry=) so no
+    # id-keyed join ever re-attaches it
     resid = assigned.select(
         "id",
         F.col("cluster").alias("cell"),
         F.zip_with(
             "vec", F.element_at(cmat, F.col("cluster") + 1), lambda x, c: x - c
         ).alias("res"),
-    )
-    books = train_pq(resid, "res", "id", m=m, ksub=ksub, max_iter=max_iter)
-    codes = encode_pq(resid, "res", "id", books).join(
-        resid.select("id", "cell"), "id"
-    )
-    (
-        codes.select("id", "code", "cell")
-        .repartition("cell")
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(f"{path}/codes")
-    )
+    ).persist()
+    try:
+        books = train_pq(resid, "res", "id", m=m, ksub=ksub, max_iter=max_iter)
+        codes = encode_pq(resid, "res", "id", books, carry=("cell",))
+        (
+            codes.select("id", "code", "cell")
+            .repartition("cell")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(f"{path}/codes")
+        )
+    finally:
+        resid.unpersist()
     spark = df.sparkSession
     spark.createDataFrame(
         [(_json.dumps(cents), _json.dumps(books))],

@@ -1669,6 +1669,85 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+@register(
+    "distribution_drift",
+    """WITH b AS (
+  SELECT event_type,
+         CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 'day' ELSE 'night' END AS period,
+         CAST(FLOOR(value / 25) AS BIGINT) AS bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT event_type, period, CAST(SUM(n) AS BIGINT) AS total
+  FROM b GROUP BY 1, 2
+),
+p AS (
+  SELECT b.event_type, b.bucket,
+         MAX(CASE WHEN b.period = 'day' THEN b.n / t.total END) AS pd,
+         MAX(CASE WHEN b.period = 'night' THEN b.n / t.total END) AS pn
+  FROM b JOIN tot t ON b.event_type = t.event_type AND b.period = t.period
+  GROUP BY b.event_type, b.bucket
+)
+SELECT event_type,
+       0.5 * list_reduce(list(ABS(COALESCE(pd, 0.0) - COALESCE(pn, 0.0))
+                              ORDER BY bucket),
+                         (a, x) -> a + x) AS tv_distance,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM p GROUP BY event_type""",
+)
+def q_distribution_drift(spark, sf_dir):
+    """distribution-drift monitor: per event_type, the total-variation
+    distance (0.5·Σ|p_b − q_b|) between the day (hour < 12) and night
+    value histograms — the PSI-style training-data drift check, with a
+    LOG-FREE divergence so every step is rational arithmetic both
+    engines execute bitwise (PSI/KL's ln() is not cross-engine
+    portable; TV is, and it is a bounded [0,1] metric). One bucket
+    agg + one bounded pivot; the per-type |p−q| fold runs in bucket
+    order (sorted fold, same discipline as BM25's term fold)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.when(F.hour("ts") < 12, "day").otherwise("night").alias("period"),
+        F.floor(F.col("value") / 25).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = b.groupBy("event_type", "period").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    p = (
+        b.join(tot, ["event_type", "period"])
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max(
+                F.when(F.col("period") == "day", F.col("n") / F.col("total"))
+            ).alias("pd"),
+            F.max(
+                F.when(F.col("period") == "night", F.col("n") / F.col("total"))
+            ).alias("pn"),
+        )
+    )
+    diff = F.abs(
+        F.coalesce("pd", F.lit(0.0)) - F.coalesce("pn", F.lit(0.0))
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("bucket"), diff.alias("d")))
+            ).alias("_bd"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+        .select(
+            "event_type",
+            (
+                F.lit(0.5)
+                * F.aggregate(F.col("_bd"), F.lit(0.0), lambda a, x: a + x["d"])
+            ).alias("tv_distance"),
+            "n_buckets",
+        )
+    )
+
+
 @register("approx_distinct_hll")  # HLL sketch internals engine-specific → rows-only
 def q_approx_distinct_hll(spark, sf_dir):
     """HyperLogLog sketch distinct-count — the 100 TB path where exact
@@ -5041,7 +5120,9 @@ def q_ivfpq_index_probe(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = f"{tempfile.gettempdir()}/spark_graft_ivfpq_{tag}"
-    pq.build_ivfpq_index(emb, "embedding", "vec_id", path, n_cells=8, m=4, ksub=16)
+    pq.build_ivfpq_index(
+        emb, "embedding", "vec_id", path, n_cells=8, m=4, ksub=16, max_iter=2
+    )
     queries = [
         (int(r["vec_id"]), list(r["embedding"]))
         for r in emb.filter(F.col("vec_id") < 10).collect()
