@@ -387,8 +387,9 @@ def k_core(
         .persist()
     )
     n_edges = cur.count()
+    converged = n_edges == 0
     for _ in range(max_iter):
-        if n_edges == 0:
+        if converged:
             break
         deg = (
             cur.select(F.explode(F.array("u", "v")).alias("id"))
@@ -405,9 +406,18 @@ def k_core(
         n_next = nxt.count()
         cur.unpersist()
         cur = nxt
-        if n_next == n_edges:
-            break
+        if n_next == n_edges or n_next == 0:
+            converged = True
         n_edges = n_next
+    if not converged:
+        # loop exhaustion is NOT a k-core: deep path-shaped graphs peel
+        # O(diameter) rounds — surface it instead of silently returning
+        # vertices that are in no k-core
+        cur.unpersist()
+        raise RuntimeError(
+            f"k_core did not reach a fixpoint in {max_iter} rounds "
+            f"({n_edges} edges still peeling) — raise max_iter"
+        )
     # cur stays persisted to back the returned frame; harnesses
     # clearCache after collection
     return (

@@ -36,6 +36,45 @@ from pyspark.sql import functions as F
 
 from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import _centroid_array, kmeans
 
+_EMPTY_TOPK = "query_id int, corpus_id long, approx_dist double, rnk long"
+
+
+def _sub_dists(sub, cents):
+    """per-centroid squared distance of a subvector expression — the
+    ONE definition of PQ's distance arithmetic, shared by training,
+    encoding, and any future quantizer (train and encode disagreeing
+    here would silently corrupt every code)."""
+    return F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+
+
+def _lut_literal(luts: list[list[list[float]]]):
+    """n × m × ksub lookup tables as ONE literal expression tree (same
+    repr-cast round-trip and single-parse rationale as
+    clustering._centroid_array) — shared by the flat and IVF ADC
+    paths."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in row)
+                + ")"
+                for row in lut
+            )
+            + ")"
+            for lut in luts
+        )
+        + ")"
+    )
+
 
 def train_pq(
     df: DataFrame,
@@ -83,17 +122,7 @@ def train_pq(
         for j, book in enumerate(books):
             sub = F.slice(F.col("_v"), j * dsub + 1, dsub)
             cents = _centroid_array(book)
-            # NB: single-arg lambda (F.transform would pass an index
-            # as a second param); `sub` capture is safe — transform
-            # builds the expression eagerly within this iteration
-            dists = F.transform(
-                cents,
-                lambda c: F.aggregate(
-                    F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ),
-            )
+            dists = _sub_dists(sub, cents)
             cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
             per_sub.append(
                 F.struct(
@@ -140,14 +169,7 @@ def encode_pq(
     for j, book in enumerate(codebooks):
         sub = F.slice(F.col("_v"), j * dsub + 1, dsub)
         cents = _centroid_array(book)
-        dists = F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        )
+        dists = _sub_dists(sub, cents)
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
@@ -166,9 +188,14 @@ def pq_topk(
     [j][c]||²) are computed driver-side (nq × m × ksub tiny flops) and
     embedded as ONE literal; the scan explodes each code row over the
     query list and sums m table lookups — map-only until the final
-    per-query top-k. Emits (query_id, corpus_id, approx_dist, rnk)."""
+    per-query top-k. Emits (query_id, corpus_id, approx_dist, rnk);
+    an empty query list returns an empty frame (a sequence(1, 0)
+    literal would otherwise produce a DESCENDING [1, 0] explode and a
+    runtime array-index error)."""
     from pyspark.sql import Window
 
+    if not query_rows:
+        return codes_df.sparkSession.createDataFrame([], _EMPTY_TOPK)
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     luts = []
@@ -186,23 +213,7 @@ def pq_topk(
             )
         luts.append(lut)
         qids.append(int(qid))
-    # nq × m × ksub literal: one expr tree, same rationale as
-    # clustering._centroid_array
-    lut3 = F.expr(
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array("
-                + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in row)
-                + ")"
-                for row in lut
-            )
-            + ")"
-            for lut in luts
-        )
-        + ")"
-    )
+    lut3 = _lut_literal(luts)
     qid_lit = F.array(*[F.lit(q) for q in qids])
     nq = len(qids)
     scan = codes_df.select(
@@ -321,11 +332,13 @@ def query_ivfpq_index(
     literal isin over the union of probed cells), each row joins its
     (query, cell) probes via a broadcast, and the approximate
     distance is m table lookups + adds. Emits (query_id, corpus_id,
-    approx_dist, rnk)."""
+    approx_dist, rnk); an empty query list returns an empty frame."""
     import json as _json
 
     from pyspark.sql import Window
 
+    if not query_rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
     meta = spark.read.parquet(f"{path}/meta").first()
     cents = _json.loads(meta["centroids"])
     books = _json.loads(meta["codebooks"])
@@ -353,21 +366,7 @@ def query_ivfpq_index(
             ]
             probes.append((int(qid), ci, lut))
 
-    lut3 = F.expr(
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array("
-                + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in row)
-                + ")"
-                for row in lut
-            )
-            + ")"
-            for _, _, lut in probes
-        )
-        + ")"
-    )
+    lut3 = _lut_literal([lut for _, _, lut in probes])
     probes_df = spark.createDataFrame(
         [(q, c, i + 1) for i, (q, c, _) in enumerate(probes)],
         "query_id int, cell int, li int",

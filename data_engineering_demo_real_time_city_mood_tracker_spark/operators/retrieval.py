@@ -54,7 +54,12 @@ def bm25_rank(
     spark = tf.sparkSession
     tf = tf.persist()
     dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    qdf = spark.createDataFrame(query_pairs, "query_id int, term string")
+    # dedupe (query, term): a repeated term in a tokenized query string
+    # would otherwise multiply its postings rows through the join,
+    # double-counting the term's score and inflating n_terms
+    qdf = spark.createDataFrame(
+        sorted(set(query_pairs)), "query_id int, term string"
+    )
     idf = ((F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5)) / (
         F.col("df").cast("double") + F.lit(0.5)
     )
@@ -125,6 +130,23 @@ def _dyn_overwrite(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     )
 
 
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FS API (works on
+    any supported filesystem, no-op if absent)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _read_meta_buckets(spark: SparkSession, path: str) -> int | None:
+    try:
+        return int(spark.read.parquet(f"{path}/meta").first()["n_buckets"])
+    except Exception:
+        return None
+
+
 def build_text_index(
     docs: DataFrame,
     text_col: str,
@@ -135,10 +157,31 @@ def build_text_index(
 ) -> None:
     """Build (or rebuild) the index's ``segment`` from ``docs``.
 
-    Postings land first; the segment's stats row lands LAST as the
-    commit record (probes ignore stats-less segments, so a crash mid-
-    build leaves the index readable and a re-run repairs in place).
+    ``n_buckets`` is pinned in ``path/meta`` on first build — appends
+    and probes read it from there, so an index can never be probed
+    with a different bucket modulus than it was built with (a silent
+    wrong-bucket prune). Rebuilding a segment DELETES it first (stats
+    — the commit record — before postings), so a changed corpus can
+    never leave stale bucket partitions behind; postings then land,
+    and the fresh stats row lands LAST, recommitting the segment. A
+    crash at any point leaves the segment invisible to probes and a
+    re-run repairs it in place.
     """
+    spark = docs.sparkSession
+    pinned = _read_meta_buckets(spark, path)
+    if pinned is not None and pinned != n_buckets:
+        raise ValueError(
+            f"index at {path} was built with n_buckets={pinned}; "
+            f"got {n_buckets}"
+        )
+    if pinned is None:
+        spark.createDataFrame(
+            [(int(n_buckets),)], "n_buckets int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # decommit, then clear: stats first so a crash mid-delete still
+    # leaves the segment invisible rather than half-stale
+    _fs_delete(spark, f"{path}/stats/seg={segment}")
+    _fs_delete(spark, f"{path}/postings/seg={segment}")
     post = _postings(docs, text_col, id_col).withColumn(
         "bucket", _bucket(F.col("tok"), n_buckets)
     )
@@ -176,11 +219,27 @@ def append_text_index(
     id_col: str,
     path: str,
     segment: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> None:
     """Add a crawl increment as a new segment — the standing corpus is
-    never re-read or re-tokenized. Same commit ordering as build."""
-    build_text_index(docs, text_col, id_col, path, n_buckets=n_buckets, segment=segment)
+    never re-read or re-tokenized. Same commit ordering as build; the
+    bucket modulus comes from the index's own meta (passing one that
+    disagrees is an error, not a silent wrong-bucket write). On a
+    fresh path the first append bootstraps the index and pins the
+    modulus (streaming ingestion starts from nothing)."""
+    pinned = _read_meta_buckets(docs.sparkSession, path)
+    if pinned is not None and n_buckets is not None and n_buckets != pinned:
+        raise ValueError(
+            f"index at {path} was built with n_buckets={pinned}; got {n_buckets}"
+        )
+    build_text_index(
+        docs,
+        text_col,
+        id_col,
+        path,
+        n_buckets=pinned if pinned is not None else (n_buckets or 64),
+        segment=segment,
+    )
 
 
 def query_text_index(
@@ -188,18 +247,21 @@ def query_text_index(
     path: str,
     query_pairs: list[tuple[int, str]],
     k: int = 10,
-    n_buckets: int = 64,
 ) -> DataFrame:
     """BM25 top-``k`` per query against the persistent index.
 
     Reads ONLY committed segments (stats is the commit record), ONLY
-    the query terms' hash buckets (PartitionFilters directory
-    pruning), with the token equality pushed into the parquet scan —
-    probe I/O is independent of corpus size. Corpus stats merge from
-    the per-segment partials (exact integer arithmetic ⇒ bitwise
-    equal to a from-scratch computation)."""
+    the query terms' hash buckets (PartitionFilters directory pruning,
+    modulus from the index's own meta — never a caller guess), with
+    the token equality pushed into the parquet scan — probe I/O is
+    independent of corpus size. Corpus stats merge from the
+    per-segment partials (exact integer arithmetic ⇒ bitwise equal to
+    a from-scratch computation)."""
     import zlib
 
+    n_buckets = _read_meta_buckets(spark, path)
+    if n_buckets is None:
+        raise ValueError(f"no index meta at {path} — build_text_index first")
     stats = spark.read.parquet(f"{path}/stats")
     segs = [r.seg for r in stats.select("seg").distinct().collect()]
     tot = (

@@ -2171,15 +2171,7 @@ def q_kcore_decomposition(spark, sf_dir):
     test-asserted on planted graphs (tests/test_operators.py)."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
 
-    ev = load_table(spark, sf_dir, "events")
-    edges = graph_ops.cooccurrence_edges(
-        ev.select(
-            "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
-        ),
-        "user_id",
-        ["event_type", "m"],
-        max_group=32,
-    )
+    edges = _coactivity_edges(spark, sf_dir)
     return graph_ops.k_core(edges, k=2)
 
 
@@ -2193,15 +2185,7 @@ def q_label_propagation(spark, sf_dir):
     (tests/test_operators.py)."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
 
-    ev = load_table(spark, sf_dir, "events")
-    edges = graph_ops.cooccurrence_edges(
-        ev.select(
-            "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
-        ),
-        "user_id",
-        ["event_type", "m"],
-        max_group=32,
-    )
+    edges = _coactivity_edges(spark, sf_dir)
     return graph_ops.label_propagation(edges, rounds=3)
 
 
@@ -4231,6 +4215,25 @@ def q_robust_outliers(spark, sf_dir):
     )
 
 
+def _coactivity_edges(spark, sf_dir):
+    """THE user co-activity graph (users active on the same
+    (event_type, minute), max_group=32 trending-key cap — SURVEY §6):
+    one definition shared by triangle_count / kcore_decomposition /
+    label_propagation so the three community queries can never drift
+    onto different graphs."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    return graph_ops.cooccurrence_edges(
+        ev.select(
+            "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+        ),
+        "user_id",
+        ["event_type", "m"],
+        max_group=32,
+    )
+
+
 @register(
     "seasonal_baseline",
     f"""WITH prof AS (
@@ -4327,15 +4330,7 @@ def q_triangle_count(spark, sf_dir):
     and the cap is what bounds it (9.4× → 2-3× post-cap)."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
 
-    ev = load_table(spark, sf_dir, "events")
-    edges = graph_ops.cooccurrence_edges(
-        ev.select(
-            "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
-        ),
-        "user_id",
-        ["event_type", "m"],
-        max_group=32,
-    )
+    edges = _coactivity_edges(spark, sf_dir)
     return graph_ops.triangle_counts(edges)
 
 

@@ -21,14 +21,29 @@ def seasonal_alert_stream(
     threshold: float,
 ) -> DataFrame:
     """Events deviating more than ``threshold`` from their (key,
-    hour-of-day) expected value. ``profile_df`` must carry (key_col,
-    hod, expected) — build it with the seasonal_baseline aggregation
-    over history. Returns a streaming frame ready for any append-mode
-    sink; map-only per micro-batch (broadcast hash join, no shuffle,
-    no state)."""
+    hour-of-day) expected value — OR arriving for a (key, hour) slot
+    the profile has never seen, which is itself the strongest anomaly
+    signal (a brand-new event type must alert, not vanish). The
+    ``reason`` column says which ('deviation' / 'no_profile');
+    ``deviation``/``expected`` are null on the no-profile path.
+
+    ``profile_df`` must carry (key_col, hod, expected) — build it with
+    the seasonal_baseline aggregation over history. Returns a
+    streaming frame ready for any append-mode sink; map-only per
+    micro-batch (broadcast hash LEFT join — an inner join here would
+    structurally hide unseen keys — no shuffle, no state)."""
     return (
         stream_df.withColumn("hod", F.hour(F.col(ts_col)))
-        .join(F.broadcast(profile_df), [key_col, "hod"])
+        .join(F.broadcast(profile_df), [key_col, "hod"], "left")
         .withColumn("deviation", F.col(value_col) - F.col("expected"))
-        .filter(F.abs(F.col("deviation")) > threshold)
+        .filter(
+            F.col("expected").isNull()
+            | (F.abs(F.col("deviation")) > threshold)
+        )
+        .withColumn(
+            "reason",
+            F.when(F.col("expected").isNull(), "no_profile").otherwise(
+                "deviation"
+            ),
+        )
     )

@@ -24,8 +24,14 @@ def trending_topk_stream(
     k: int = 3,
     **trigger,
 ):
-    """Rank the top-``k`` keys per event-time window and atomically
-    replace the output parquet each micro-batch.
+    """Rank the top-``k`` keys per event-time window and replace the
+    output parquet each micro-batch via a STAGED SWAP (write to a tmp
+    dir, two renames — same discipline as sources/maintenance.py's
+    compaction): a plain ``mode("overwrite")`` is delete-then-write,
+    so a dashboard polling between the delete and the new commit would
+    read a missing or partial table every batch; the swap shrinks that
+    window to two directory renames. (On an object store, flip a
+    manifest/catalog pointer instead — renames aren't atomic there.)
 
     Complete output mode: the windowed count state is the full
     scoreboard, so each batch's foreachBatch sees every window and the
@@ -39,7 +45,12 @@ def trending_topk_stream(
     ).agg(F.count(F.lit(1)).alias("n"))
 
     def rank_and_replace(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
         w = Window.partitionBy("win").orderBy(F.col("n").desc(), F.col("key"))
+        tmp = f"{out_path}__trend_tmp"
+        old = f"{out_path}__trend_old"
         (
             batch.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
@@ -50,8 +61,13 @@ def trending_topk_stream(
                 F.col("rnk").cast("long").alias("rnk"),
             )
             .write.mode("overwrite")
-            .parquet(out_path)
+            .parquet(tmp)
         )
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(out_path):
+            os.rename(out_path, old)
+        os.rename(tmp, out_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     writer = (
         counts.writeStream.outputMode("complete")

@@ -826,3 +826,54 @@ def test_ivfpq_index_matches_python_model(spark, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_review_guardrails(spark, tmp_path):
+    """review-pass regressions stay fixed: (a) PQ ADC with an empty
+    query list returns an empty typed frame instead of a runtime
+    array-index error; (b) k_core raises on round exhaustion instead
+    of returning a non-core; (c) the text index pins its bucket
+    modulus — mismatched appends/builds error instead of silently
+    pruning wrong buckets; (d) rebuilding a segment from a changed
+    corpus drops the stale postings."""
+    import pytest as _pytest
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq, retrieval
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import k_core
+
+    # (a) empty queries
+    codes = spark.createDataFrame([(1, [0, 1])], "id long, code array<int>")
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]
+    out = pq.pq_topk(codes, books, [], k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "corpus_id", "approx_dist", "rnk"]
+
+    # (b) peel exhaustion raises
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(chain, k=2, max_iter=3)
+
+    # (c) bucket modulus pinned in meta
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "pin")
+    retrieval.build_text_index(docs, "text", "doc_id", path, n_buckets=32)
+    with _pytest.raises(ValueError, match="n_buckets=32"):
+        retrieval.build_text_index(docs, "text", "doc_id", path, n_buckets=64)
+    with _pytest.raises(ValueError, match="n_buckets=32"):
+        retrieval.append_text_index(
+            docs, "text", "doc_id", path, segment="s2", n_buckets=64
+        )
+    # probe works without knowing the modulus (reads it from meta)
+    got = retrieval.query_text_index(spark, path, [(1, "beta")], k=5)
+    assert {r.doc_id for r in got.collect()} == {1, 2}
+
+    # (d) rebuild drops stale postings
+    docs_b = spark.createDataFrame([(3, "delta epsilon")], "doc_id long, text string")
+    retrieval.build_text_index(docs_b, "text", "doc_id", path, n_buckets=32)
+    assert retrieval.query_text_index(spark, path, [(1, "beta")], k=5).count() == 0
+    got2 = retrieval.query_text_index(spark, path, [(1, "delta")], k=5)
+    assert {r.doc_id for r in got2.collect()} == {3}

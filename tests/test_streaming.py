@@ -1344,13 +1344,27 @@ def test_seasonal_alert_stream_matches_batch(spark, sf_dir, tmp_path):
     from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.alerts import seasonal_alert_stream
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    prof = ev.groupBy(
-        F.col("event_type"), F.hour("ts").alias("hod")
-    ).agg(F.avg("value").alias("expected"))
+    # profile deliberately lacks the 'error' type: every error event
+    # must still alert (reason=no_profile) — unseen keys are the
+    # strongest anomaly signal and must not vanish in the join
+    prof = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy(F.col("event_type"), F.hour("ts").alias("hod"))
+        .agg(F.avg("value").alias("expected"))
+    )
 
     batch = seasonal_alert_stream(ev, prof, "ts", "event_type", "value", 150.0)
     want = {tuple(r) for r in batch.select("event_id", "deviation").collect()}
     assert want, "expected some alerts at threshold 150"
+    by_reason = {
+        r.event_type: r.reason
+        for r in batch.select("event_type", "reason").distinct().collect()
+    }
+    assert by_reason.get("error") == "no_profile"
+    n_errors = ev.filter(F.col("event_type") == "error").count()
+    assert (
+        batch.filter(F.col("reason") == "no_profile").count() == n_errors
+    ), "every unseen-profile event must alert"
 
     src = str(tmp_path / "ev")
     ev.coalesce(2).write.mode("overwrite").parquet(src)
