@@ -65,6 +65,7 @@ def test_survey_checklist_matches_registry():
         "build_ivf_index", "build_dedup_index", "mood_stream_highcard",
         "sessionize_stream_tws", "streaming/app.py", "streaming/dedup.py",
         "dedup_ingest_stream", "read_orc", "simhash_portable",
+        "observed_write",
         "dedup_ngram_jaccard", "dedup_minhash_lsh",
     }
     # registered under a different name than the SURVEY label
