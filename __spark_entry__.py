@@ -41,6 +41,7 @@ _FRONT = [
     "repeated_ngram_spans",
     "minhash_signatures",
     "dedup_minhash_pairs",
+    "minhash_estimate_accuracy",
     "dedup_clusters",
     "cluster_representatives",
     "connected_components_star",

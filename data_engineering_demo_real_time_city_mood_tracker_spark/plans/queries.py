@@ -2189,6 +2189,72 @@ def q_label_propagation(spark, sf_dir):
     return graph_ops.label_propagation(edges, rounds=3)
 
 
+@register(
+    "minhash_estimate_accuracy",
+    f"""WITH {_MINHASH_CTES}
+SELECT c.id_a, c.id_b,
+       (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) / 8 AS est_jaccard,
+       i.n_common / (za.n_sh + zb.n_sh - i.n_common) AS jaccard,
+       ABS((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END
+        + CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) / 8
+        - i.n_common / (za.n_sh + zb.n_sh - i.n_common)) AS abs_err
+FROM cand c
+JOIN sig sa ON sa.id = c.id_a
+JOIN sig sb ON sb.id = c.id_b
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes za ON za.id = c.id_a
+JOIN sizes zb ON zb.id = c.id_b""",
+)
+def q_minhash_estimate_accuracy(spark, sf_dir):
+    """sketch-accuracy measurement as a first-class query: for every
+    LSH candidate pair, the minhash Jaccard ESTIMATE (matching
+    signature components / 8 — the unbiased estimator the sketch
+    exists for) next to the exact shingle Jaccard and |error|. This is
+    the measurement loop for sizing num_hashes before trusting the
+    sketch at corpus scale; everything is md5-based rational
+    arithmetic, so even the estimator is hash-gated against the
+    oracle. Cost: candidate-bounded — signature join is id-keyed on
+    the (small) candidate set, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", k=3, num_hashes=8)
+    cand = dedup.minhash_lsh_candidates(
+        docs, "text", "doc_id", k=3, bands=4, rows_per_band=2
+    )
+    exact = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", k=3, bands=4, rows_per_band=2, threshold=0.0
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = sum(
+        (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int") for i in range(8)
+    )
+    est = (
+        cand.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select("id_a", "id_b", (matches / F.lit(8)).alias("est_jaccard"))
+    )
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "jaccard",
+        F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
+    )
+
+
 @register("dedup_simhash")  # xxhash64 not oracle-portable → rows-only check
 def q_dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
