@@ -1386,3 +1386,61 @@ def test_seasonal_alert_stream_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.table(qname).collect()}
     assert got == want
+
+
+def test_incremental_agg_stream_matches_batch_and_replays_safely(spark, sf_dir, tmp_path):
+    """incremental_agg_stream: after the stream drains, the standing
+    base table equals a from-scratch batch aggregation (counts exact,
+    decimal sums bitwise as double); restarting from the finished
+    checkpoint merges nothing twice (commit-log + checkpoint replay
+    safety)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.aggregation import incremental_agg_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    src = str(tmp_path / "ev")
+    for part in ev.randomSplit([1.0, 1.0, 1.0], seed=11):
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    base = str(tmp_path / "agg_base")
+    ckpt = str(tmp_path / "ckpt")
+    log = str(tmp_path / "commits")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = incremental_agg_stream(
+        stream, ["event_type"], "value", base, ckpt, log, availableNow=True
+    )
+    q.awaitTermination(120)
+
+    def snap():
+        return {
+            r.event_type: (r.n, float(r.value_sum))
+            for r in spark.read.parquet(base).collect()
+        }
+
+    got = snap()
+    want = {
+        r.event_type: (r.n, float(r.value_sum))
+        for r in spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # restart from the completed checkpoint: nothing re-merges
+    stream2 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q2 = incremental_agg_stream(
+        stream2, ["event_type"], "value", base, ckpt, log, availableNow=True
+    )
+    q2.awaitTermination(120)
+    assert snap() == want
