@@ -4281,6 +4281,72 @@ def q_robust_outliers(spark, sf_dir):
     )
 
 
+@register(
+    "association_rules",
+    """WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+n_users AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events),
+single AS (SELECT event_type, COUNT(*) AS n_t FROM u GROUP BY event_type),
+pair AS (
+  SELECT a.event_type AS ante, b.event_type AS cons, COUNT(*) AS n_ab
+  FROM u a JOIN u b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.ante, p.cons, p.n_ab,
+       p.n_ab / nu.n AS support,
+       p.n_ab / sa.n_t AS confidence,
+       (p.n_ab / nu.n) / ((sa.n_t / nu.n) * (sc.n_t / nu.n)) AS lift
+FROM pair p
+JOIN single sa ON sa.event_type = p.ante
+JOIN single sc ON sc.event_type = p.cons
+CROSS JOIN n_users nu""",
+)
+def q_association_rules(spark, sf_dir):
+    """market-basket association rules over user behavior: for every
+    event-type pair, support / confidence / lift from per-user
+    co-presence — the classic frequent-itemset 2-itemset pass
+    (Agrawal-Srikant's counting stage as declarative joins). The
+    per-user self-join is bounded by types-per-user (≤ |types|), the
+    pair and singleton tables are |types|²-sized → broadcast back;
+    all ratios are count divisions, bitwise oracle-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    n_users = ev.select("user_id").distinct().count()
+    single = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = u.alias("a")
+    b = u.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"),
+            F.col("b.event_type").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = single.select(F.col("event_type").alias("ante"), F.col("n_t").alias("na"))
+    sc = single.select(F.col("event_type").alias("cons"), F.col("n_t").alias("nc"))
+    n = F.lit(n_users)
+    return (
+        pair.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sc), "cons")
+        .select(
+            "ante",
+            "cons",
+            "n_ab",
+            (F.col("n_ab") / n).alias("support"),
+            (F.col("n_ab") / F.col("na")).alias("confidence"),
+            (
+                (F.col("n_ab") / n)
+                / ((F.col("na") / n) * (F.col("nc") / n))
+            ).alias("lift"),
+        )
+    )
+
+
 def _coactivity_edges(spark, sf_dir):
     """THE user co-activity graph (users active on the same
     (event_type, minute), max_group=32 trending-key cap — SURVEY §6):
