@@ -101,6 +101,7 @@ _FRONT = [
     "data_quality_report",
     "distribution_drift",
     "funnel_analysis",
+    "conversion_lag",
     "association_rules",
     "cohort_retention",
     "cdc_apply",

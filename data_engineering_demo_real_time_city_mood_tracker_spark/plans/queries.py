@@ -4347,6 +4347,59 @@ def q_association_rules(spark, sf_dir):
     )
 
 
+@register(
+    "conversion_lag",
+    f"""WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view'
+             THEN CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) END)
+           AS t_view,
+         MIN(CASE WHEN event_type = 'purchase'
+             THEN CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) END)
+           AS t_buy
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT t_buy - t_view AS lag_s FROM f
+  WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       quantile_cont(lag_s, 0.5) AS p50_lag_s,
+       quantile_cont(lag_s, 0.9) AS p90_lag_s,
+       {davg_sql("lag_s", 0)} AS avg_lag_s
+FROM conv""",
+)
+def q_conversion_lag(spark, sf_dir):
+    """time-to-convert distribution (first-touch attribution): per
+    user, the lag between FIRST view and FIRST purchase; median / p90
+    / mean over converting users. One user-keyed conditional-min agg
+    (the fact scan's only shuffle), then a user-cardinality frame
+    aggregates to four numbers — the product-analytics companion to
+    funnel_analysis (which counts conversions; this measures how long
+    they take). Exact interpolated percentiles == quantile_cont
+    bitwise; mean via exact-decimal sum."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_timestamp("ts"))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_timestamp("ts"))
+        ).alias("t_buy"),
+    )
+    conv = f.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select((F.col("t_buy") - F.col("t_view")).alias("lag_s"))
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.percentile("lag_s", 0.5).alias("p50_lag_s"),
+        F.percentile("lag_s", 0.9).alias("p90_lag_s"),
+        davg(F.col("lag_s"), 0).alias("avg_lag_s"),
+    )
+
+
 def _coactivity_edges(spark, sf_dir):
     """THE user co-activity graph (users active on the same
     (event_type, minute), max_group=32 trending-key cap — SURVEY §6):
