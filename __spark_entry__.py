@@ -23,117 +23,65 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["mood_pipeline"](spark, "/root/testdata/sf0.001")
 
 
-# Round-1 driver gate covered only the first 50 of 80 registered
-# queries. Front-load the LLM-pipeline differentiators (dedup /
-# retrieval / text / sampling / data quality) plus the round-1 red row
-# so they land inside any driver cap; the previously-green OLAP/window
-# tail follows. Within this list, oracle-backed entries sort first
-# (see _ordered), so rows-only entries here only claim slots after
-# every hash-gated row.
+# The driver's CORRECTNESS gate caps at ~50 rows per round. Rounds
+# 1+2 hard-graded 99 distinct queries; the 45 below have never
+# received a driver row (VERDICT r2 "Next round" item 1). Front-load
+# exactly those so round 3 grades them all: oracle-backed entries
+# sort first within this list (see _ordered), then the rows-only
+# tail — 45 < 50, so every one lands inside the cap, and the
+# remaining ~5 slots fall to already-green registry-order entries.
+# Previously-green rows stay out of the front block on purpose.
 _FRONT = [
-    # round-1 red row, now fixed (oracle HUGEINT→BIGINT cast)
-    "reaggregate_monthly",
-    # deduplication (incl. the persistent-index probe + bloom gate)
-    "dedup_exact",
-    "dedup_ngram_topk",
-    "dedup_prefix_filter",
-    "dedup_containment",
-    "repeated_ngram_spans",
-    "minhash_signatures",
-    "dedup_minhash_pairs",
-    "minhash_estimate_accuracy",
-    "dedup_clusters",
-    "cluster_representatives",
-    "connected_components_star",
-    "triangle_count",
-    "kcore_decomposition",
-    "label_propagation",
-    "dedup_simhash",
-    "simhash_portable",
-    "dedup_embedding",
-    "edit_distance_pairs",
-    "dedup_incremental",
-    "dedup_index_probe",
-    "bloom_dedup",
-    "dedup_report",
-    "semantic_dedup",
-    "image_dedup_dhash",
-    # similarity search / retrieval
-    "embedding_topk",
-    "embedding_ann_lsh",
-    "ann_recall_eval",
-    "embedding_ann_ivf",
-    "embedding_ann_ivf_trained",
-    "kmeans_embeddings",
-    "pq_ann_topk",
-    "ivfpq_index_probe",
-    "hybrid_search",
-    "bm25_topk",
-    "bm25_index_probe",
-    "rrf_fusion",
-    "knn_classify",
-    # text analysis
-    "lang_id",
-    "text_quality",
-    "token_count",
-    "doc_fingerprint",
-    "ngram_freq",
-    "tfidf_topk",
-    "stopword_removal",
-    "word_cooccurrence",
-    "corpus_stats",
-    "token_df_stats",
-    "pii_redaction",
-    "doc_chunking",
-    "corpus_prep_pipeline",
-    # training-data sampling / preparation
-    "train_test_split",
-    "balanced_sample",
-    "mixture_sample",
-    "temperature_sample",
-    "stratified_kfold",
-    "sequence_packing",
-    "repetition_ratio",
-    "contamination_check",
-    "shard_export",
-    "negative_sampling",
-    # data quality + event analytics (never driver-gated)
-    "data_quality_report",
-    "distribution_drift",
-    "funnel_analysis",
-    "conversion_lag",
-    "association_rules",
-    "cohort_retention",
-    "cdc_apply",
-    "session_window_native",
-    "robust_outliers",
-    "seasonal_baseline",
-    "gap_fill_minutes",
-    "join_key_skew_profile",
+    # --- oracle-backed, never driver-graded (29) ---
     # OLAP shapes added after round 1
-    "priority_linestatus",
-    "customer_order_distribution",
-    "small_qty_revenue",
     "late_sole_suppliers",
     "revenue_concentration",
     "nation_trade_volume",
     "nation_market_share",
     "multi_res_rollup",
+    "priority_linestatus",
+    "customer_order_distribution",
+    "small_qty_revenue",
     "returned_revenue_customers",
     "important_parts",
     "supplier_part_variety",
     "dominant_part_suppliers",
-    # iterative / multimodal / sketch rows-only entries
-    "bpe_merges",
-    "bpe_encode",
-    "pagerank_topk",
-    "multimodal_meta",
-    "multimodal_frames",
-    "binary_ingest",
-    "quantile_sketch",
-    "heavy_hitters_cms",
+    # event analytics
+    "funnel_analysis",
+    "cohort_retention",
+    "cdc_apply",
+    "session_window_native",
+    "robust_outliers",
+    "association_rules",
+    "conversion_lag",
+    "seasonal_baseline",
+    "gap_fill_minutes",
+    "join_key_skew_profile",
     "paned_sliding_window",
+    # data quality / sketch / sampling / multimodal
+    "data_quality_report",
+    "distribution_drift",
+    "heavy_hitters_cms",
+    "multimodal_meta",
+    "negative_sampling",
+    "shard_export",
+    # --- rows-only, never driver-graded (16) ---
+    "quantile_sketch",
+    "kcore_decomposition",
+    "label_propagation",
+    "dedup_simhash",
+    "binary_ingest",
+    "multimodal_frames",
+    "embedding_ann_ivf_trained",
+    "kmeans_embeddings",
     "hll_merge_rollup",
+    "semantic_dedup",
+    "image_dedup_dhash",
+    "ivfpq_index_probe",
+    "bpe_encode",
+    "pq_ann_topk",
+    "bpe_merges",
+    "pagerank_topk",
 ]
 
 
