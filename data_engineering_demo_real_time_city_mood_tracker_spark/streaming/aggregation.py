@@ -9,17 +9,60 @@ Exactness discipline: sums are carried as DECIMAL columns end-to-end
 (decimal + decimal is exact and associative), so after any number of
 micro-batch merges the base is bitwise-equal to a from-scratch batch
 aggregation over the same rows — averages derive from the moments at
-read time. Replay safety: merging a batch twice would double-count, so
-each committed batch id leaves a marker in a commit log (same contract
-as sinks.document_sink); a checkpoint-replayed batch is skipped.
+read time.
+
+Replay safety (crash-atomic): each merge writes a fresh batch-versioned
+directory ``{base_path}__v{batch_id}`` carrying the full committed-id
+set in ``_committed.json`` (underscore-prefixed, so Spark's parquet
+reader ignores it), then a single ``os.rename`` flips the
+``base_path`` symlink onto it. That one rename is simultaneously the
+data swap and the commit record: a crash before it leaves the old base
+intact and the batch uncommitted (replay re-merges into the OLD data —
+no loss, no double count); a crash after it leaves the batch both
+visible and recorded (replay sees its id in ``_committed.json`` and
+skips). There is no window where the base is missing or a batch can
+merge twice. Committed ids are scoped to one checkpoint lineage —
+pointing a fresh checkpoint (whose batch ids restart at 0) at an
+existing base is out of contract, as with any foreachBatch commit log.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_COMMITS = "_committed.json"
+
+
+def _read_committed(version_dir: str | None) -> set[int]:
+    if not version_dir:
+        return set()
+    try:
+        with open(os.path.join(version_dir, _COMMITS)) as fh:
+            return set(json.load(fh))
+    except (OSError, ValueError):
+        return set()
+
+
+def _current_version(base_path: str) -> str | None:
+    """Resolve the live version dir, migrating legacy layouts.
+
+    Legacy (pre-versioned) layout was a real directory at ``base_path``
+    staged via ``__agg_tmp``/``__agg_old`` renames; a crash between its
+    two renames could leave ``base_path`` missing with the standing
+    aggregate stranded in ``__agg_old`` — restore it here (the ADVICE
+    r2 scenario) before anything merges against an empty base."""
+    if os.path.islink(base_path):
+        target = os.path.realpath(base_path)
+        return target if os.path.isdir(target) else None
+    legacy_old = f"{base_path}__agg_old"
+    if not os.path.exists(base_path) and os.path.isdir(legacy_old):
+        os.rename(legacy_old, base_path)
+    return base_path if os.path.isdir(base_path) else None
 
 
 def incremental_agg_stream(
@@ -38,39 +81,60 @@ def incremental_agg_stream(
     under ``base_path`` from a document/event stream.
 
     Per micro-batch: one delta agg (∝ batch size), one merge re-agg
-    (∝ touched keys + base keys — never raw history), one staged-swap
-    write (readers always see a complete base). Returns the
-    StreamingQuery."""
+    (∝ touched keys + base keys — never raw history), one
+    atomically-flipped versioned write (readers always see a complete,
+    committed base). Returns the StreamingQuery."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.plans.pipelines import merge_agg_partials
 
     os.makedirs(commit_log_dir, exist_ok=True)
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        import shutil
-
         marker = os.path.join(commit_log_dir, f"batch-{batch_id}.committed")
-        if os.path.exists(marker) or batch.isEmpty():
+        current = _current_version(base_path)
+        committed = _read_committed(current)
+        if batch_id in committed or os.path.exists(marker) or batch.isEmpty():
             return
         spark = batch.sparkSession
         delta = batch.groupBy(*keys).agg(
             F.count(F.lit(1)).cast("long").alias(count_col),
             F.sum(F.col(value_col).cast(f"decimal(18,{scale})")).alias(sum_col),
         )
-        if os.path.exists(base_path):
-            base = spark.read.parquet(base_path)
+        if current is not None:
+            base = spark.read.parquet(current)
             merged = merge_agg_partials(
                 base, delta, keys, count_col=count_col, sum_cols=(sum_col,)
             )
         else:
             merged = delta
-        tmp = f"{base_path}__agg_tmp"
-        old = f"{base_path}__agg_old"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(base_path):
-            os.rename(base_path, old)
-        os.rename(tmp, base_path)
-        shutil.rmtree(old, ignore_errors=True)
+        # Stage the new version: data + its own commit record. A stale
+        # dir from a crashed attempt of this same batch is overwritten.
+        vdir = os.path.abspath(f"{base_path}__v{batch_id}")
+        merged.write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, _COMMITS), "w") as fh:
+            json.dump(sorted(committed | {batch_id}), fh)
+        # One-time migration off the legacy real-directory layout: park
+        # the old dir so the symlink can take its name. A crash between
+        # these two renames is recovered by _current_version above.
+        if os.path.isdir(base_path) and not os.path.islink(base_path):
+            os.rename(base_path, f"{base_path}__agg_old")
+        # THE commit point: one atomic rename flips data + commit set.
+        ptr_tmp = f"{base_path}__ptr_tmp"
+        if os.path.lexists(ptr_tmp):
+            os.remove(ptr_tmp)
+        os.symlink(os.path.abspath(vdir), ptr_tmp)
+        os.rename(ptr_tmp, base_path)
+        # Post-commit housekeeping (best-effort; crash leaves only junk).
+        prefix = f"{os.path.basename(base_path)}__"
+        parent = os.path.dirname(os.path.abspath(base_path)) or "."
+        for name in os.listdir(parent):
+            full = os.path.join(parent, name)
+            if (
+                name.startswith(prefix)
+                and full != vdir
+                and not os.path.islink(full)
+                and os.path.isdir(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
         open(marker, "w").close()
 
     writer = stream_df.writeStream.foreachBatch(step).option(

@@ -1444,3 +1444,64 @@ def test_incremental_agg_stream_matches_batch_and_replays_safely(spark, sf_dir, 
     )
     q2.awaitTermination(120)
     assert snap() == want
+
+    # crash-after-commit replay: the versioned base's own _committed.json
+    # is the commit record, so even with every external marker gone (the
+    # crash-between-flip-and-marker window) a replay of the same batch
+    # ids merges nothing twice.
+    import shutil as _sh
+
+    _sh.rmtree(log)
+    _sh.rmtree(ckpt)
+    stream3 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q3 = incremental_agg_stream(
+        stream3, ["event_type"], "value", base, str(tmp_path / "ckpt3"), log,
+        availableNow=True,
+    )
+    q3.awaitTermination(120)
+    assert snap() == want
+
+
+def test_incremental_agg_stream_recovers_legacy_crash_window(spark, sf_dir, tmp_path):
+    """If a legacy-layout crash left base_path missing with the standing
+    aggregate stranded in ``__agg_old`` (ADVICE r2), the next run
+    restores it before merging — the old partials are never discarded."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.aggregation import incremental_agg_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    old_part, new_part = ev.randomSplit([1.0, 1.0], seed=7)
+
+    base = str(tmp_path / "agg_base")
+    # the stranded pre-crash base: aggregate of old_part, parked at __agg_old
+    old_part.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+    ).write.parquet(f"{base}__agg_old")
+
+    src = str(tmp_path / "ev")
+    new_part.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = incremental_agg_stream(
+        stream, ["event_type"], "value", base,
+        str(tmp_path / "ckpt"), str(tmp_path / "commits"), availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.event_type: (r.n, float(r.value_sum))
+        for r in spark.read.parquet(base).collect()
+    }
+    want = {
+        r.event_type: (r.n, float(r.value_sum))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+        )
+        .collect()
+    }
+    assert got == want
