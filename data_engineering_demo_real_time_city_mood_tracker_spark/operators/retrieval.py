@@ -197,11 +197,16 @@ def build_text_index(
         f"{path}/postings",
         ["seg", "bucket"],
     )
+    # stats counts EVERY input doc (dl = token count, 0 included): a doc
+    # that tokenizes to nothing has no postings rows, so deriving n_docs
+    # /total_dl from written postings would drop it and skew idf/avgdl
+    # away from the from-scratch definition (_BM25_ORACLE counts all
+    # docs). Commit ordering is unchanged — this agg only runs after the
+    # postings write action succeeded, so stats still lands last.
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens
+
     stats = (
-        docs.sparkSession.read.parquet(f"{path}/postings")
-        .filter(F.col("seg") == segment)
-        .groupBy("doc_id")
-        .agg(F.min("dl").alias("dl"))
+        docs.select(F.size(tokens(F.col(text_col))).alias("dl"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.col("dl").cast("decimal(18,0)")).cast("long").alias("total_dl"),
@@ -209,8 +214,6 @@ def build_text_index(
         .withColumn("seg", F.lit(segment))
     )
     _dyn_overwrite(stats, f"{path}/stats", ["seg"])
-    # stats derives from the WRITTEN postings (not the input frame) so
-    # the commit record can never claim docs whose postings didn't land
 
 
 def append_text_index(
@@ -269,6 +272,12 @@ def query_text_index(
         .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("dl"))
         .first()
     )
+    if tot["n"] is None or int(tot["n"]) == 0:
+        raise ValueError(
+            f"no committed segments at {path} — every append crashed "
+            "before its stats row landed (or the corpus was empty); "
+            "re-run build/append_text_index to repair"
+        )
     n_docs, avgdl = int(tot["n"]), float(tot["dl"]) / int(tot["n"])
     terms = sorted({t for _, t in query_pairs})
     buckets = sorted({zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms})
