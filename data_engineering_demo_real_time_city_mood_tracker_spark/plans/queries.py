@@ -2175,13 +2175,58 @@ def q_kcore_decomposition(spark, sf_dir):
     return graph_ops.k_core(edges, k=2)
 
 
-@register("label_propagation")  # sync-iterative (fixed rounds) → rows-only
+def _lpa_round_sql(r: int, prev: str) -> str:
+    """one synchronous LPA round as CTEs: neighbor-label counts →
+    per-vertex argmax by (max count, min label) → coalesce isolated
+    vertices. Integer counts + integer labels ⇒ bitwise-portable."""
+    return f"""n{r} AS (
+  SELECT u.dst AS id, l.label, COUNT(*) AS cnt
+  FROM und u JOIN {prev} l ON u.src = l.id GROUP BY u.dst, l.label
+),
+b{r} AS (
+  SELECT id, label FROM (
+    SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+    FROM n{r}) t WHERE rn = 1
+),
+l{r} AS (
+  SELECT v.id, COALESCE(b.label, v.id) AS label
+  FROM verts v LEFT JOIN b{r} b ON v.id = b.id
+)"""
+
+
+# the 3 fixed rounds unrolled as CTE chains — every step is integer
+# arithmetic (counts, ids), so the sync-iterative op is hash-gateable
+# after all (r2 verdict next-round item 7)
+_LPA_ORACLE = f"""WITH g0 AS (
+  SELECT DISTINCT user_id AS id, event_type, date_trunc('minute', ts) AS m
+  FROM events
+),
+g AS (
+  SELECT id, event_type, m FROM g0
+  QUALIFY COUNT(*) OVER (PARTITION BY event_type, m) <= 32
+),
+e0 AS (
+  SELECT DISTINCT a.id AS u, b.id AS v
+  FROM g a JOIN g b ON a.event_type = b.event_type AND a.m = b.m AND a.id < b.id
+),
+und AS (
+  SELECT u AS src, v AS dst FROM e0 UNION SELECT v AS src, u AS dst FROM e0
+),
+verts AS (SELECT DISTINCT src AS id FROM und),
+l0 AS (SELECT id, id AS label FROM verts),
+{",".join(_lpa_round_sql(r, f"l{r - 1}") for r in (1, 2, 3))}
+SELECT id, label AS community FROM l3"""
+
+
+@register("label_propagation", _LPA_ORACLE)
 def q_label_propagation(spark, sf_dir):
     """deterministic synchronous label-propagation communities over
     the user co-activity graph (3 rounds; most-frequent neighbor
     label, ties → smallest): the density-sensitive alternative to
-    connected components for community mining. Rows-only (iterative);
-    determinism + known-graph community structure are test-asserted
+    connected components for community mining. Oracle-backed despite
+    being iterative — the fixed round budget unrolls into CTEs and
+    every step is integer arithmetic, so the hash gate applies;
+    known-graph community structure also test-asserted
     (tests/test_operators.py)."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
 
@@ -2263,9 +2308,21 @@ def q_dedup_simhash(spark, sf_dir):
 
 @register(
     "dedup_embedding",
-    f"""WITH v AS (
+    # nbits mirrors operators.dedup.adaptive_nbits bitwise: integer-only
+    # ceil-log2 via bit_length (length(bin(m-1))), floored at 8 — the
+    # sign-bit fold acc*2+b is big-endian in both engines (list_reduce's
+    # first-element seed equals Spark's 0-seeded fold on 0/1 bits).
+    """WITH params AS (
+  SELECT LEAST(31, GREATEST(8, CASE WHEN (COUNT(*) + 63) // 64 > 1
+           THEN length(bin((COUNT(*) + 63) // 64 - 1)) ELSE 1 END)) AS nbits
+  FROM embeddings
+),
+v AS (
   SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
-         {V.sign_bucket_sql('embedding', 8)} AS bucket
+         list_reduce(
+           list_transform(range(1, (SELECT nbits FROM params) + 1),
+                          i -> CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END),
+           (acc, b) -> acc * 2 + b) AS bucket
   FROM embeddings
 )
 SELECT a.id AS id_a, b.id AS id_b,
@@ -2275,13 +2332,17 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
 WHERE list_reduce(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]), (acc, x) -> acc + x)
       / (sqrt(list_reduce(list_transform(a.vec, x -> x * x), (acc, x) -> acc + x))
-         * sqrt(list_reduce(list_transform(b.vec, x -> x * x), (acc, x) -> acc + x))) >= 0.5""",
+         * sqrt(list_reduce(list_transform(b.vec, x -> x * x), (acc, x) -> acc + x))) >= 0.35""",
 )
 def q_dedup_embedding(spark, sf_dir):
     """embedding near-dups: sign-LSH bucket prefilter then in-bucket
-    cosine ≥ 0.5 (documents vectors; avoids O(n²) cross join)."""
+    cosine ≥ threshold (0.35 here: random near-orthogonal test vectors
+    have no 0.5+ pairs, and a 0-row hash gate proves nothing — this
+    threshold puts real pairs through the gate). Bit width adapts to
+    corpus count (adaptive_nbits) so bucket occupancy — and with it
+    the pairwise cost — stays bounded at any scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.5, nbits=8)
+    return dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.35)
 
 
 # --------------------------------------------------------------------------
@@ -2759,12 +2820,75 @@ def q_embedding_ann_ivf_trained(spark, sf_dir):
     )
 
 
-@register("kmeans_embeddings")  # iterative algorithm → rows-only check
+def _km_dist_sql(v: str, c: str) -> str:
+    """squared L2 as the same 0-seeded index-order fold Spark runs
+    (squares are non-negative, so list_reduce's first-element seed is
+    bitwise equal to Spark's 0.0 seed)."""
+    return (
+        f"list_reduce(list_transform(range(1, 65), i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])),"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+def _km_assign_sql(r: int, cents: str) -> str:
+    """nearest-centroid assignment; tie → lowest centroid index, the
+    argmin array_position picks in Spark."""
+    return f"""d{r} AS (
+  SELECT v.id, v.vec, c.cid, {_km_dist_sql('v.vec', 'c.vec')} AS d
+  FROM v, {cents} c
+),
+a{r} AS (
+  SELECT id, vec, cid AS cluster FROM (
+    SELECT id, vec, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+    FROM d{r}) t WHERE rn = 1
+)"""
+
+
+def _km_update_sql(r: int) -> str:
+    """centroid update: per-(cluster, pos) exact DECIMAL(28,10) sums →
+    one double division — partition-order independent, mirroring
+    operators/clustering.py's kmeans bitwise; empty clusters keep the
+    previous centroid (the LEFT JOIN COALESCE)."""
+    return f"""m{r} AS (
+  SELECT cluster, i AS pos,
+         CAST(SUM(CAST(vec[i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cm
+  FROM a{r}, range(1, 65) t(i) GROUP BY cluster, i
+),
+mv{r} AS (SELECT cluster AS cid, list(cm ORDER BY pos) AS vec FROM m{r} GROUP BY cluster),
+c{r} AS (
+  SELECT p.cid, COALESCE(mv{r}.vec, p.vec) AS vec
+  FROM c{r - 1} p LEFT JOIN mv{r} ON p.cid = mv{r}.cid
+)"""
+
+
+# Lloyd's unrolled: deterministic md5 init → 3 (assign, update) rounds
+# → final assignment with the round-3 centroids, exactly the sequence
+# operators/clustering.py executes at max_iter=3. Every float op is
+# either an index-ordered IEEE fold or an exact decimal sum, so the
+# "iterative ⇒ rows-only" excuse dies here (r2 item 7).
+_KMEANS_ORACLE = "WITH " + ",\n".join(
+    [
+        "v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
+        """c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cid, vec
+  FROM v ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8
+)""",
+        _km_assign_sql(1, "c0"), _km_update_sql(1),
+        _km_assign_sql(2, "c1"), _km_update_sql(2),
+        _km_assign_sql(3, "c2"), _km_update_sql(3),
+        _km_assign_sql(4, "c3"),
+    ]
+) + "\nSELECT id, CAST(cluster AS INT) AS cluster FROM a4"
+
+
+@register("kmeans_embeddings", _KMEANS_ORACLE)
 def q_kmeans_embeddings(spark, sf_dir):
     """trained k-means over embeddings (Lloyd's, deterministic hash
     init — operators/clustering.py): the training step behind IVF ANN.
     Map-only assignment with literal-broadcast centroids; one
-    k×dim-payload shuffle per iteration."""
+    k×dim-payload shuffle per iteration. Hash-gated: decimal centroid
+    sums + index-ordered distance folds make all 3 unrolled rounds
+    bitwise-portable to the DuckDB oracle."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import kmeans
 
     emb = load_table(spark, sf_dir, "embeddings")
