@@ -77,6 +77,13 @@ def main() -> None:
     except Exception as e:  # never let the throughput probe kill bench
         streaming = {"error": str(e)[:200]}
 
+    # The driver's round record keeps only the TAIL of this line when it
+    # truncates, and "queries" alphabetizes — so repeat the headline
+    # (best_sum) and the slowest-10 detail as the LAST keys: any suffix
+    # of the line that survives still carries the numbers that matter.
+    slowest10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(
         json.dumps(
             {
@@ -86,6 +93,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "streaming": streaming,
+                "n_queries": len(timings),
+                "best_sum": total,
+                "slowest10": slowest10,
             }
         )
     )
