@@ -618,7 +618,7 @@ def build_dedup_index(
         path/fingerprints/  (fp, id)        exact-dup membership
         path/postings/      (band, sig, id) minhash-LSH postings
         path/shingles/      (id, sh)        verify-side shingle arrays
-        path/meta/          parameters (k, bands, rows_per_band)
+        path/meta.json      parameters (k, bands, rows_per_band)
 
     Build once per corpus; each incoming crawl probes it map-side
     (:func:`query_dedup_index`) and appends its survivors
@@ -626,10 +626,13 @@ def build_dedup_index(
     re-shingled, re-hashed, or re-deduped. Ids must be globally
     unique across corpus and future batches.
     """
-    spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(k, bands, rows_per_band)], "k int, bands int, rows_per_band int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import write_json_meta
+
+    write_json_meta(
+        corpus.sparkSession,
+        f"{path}/meta.json",
+        {"k": k, "bands": bands, "rows_per_band": rows_per_band},
+    )
     _index_rows(corpus, text_col, id_col, k, bands, rows_per_band, path, "overwrite")
 
 
@@ -638,8 +641,12 @@ def append_dedup_index(
 ) -> None:
     """Append a new batch's postings to an existing index (the
     per-crawl increment — call with the batch's dedup survivors)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_json_meta
+
     spark = new_docs.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = read_json_meta(spark, f"{path}/meta.json")
+    if meta is None:
+        raise ValueError(f"no dedup index at {path} (meta.json missing)")
     _index_rows(
         new_docs,
         text_col,
@@ -740,7 +747,11 @@ def _query_dedup_index_with_cleanup(
 
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
 
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_json_meta
+
+    meta = read_json_meta(spark, f"{path}/meta.json")
+    if meta is None:
+        raise ValueError(f"no dedup index at {path} (meta.json missing)")
     k, bands, rows_per_band = (
         int(meta["k"]),
         int(meta["bands"]),

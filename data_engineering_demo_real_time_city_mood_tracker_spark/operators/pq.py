@@ -101,19 +101,33 @@ def train_pq(
     """
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
 
-    dim = len(df.select(vec_col).first()[0])
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
-    dsub = dim // m
+    # one (id, double-vec) projection feeds the seed collect and every
+    # Lloyd round; dim derives from the seed rows instead of its own
+    # first() job (one fewer fixed-overhead job per training). Not
+    # persisted — measured net-negative at bench SF (cache
+    # materialization > per-round re-scan), and ivfpq's resid input is
+    # already persisted by the caller.
     base = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
-    seeds = (
-        base.select(F.md5(F.col("id").cast("string")).alias("h"), "_v")
-        .orderBy("h")
-        .limit(ksub)
-        .collect()
-    )
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import _no_aqe
+
+    with _no_aqe(df.sparkSession):
+        seeds = (
+            base.select(F.md5(F.col("id").cast("string")).alias("h"), "_v")
+            .orderBy("h")
+            .limit(ksub)
+            .collect()
+        )
+        books, dim = _lloyd_rounds(base, seeds, m, ksub, max_iter)
+    return books
+
+
+def _lloyd_rounds(base, seeds, m, ksub, max_iter):
+    dim = len(seeds[0]["_v"])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
     books = [
         [list(r["_v"])[j * dsub : (j + 1) * dsub] for r in seeds] for j in range(m)
     ]
@@ -147,7 +161,7 @@ def train_pq(
         if new_books == books:
             break
         books = new_books
-    return books
+    return books, dim
 
 
 def encode_pq(
@@ -263,7 +277,7 @@ def build_ivfpq_index(
     """Build the lake-native IVF-PQ index:
 
         path/codes/cell=<c>/   (id, code: array<int>)
-        path/meta/             one row: centroids + codebooks (JSON)
+        path/meta.json         centroids + codebooks (zero-job sidecar)
 
     Coarse k-means partitions the corpus into cells; each vector's
     RESIDUAL (vec − its cell centroid) is product-quantized — residual
@@ -276,8 +290,6 @@ def build_ivfpq_index(
     the two trainings; codes repartition on cell before the write
     (one file per cell dir, not tasks × cells).
     """
-    import json as _json
-
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
         assign_clusters,
         kmeans,
@@ -309,11 +321,15 @@ def build_ivfpq_index(
         )
     finally:
         resid.unpersist()
-    spark = df.sparkSession
-    spark.createDataFrame(
-        [(_json.dumps(cents), _json.dumps(books))],
-        "centroids string, codebooks string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import write_json_meta
+
+    # meta lands LAST (commit record) as a zero-job JSON sidecar: a
+    # 1-row parquet write here cost a full job's fixed overhead
+    write_json_meta(
+        df.sparkSession,
+        f"{path}/meta.json",
+        {"centroids": cents, "codebooks": books},
+    )
 
 
 def query_ivfpq_index(
@@ -333,15 +349,17 @@ def query_ivfpq_index(
     (query, cell) probes via a broadcast, and the approximate
     distance is m table lookups + adds. Emits (query_id, corpus_id,
     approx_dist, rnk); an empty query list returns an empty frame."""
-    import json as _json
-
     from pyspark.sql import Window
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_json_meta
 
     if not query_rows:
         return spark.createDataFrame([], _EMPTY_TOPK)
-    meta = spark.read.parquet(f"{path}/meta").first()
-    cents = _json.loads(meta["centroids"])
-    books = _json.loads(meta["codebooks"])
+    meta = read_json_meta(spark, f"{path}/meta.json")
+    if meta is None:
+        raise ValueError(f"no committed IVF-PQ index at {path} (meta.json missing)")
+    cents = meta["centroids"]
+    books = meta["codebooks"]
     m = len(books)
     dsub = len(books[0][0])
 

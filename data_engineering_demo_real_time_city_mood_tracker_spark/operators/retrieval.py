@@ -141,10 +141,10 @@ def _fs_delete(spark: SparkSession, path: str) -> None:
 
 
 def _read_meta_buckets(spark: SparkSession, path: str) -> int | None:
-    try:
-        return int(spark.read.parquet(f"{path}/meta").first()["n_buckets"])
-    except Exception:
-        return None
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_json_meta
+
+    meta = read_json_meta(spark, f"{path}/meta.json")
+    return int(meta["n_buckets"]) if meta else None
 
 
 def build_text_index(
@@ -175,9 +175,9 @@ def build_text_index(
             f"got {n_buckets}"
         )
     if pinned is None:
-        spark.createDataFrame(
-            [(int(n_buckets),)], "n_buckets int"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import write_json_meta
+
+        write_json_meta(spark, f"{path}/meta.json", {"n_buckets": int(n_buckets)})
     # decommit, then clear: stats first so a crash mid-delete still
     # leaves the segment invisible rather than half-stale
     _fs_delete(spark, f"{path}/stats/seg={segment}")

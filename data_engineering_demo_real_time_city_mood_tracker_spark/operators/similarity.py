@@ -275,7 +275,7 @@ def build_ivf_index(
     """Build a PERSISTENT IVF index: train k-means centroids, assign
     the corpus, and write it as a lake-native layout:
 
-        path/centroids/   one tiny parquet of (cluster, cvec)
+        path/meta.json    centroids + params (zero-job sidecar)
         path/cells/       corpus vectors partitioned BY CLUSTER
                           (``cluster=<c>/`` hive directories)
 
@@ -291,15 +291,23 @@ def build_ivf_index(
         kmeans,
     )
 
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import write_json_meta
+
     _, cents = kmeans(corpus, vec_col, id_col, k=n_centroids, max_iter=max_iter)
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cluster int, cvec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
-        [(n_centroids, n_probe_default, max_iter)],
-        "n_centroids int, n_probe_default int, max_iter int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # centroids + params as one zero-job JSON sidecar (floats
+    # round-trip exactly); a 1-row parquet write per table cost a full
+    # job's fixed overhead on every build
+    write_json_meta(
+        spark,
+        f"{path}/meta.json",
+        {
+            "centroids": cents,
+            "n_centroids": n_centroids,
+            "n_probe_default": n_probe_default,
+            "max_iter": max_iter,
+        },
+    )
     assign_clusters(corpus, vec_col, id_col, cents).write.mode(
         "overwrite"
     ).partitionBy("cluster").parquet(f"{path}/cells")
@@ -325,13 +333,14 @@ def query_ivf_index(
     """
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import assign_top_cells
 
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_json_meta
+
+    meta = read_json_meta(spark, f"{path}/meta.json")
+    if meta is None:
+        raise ValueError(f"no IVF index at {path} (meta.json missing)")
     if n_probe is None:
-        n_probe = spark.read.parquet(f"{path}/meta").first().n_probe_default
-    cents_rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r.cluster,
-    )
-    cents = [list(r.cvec) for r in cents_rows]
+        n_probe = int(meta["n_probe_default"])
+    cents = meta["centroids"]
     q = assign_top_cells(queries, vec_col, id_col, cents, n_probe).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cluster"
     )

@@ -229,3 +229,45 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     with parquet (plan shows PushedFilters into the OrcScan; asserted
     in tests/test_sources.py)."""
     return spark.read.orc(path)
+
+
+def write_json_meta(spark: SparkSession, path: str, obj: dict) -> None:
+    """Write an index's metadata as ONE driver-side JSON sidecar file
+    (the Delta/Iceberg commit-log pattern) through the Hadoop FS API —
+    works on any supported filesystem and costs ZERO Spark jobs, where
+    a 1-row parquet write costs a full job's fixed overhead per build
+    (measured 0.3-0.7 s each on the index-probe queries). Staged to a
+    tmp name + rename so readers never see a half-written file."""
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.__tmp__")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    fs.rename(tmp, p)
+
+
+def read_json_meta(spark: SparkSession, path: str) -> dict | None:
+    """Read a :func:`write_json_meta` sidecar; None if absent. Zero
+    Spark jobs — a driver-side FS open (float values round-trip
+    bit-exactly: json emits repr, the shortest exact form)."""
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))

@@ -49,7 +49,7 @@ def _produce_topic(events, path: str) -> None:
     reference's KafkaProducer serializer emits)."""
     events.select(
         F.to_json(F.struct(*[F.col(c) for c in events.columns])).alias("value")
-    ).coalesce(1).write.mode("overwrite").text(path)
+    ).write.mode("overwrite").text(path)
 
 
 def run_mood_demo(

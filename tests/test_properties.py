@@ -853,9 +853,11 @@ def test_ivfpq_index_matches_python_model(spark, tmp_path):
         for r in pq.query_ivfpq_index(spark, path, queries, k=5, n_probe=2).collect()
     }
 
-    meta = spark.read.parquet(f"{path}/meta").first()
-    cents = json.loads(meta["centroids"])
-    books = json.loads(meta["codebooks"])
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_json_meta
+
+    meta = read_json_meta(spark, f"{path}/meta.json")
+    cents = meta["centroids"]
+    books = meta["codebooks"]
     codes = {
         (r.id): (r.cell, list(r.code))
         for r in spark.read.parquet(f"{path}/codes").collect()
