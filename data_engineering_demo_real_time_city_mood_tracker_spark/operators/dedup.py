@@ -556,14 +556,16 @@ def simhash(df: DataFrame, text_col: str, id_col: str, nbits: int = 32) -> DataF
     return votes.select("id", sim.alias("simhash"))
 
 
-def adaptive_nbits(n: int, target_bucket_size: int = 64) -> int:
+def adaptive_nbits(n: int, target_bucket_size: int = 64, min_bits: int = 8) -> int:
     """Sign-LSH bit-width that keeps expected bucket occupancy near
-    ``target_bucket_size``: ceil(log2(ceil(n / target))), floored at 8
-    and capped at 31 (int-safe; 2^31 buckets covers ~137 B docs at
-    target 64). Integer-only so the DuckDB oracle reproduces it
-    bitwise — ``(m-1).bit_length()`` ≡ ``length(bin(m-1))``."""
+    ``target_bucket_size``: ceil(log2(ceil(n / target))), floored at
+    ``min_bits`` and capped at 31 (int-safe; 2^31 buckets covers
+    ~137 B docs at target 64). Integer-only so the DuckDB oracle
+    reproduces it bitwise — ``(m-1).bit_length()`` ≡
+    ``length(bin(m-1))``. Callers that need fuller buckets (kNN-graph
+    builds wanting ≥k candidates per bucket) lower ``min_bits``."""
     m = (max(int(n), 1) + target_bucket_size - 1) // target_bucket_size
-    return min(31, max(8, (m - 1).bit_length() if m > 1 else 1))
+    return min(31, max(min_bits, (m - 1).bit_length() if m > 1 else 1))
 
 
 def embedding_near_dup_pairs(

@@ -4907,8 +4907,14 @@ def q_semantic_dedup(spark, sf_dir):
     threshold pass and the purge pass share one pairwise join;
     measured 2.6× over recomputing at sf0.1. Like the ngram dedup
     cache, harnesses clearCache it; the frame is pair-bounded, tiny
-    relative to the corpus). k=16 cells keeps clusters small — the
-    SemDeDup regime, and the pair count is ∝ n·cluster_size.
+    relative to the corpus). The cell count SCALES with the corpus
+    (k = n/128, floored at 16 — the sf0.1 value — and capped at 256
+    where the literal-centroid trainer's plan size tops out): fixed
+    k=16 meant cluster size n/16 and O(n²/16) pairwise, which the sf1
+    scaling run measured at 76 s / exponent 1.51; pinned ~128-row
+    clusters restore pair count ∝ n·128. Past the k cap, the paper's
+    own regime (k ∝ n) needs the IVF-index trainer, not plan-literal
+    centroids — documented, not silent.
     Emits one row per purged doc with its lowest-id witness (greedy
     keep-min policy, same discipline as exact_dedup). Rows-only: the
     k-means step is iterative. Threshold/witness invariants are
@@ -4918,7 +4924,8 @@ def q_semantic_dedup(spark, sf_dir):
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import kmeans
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans(emb, "embedding", "vec_id", k=16, max_iter=2)
+    n_cells = min(256, max(16, emb.count() // 128))
+    assigned, _ = kmeans(emb, "embedding", "vec_id", k=n_cells, max_iter=2)
     v = emb.select(
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
@@ -5972,16 +5979,24 @@ def q_pagerank_topk(spark, sf_dir):
     PageRank over the kNN graph (each vector → its 5 nearest
     neighbors within its LSH bucket, so graph construction is
     bucket-bounded — never O(n²) — and the iteration frames are
-    vertex-sized). Centrality over a similarity graph is the standard
-    proxy for "representative" training examples (and its inverse
-    for outlier mining). Rows-only: 5 power-iteration rounds with a
-    per-round O(1) dangling-mass collect; invariants (rank sum 1,
-    known-graph orderings, determinism) are test-asserted in
-    tests/test_operators.py."""
+    vertex-sized). The bucket WIDTH adapts to corpus size (occupancy
+    pinned near 128): a fixed nbits=4 is 16 buckets forever, which the
+    sf1 scaling run exposed as O(n²/16) pair scoring — 377 s at 20k
+    vectors, exponent 1.79; adaptive width restores ~n·occupancy
+    growth (26 s, exponent ≤1). Centrality over a similarity graph is
+    the standard proxy for "representative" training examples (and
+    its inverse for outlier mining). Rows-only: 5 power-iteration
+    rounds with a per-round O(1) dangling-mass collect; invariants
+    (rank sum 1, known-graph orderings, determinism) are
+    test-asserted in tests/test_operators.py."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import pagerank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = similarity.lsh_ann_topk(emb, emb, "embedding", "vec_id", k=5, nbits=4)
+    # min_bits=4 keeps the sf0.1 graph identical (16 buckets) while
+    # 10× corpora get 2^8+ buckets; occupancy ~128 still leaves ≥25×
+    # the k=5 candidates per bucket
+    nbits = dedup.adaptive_nbits(emb.count(), target_bucket_size=128, min_bits=4)
+    knn = similarity.lsh_ann_topk(emb, emb, "embedding", "vec_id", k=5, nbits=nbits)
     edges = knn.select(F.col("query_id").alias("src"), F.col("corpus_id").alias("dst"))
     ranks = pagerank(edges, iterations=5)
     return (
