@@ -65,6 +65,10 @@ _FRONT = [
     "multimodal_meta",
     "negative_sampling",
     "shard_export",
+    # new in round 3 (oracle-backed; LPA + k-means also moved to
+    # oracle-backed this round — _ordered resolves via ORACLES)
+    "dedup_embedding_banded",
+    "embedding_outlier_score",
     # --- rows-only, never driver-graded (16) ---
     "quantile_sketch",
     "kcore_decomposition",

@@ -63,6 +63,27 @@ def _no_aqe(spark):
                 spark.conf.unset(key)
 
 
+def _portable_mean(x):
+    """Partition-order-independent AND engine-portable centroid mean:
+    floor-quantize each element to an exact integer at scale 1e10,
+    sum as BIGINT (exact), then two IEEE double divisions.
+
+    Why not CAST(x AS DECIMAL(28,10)): the double→decimal cast has a
+    rounding TIE when the element's 11th decimal digit is exactly 5 —
+    Spark rounds the shortest-repr string HALF_UP while DuckDB rounds
+    the 1e10-scaled double, and the two disagree on such ties
+    (observed: one dim of one centroid off by 1e-10 at sf0.01, which
+    broke the hash of any query exposing centroid arithmetic).
+    FLOOR of an IEEE double is bit-deterministic — no rounding rule
+    to disagree on — so the quantized sums match bitwise on any
+    engine."""
+    return (
+        F.sum(F.floor(x * F.lit(1e10))).cast("double")
+        / F.count(F.lit(1))
+        / F.lit(1e10)
+    )
+
+
 def _sq_dist(vec, centroid_lit):
     d = F.zip_with(vec, centroid_lit, lambda x, y: (x - y) * (x - y))
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
@@ -232,21 +253,16 @@ def kmeans(
         centroids = init_centroids(base, "vec", "id", k)
         for _ in range(max_iter):
             assigned = assign_clusters(base, "vec", "id", centroids)
-            # per-dimension exact decimal sums → partition-order-
-            # independent means (same davg discipline as the SQL
-            # oracles). The update is keyed on (cluster, pos) — a
-            # narrow 3-column agg instead of a dim-wide one, so codegen
-            # stays in one small method and the shuffle payload is
-            # still k × dim partials per map task.
+            # per-dimension exact quantized-integer sums →
+            # partition-order-independent, engine-portable means (see
+            # _portable_mean). The update is keyed on (cluster, pos) —
+            # a narrow 3-column agg instead of a dim-wide one, so
+            # codegen stays in one small method and the shuffle payload
+            # is still k × dim partials per map task.
             new_rows = (
                 assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
                 .groupBy("cluster", "pos")
-                .agg(
-                    (
-                        F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias("c")
-                )
+                .agg(_portable_mean(F.col("x")).alias("c"))
                 .collect()
             )
             new_centroids = [list(c) for c in centroids]

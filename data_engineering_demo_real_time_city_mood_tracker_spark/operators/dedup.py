@@ -605,6 +605,71 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_banded_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bands: int = 4,
+    bits_per_band: int = 4,
+) -> DataFrame:
+    """Multi-band sign-LSH embedding near-dups — the recall-improved
+    companion to :func:`embedding_near_dup_pairs` (same banding idea
+    as minhash-LSH, in the embedding space): a pair is a candidate if
+    it agrees on ANY band's sign bits, so recall is strictly ≥ the
+    single-bucket filter at the same total bit budget, while the cost
+    stays band-bucket-bounded (per-band occupancy n/2^bits_per_band).
+
+    Plan: explode each vector into ``bands`` (band, bucket) rows, one
+    band-keyed self-join, DISTINCT the candidate pairs (a pair can
+    agree on several bands), then one id-keyed join-back for the
+    cosine — the band rows never carry the vector payload through the
+    exchange."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    band_rows = v.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    vectors.sign_bucket(
+                        F.slice(F.col("vec"), b * bits_per_band + 1, bits_per_band),
+                        bits_per_band,
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            vectors.cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def build_dedup_index(
     corpus: DataFrame,
     text_col: str,

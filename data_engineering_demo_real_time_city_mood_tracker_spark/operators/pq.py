@@ -34,7 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import _centroid_array, kmeans
+from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
+    _centroid_array,
+    _portable_mean,
+    kmeans,
+)
 
 _EMPTY_TOPK = "query_id int, corpus_id long, approx_dist double, rnk long"
 
@@ -147,12 +151,7 @@ def _lloyd_rounds(base, seeds, m, ksub, max_iter):
             base.select(F.explode(F.array(*per_sub)).alias("s"))
             .select("s.j", "s.cluster", F.posexplode("s.sub").alias("pos", "x"))
             .groupBy("j", "cluster", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("c")
-            )
+            .agg(_portable_mean(F.col("x")).alias("c"))
             .collect()
         )
         new_books = [[list(c) for c in book] for book in books]

@@ -2345,6 +2345,51 @@ def q_dedup_embedding(spark, sf_dir):
     return dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.35)
 
 
+def _band_bucket_sql(band: int, bits: int) -> str:
+    """sign bits of dims [band*bits, (band+1)*bits) folded big-endian —
+    the per-band twin of functions.vectors.sign_bucket_sql."""
+    terms = " + ".join(
+        f"(CASE WHEN embedding[{band * bits + i + 1}] > 0 THEN {1 << (bits - 1 - i)} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+@register(
+    "dedup_embedding_banded",
+    f"""WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT vec_id AS id, {b} AS band, {_band_bucket_sql(b, 4)} AS bucket FROM embeddings" for b in range(4))}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       list_reduce(list_transform(range(1, 65), i -> va.vec[i] * vb.vec[i]), (acc, x) -> acc + x)
+       / (sqrt(list_reduce(list_transform(va.vec, x -> x * x), (acc, x) -> acc + x))
+          * sqrt(list_reduce(list_transform(vb.vec, x -> x * x), (acc, x) -> acc + x))) AS cos_sim
+FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+WHERE list_reduce(list_transform(range(1, 65), i -> va.vec[i] * vb.vec[i]), (acc, x) -> acc + x)
+      / (sqrt(list_reduce(list_transform(va.vec, x -> x * x), (acc, x) -> acc + x))
+         * sqrt(list_reduce(list_transform(vb.vec, x -> x * x), (acc, x) -> acc + x))) >= 0.35""",
+)
+def q_dedup_embedding_banded(spark, sf_dir):
+    """multi-band sign-LSH embedding near-dups (the banded companion
+    to dedup_embedding, same banding idea as minhash-LSH): candidates
+    agree on ANY of 4 bands' 4 sign bits, so recall strictly dominates
+    the single-bucket filter at the same bit budget; the DISTINCT
+    candidate set is band-bucket-bounded and the band rows shuffle
+    without the vector payload (cosine joins back by id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_banded_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.35, bands=4, bits_per_band=4
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search
 
@@ -2845,13 +2890,17 @@ a{r} AS (
 
 
 def _km_update_sql(r: int) -> str:
-    """centroid update: per-(cluster, pos) exact DECIMAL(28,10) sums →
-    one double division — partition-order independent, mirroring
-    operators/clustering.py's kmeans bitwise; empty clusters keep the
+    """centroid update: per-(cluster, pos) floor-quantized exact
+    integer sums (scale 1e10) → two IEEE double divisions —
+    partition-order independent AND engine-portable, mirroring
+    clustering._portable_mean bitwise. FLOOR of a double is
+    bit-deterministic, unlike CAST(x AS DECIMAL(28,10)) whose
+    rounding-tie rule differs between Spark (shortest-repr HALF_UP)
+    and DuckDB (scaled-double round). Empty clusters keep the
     previous centroid (the LEFT JOIN COALESCE)."""
     return f"""m{r} AS (
   SELECT cluster, i AS pos,
-         CAST(SUM(CAST(vec[i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cm
+         CAST(SUM(CAST(FLOOR(vec[i] * 1e10) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e10 AS cm
   FROM a{r}, range(1, 65) t(i) GROUP BY cluster, i
 ),
 mv{r} AS (SELECT cluster AS cid, list(cm ORDER BY pos) AS vec FROM m{r} GROUP BY cluster),
@@ -2865,8 +2914,9 @@ c{r} AS (
 # → final assignment with the round-3 centroids, exactly the sequence
 # operators/clustering.py executes at max_iter=3. Every float op is
 # either an index-ordered IEEE fold or an exact decimal sum, so the
-# "iterative ⇒ rows-only" excuse dies here (r2 item 7).
-_KMEANS_ORACLE = "WITH " + ",\n".join(
+# "iterative ⇒ rows-only" excuse dies here (r2 item 7). The CTE chain
+# is shared with embedding_outlier_score (distance to own centroid).
+_KMEANS_CTES = "WITH " + ",\n".join(
     [
         "v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
         """c0 AS (
@@ -2878,7 +2928,47 @@ _KMEANS_ORACLE = "WITH " + ",\n".join(
         _km_assign_sql(3, "c2"), _km_update_sql(3),
         _km_assign_sql(4, "c3"),
     ]
-) + "\nSELECT id, CAST(cluster AS INT) AS cluster FROM a4"
+)
+_KMEANS_ORACLE = _KMEANS_CTES + "\nSELECT id, CAST(cluster AS INT) AS cluster FROM a4"
+
+
+@register(
+    "embedding_outlier_score",
+    _KMEANS_CTES
+    + f"""
+SELECT a4.id, CAST(a4.cluster AS INT) AS cluster,
+       {_km_dist_sql('a4.vec', 'c3.vec')} AS centroid_dist
+FROM a4 JOIN c3 ON c3.cid = a4.cluster""",
+)
+def q_embedding_outlier_score(spark, sf_dir):
+    """prototypicality / outlier mining for training-data curation:
+    each embedding's squared distance to its own trained-k-means
+    centroid — low = representative example, high = outlier or
+    contamination candidate (the SemDeDup companion signal). Rides
+    the same bitwise-portable Lloyd arithmetic as kmeans_embeddings
+    (shared oracle CTEs), so the full train→assign→score chain is
+    hash-gated. Map-only after training: centroids are plan literals,
+    the distance is one codegen fold per row."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
+        _centroid_array,
+        assign_clusters,
+        kmeans,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = kmeans(emb, "embedding", "vec_id", k=8, max_iter=3)
+    assigned = assign_clusters(emb, "embedding", "vec_id", cents)
+    cmat = _centroid_array(cents)
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("vec"),
+            F.element_at(cmat, F.col("cluster") + 1),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return assigned.select("id", "cluster", dist.alias("centroid_dist"))
 
 
 @register("kmeans_embeddings", _KMEANS_ORACLE)
