@@ -69,6 +69,8 @@ _FRONT = [
     # oracle-backed this round — _ordered resolves via ORACLES)
     "dedup_embedding_banded",
     "embedding_outlier_score",
+    "hll_portable_rollup",
+    "boilerplate_removal",
     # --- rows-only, never driver-graded (16) ---
     "quantile_sketch",
     "kcore_decomposition",

@@ -276,6 +276,67 @@ def repeated_span_mass(
     )
 
 
+def remove_boilerplate_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_words: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """Cross-document repeated-segment REMOVAL — the RefinedWeb /
+    CCNet line-dedup step (Penedo et al. 2023 §3.3 remove duplicated
+    lines; here at fixed ``seg_words``-word segment granularity since
+    the corpus is single-line): any non-overlapping segment occurring
+    in ≥ ``min_df`` distinct documents is boilerplate (headers,
+    navigation, license blocks, mirrored spans) and is cut from every
+    document; the survivors are reassembled in position order. Unlike
+    `repeated_span_mass` (which SCORES docs), this emits the cleaned
+    corpus itself: (doc_id, clean_text, n_removed, n_segments).
+
+    Scale shape: segments are non-overlapping (corpus token count /
+    seg_words rows, ~5× cheaper than sliding shingles), df is one
+    hash-keyed agg with map-side combine, and the boilerplate set is
+    broadcast for the anti join — by definition it only holds
+    segments repeated ≥ min_df times, so its cardinality is bounded
+    by corpus_segments / min_df and in practice tiny. Reassembly
+    groups per doc (bounded rows per doc). All linear in corpus
+    size; no pair blowup at any scale."""
+    words = F.split(F.col(text_col), " ")
+    nseg = F.expr(f"(size(split({text_col}, ' ')) + {seg_words - 1}) div {seg_words}")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
+    )
+    seg_rows = (
+        df.select(F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("pos", "seg"))
+        .withColumn("h", F.md5("seg"))
+    )
+    boiler = (
+        seg_rows.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+    kept = seg_rows.join(F.broadcast(boiler), "h", "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), nseg.cast("long").alias("n_segments"))
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        "n_segments",
+    )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure at least defaultParallelism partitions before expensive
     per-row compute. A tiny scan (one small parquet split) otherwise

@@ -1941,6 +1941,48 @@ def q_repeated_ngram_spans(spark, sf_dir):
 
 
 @register(
+    "boilerplate_removal",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id, u['pos'] AS pos, u['seg'] AS seg, md5(u['seg']) AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, (len(words) + 4) // 5),
+             i -> {'pos': i, 'seg': array_to_string(list_slice(words, i * 5 + 1, i * 5 + 5), ' ')})) AS u
+    FROM d) t
+),
+bo AS (SELECT h FROM s GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3),
+kept AS (SELECT s.* FROM s ANTI JOIN bo USING (h)),
+cl AS (
+  SELECT doc_id, array_to_string(list(seg ORDER BY pos), ' ') AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST((len(string_split(text, ' ')) + 4) // 5 AS BIGINT) AS n_segments
+  FROM documents
+)
+SELECT base.doc_id, COALESCE(cl.clean_text, '') AS clean_text,
+       CAST(base.n_segments - COALESCE(cl.n_kept, 0) AS BIGINT) AS n_removed,
+       base.n_segments
+FROM base LEFT JOIN cl ON cl.doc_id = base.doc_id""",
+)
+def q_boilerplate_removal(spark, sf_dir):
+    """RefinedWeb/CCNet-style repeated-segment removal (Penedo et al.
+    2023 §3.3), emitting the CLEANED corpus: every non-overlapping
+    5-word segment occurring in ≥3 distinct docs (mirrored spans,
+    templates, license blocks) is cut from all of them and the
+    survivors reassemble in position order. The transformed text
+    itself is part of the hashed surface — the oracle proves the cut
+    and the reassembly lose and invent nothing. Companion to
+    repeated_ngram_spans (which only SCORES the duplication)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_boilerplate_segments(
+        docs, "text", "doc_id", seg_words=5, min_df=3
+    )
+
+
+@register(
     "minhash_signatures",
     f"""WITH sh AS (
   SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
@@ -2844,27 +2886,6 @@ def q_multimodal_frames(spark, sf_dir):
     return multimodal.frame_sample_plan(media, every_ms=10000)
 
 
-@register("embedding_ann_ivf_trained")  # k-means training → rows-only
-def q_embedding_ann_ivf_trained(spark, sf_dir):
-    """IVF ANN with a k-means-TRAINED index and multi-probe search
-    (n_probe=2): the production shape of q_embedding_ann_ivf —
-    clustering.kmeans trains 8 cells, assignment is map-only with
-    literal centroids, queries scan their 2 nearest cells."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.ivf_trained_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 10),
-        "embedding",
-        "vec_id",
-        k=5,
-        n_centroids=8,
-        n_probe=2,
-    )
-    return out.select(
-        "query_id", "corpus_id", "cos_sim", F.col("rnk").cast("long").alias("rnk")
-    )
-
-
 def _km_dist_sql(v: str, c: str) -> str:
     """squared L2 as the same 0-seeded index-order fold Spark runs
     (squares are non-negative, so list_reduce's first-element seed is
@@ -2930,6 +2951,52 @@ _KMEANS_CTES = "WITH " + ",\n".join(
     ]
 )
 _KMEANS_ORACLE = _KMEANS_CTES + "\nSELECT id, CAST(cluster AS INT) AS cluster FROM a4"
+
+
+@register(
+    "embedding_ann_ivf_trained",
+    _KMEANS_CTES
+    + f""",
+qa AS (
+  SELECT id AS query_id, vec AS qvec, cid AS cluster FROM (
+    SELECT v.id, v.vec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY {_km_dist_sql('v.vec', 'c.vec')}, c.cid) AS rn
+    FROM v, c3 c WHERE v.id < 10) t
+  WHERE rn <= 2
+),
+sc AS (
+  SELECT q.query_id, a.id AS corpus_id, {_cos_sql('q.qvec', 'a.vec')} AS cos_sim
+  FROM qa q JOIN a4 a ON a.cluster = q.cluster AND a.id <> q.query_id
+)
+SELECT query_id, corpus_id, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, corpus_id) AS rnk
+  FROM sc) t
+WHERE rnk <= 5""",
+)
+def q_embedding_ann_ivf_trained(spark, sf_dir):
+    """IVF ANN with a k-means-TRAINED index and multi-probe search
+    (n_probe=2): the production shape of q_embedding_ann_ivf —
+    clustering.kmeans trains 8 cells, assignment is map-only with
+    literal centroids, queries scan their 2 nearest cells. Oracle-
+    backed since r3: the tie-free portable centroid means (see
+    _km_update_sql) let the whole train→assign→probe→rank chain ride
+    the shared unrolled-Lloyd CTEs — was rows-only while the decimal
+    cast could tie."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_trained_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "embedding",
+        "vec_id",
+        k=5,
+        n_centroids=8,
+        n_probe=2,
+    )
+    return out.select(
+        "query_id", "corpus_id", "cos_sim", F.col("rnk").cast("long").alias("rnk")
+    )
 
 
 @register(
@@ -4240,6 +4307,98 @@ def q_hll_merge_rollup(spark, sf_dir):
     )
     return merged.join(direct, "event_type").select(
         "event_type", "merged_est", "direct_est", "n_exact"
+    )
+
+
+def _hll_oracle_sql() -> str:
+    """DuckDB twin of operators/sketches.py's portable HLL — same md5
+    registers, same string-op rank, same 2^40-scaled exact-integer
+    harmonic sum, same single literal numerator."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.sketches import (
+        HLL_M,
+        HLL_NUMER,
+        HLL_SCALE_BITS,
+    )
+
+    lt = "ltrim(substr(hh, 3, 16), '0')"
+    clz4 = (
+        f"(CASE substr({lt}, 1, 1) WHEN '1' THEN 3 WHEN '2' THEN 2 "
+        f"WHEN '3' THEN 2 WHEN '4' THEN 1 WHEN '5' THEN 1 "
+        f"WHEN '6' THEN 1 WHEN '7' THEN 1 ELSE 0 END)"
+    )
+    est = lambda t: (
+        f"{HLL_NUMER} / CAST({t}.s_present + ({HLL_M} - {t}.nreg) * "
+        f"(CAST(1 AS BIGINT) << {HLL_SCALE_BITS}) AS DOUBLE)"
+    )
+    sum_cte = (
+        f"SELECT event_type, "
+        f"SUM(CASE WHEN m > {HLL_SCALE_BITS} THEN CAST(0 AS BIGINT) "
+        f"ELSE (CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - m)) END) AS s_present, "
+        f"COUNT(*) AS nreg FROM {{src}} GROUP BY 1"
+    )
+    return f"""WITH h AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         md5('hll:' || CAST(user_id AS VARCHAR)) AS hh
+  FROM events
+),
+r AS (
+  SELECT event_type, day,
+         ((instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(hh, 2, 1)) - 1)) % {HLL_M} AS idx,
+         CASE WHEN {lt} = '' THEN 65
+              ELSE (16 - length({lt})) * 4 + {clz4} + 1 END AS rnk
+  FROM h
+),
+daily AS (SELECT event_type, day, idx, MAX(rnk) AS m FROM r GROUP BY 1, 2, 3),
+merged AS (SELECT event_type, idx, MAX(m) AS m FROM daily GROUP BY 1, 2),
+direct AS (SELECT event_type, idx, MAX(rnk) AS m FROM r GROUP BY 1, 2),
+msum AS ({sum_cte.format(src='merged')}),
+dsum AS ({sum_cte.format(src='direct')}),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+SELECT msum.event_type, {est('msum')} AS merged_est, {est('dsum')} AS direct_est,
+       ex.n_exact
+FROM msum JOIN dsum ON dsum.event_type = msum.event_type
+JOIN ex ON ex.event_type = msum.event_type"""
+
+
+@register("hll_portable_rollup", _hll_oracle_sql())
+def q_hll_portable_rollup(spark, sf_dir):
+    """the sketch family, hash-gated: a HyperLogLog whose EVERY step —
+    md5 registers, string-op rank, 2^40-scaled exact-integer harmonic
+    sum, one literal numerator, one IEEE division — is engine-exact,
+    so the daily-sketch rollup AND the one-pass estimate both
+    hash-match a DuckDB oracle bitwise (approx_distinct_hll /
+    hll_merge_rollup stay registered for the engine-native sketches;
+    this is their trust-nothing twin). Same mergeable-rollup shape:
+    per-(type, day) registers max-merge to per-type, and because max
+    composes, merged_est == direct_est exactly — the merge property
+    is part of the hashed surface. Scale: register rows map-side
+    combine to ≤ m rows per group per partition before the exchange,
+    so shuffle volume is groups × m, corpus-independent."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = sketches.hll_register_rows(
+        ev.select("event_type", F.to_date("ts").alias("day"), "user_id"),
+        ["event_type", "day"],
+        F.col("user_id"),
+    )
+    daily = rows.groupBy("event_type", "day", "idx").agg(F.max("rnk").alias("m"))
+    merged_regs = daily.groupBy("event_type", "idx").agg(F.max("m").alias("m"))
+    merged = sketches.hll_estimate_from_registers(
+        merged_regs, ["event_type"], "merged_est"
+    )
+    direct_regs = rows.groupBy("event_type", "idx").agg(F.max("rnk").alias("m"))
+    direct = sketches.hll_estimate_from_registers(
+        direct_regs, ["event_type"], "direct_est"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        merged.join(direct, "event_type")
+        .join(exact, "event_type")
+        .select("event_type", "merged_est", "direct_est", "n_exact")
     )
 
 

@@ -359,6 +359,60 @@ def test_hll_merge_rollup_properties(spark, sf_dir):
             )
 
 
+def test_hll_portable_properties(spark, sf_dir):
+    """portable HLL (operators/sketches.py): (a) the daily-rollup and
+    one-pass estimates are EXACTLY equal (max-merge composes — part of
+    the hashed surface, re-asserted here for the local SF too); (b)
+    the raw estimate lands within 3 sigma of exact (rsd = 1.04/sqrt(32)
+    ~ 18%, so 55% slack — loose by design: m=32 trades accuracy for a
+    tie-free raw-branch regime on the test corpus); (c) on a larger
+    synthetic key set (5000 distinct ints) the error stays inside the
+    same bound, showing the register math isn't tuned to the corpus."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import sketches
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+
+    rows = QUERIES["hll_portable_rollup"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.merged_est == r.direct_est, r
+        # the raw-estimate accuracy contract only holds above the
+        # linear-counting threshold 2.5m (below it the documented raw
+        # branch overestimates — no ln(), no correction, by design)
+        if r.n_exact >= 2.5 * sketches.HLL_M:
+            assert abs(r.direct_est - r.n_exact) <= 0.55 * r.n_exact, r
+
+    big = spark.range(5000).select(F.lit("g").alias("g"), F.col("id"))
+    regs = (
+        sketches.hll_register_rows(big, ["g"], F.col("id"))
+        .groupBy("g", "idx")
+        .agg(F.max("rnk").alias("m"))
+    )
+    est = sketches.hll_estimate_from_registers(regs, ["g"], "est").first().est
+    assert abs(est - 5000) <= 0.55 * 5000, est
+
+
+def test_boilerplate_removal_invariants(spark, sf_dir):
+    """cut-and-reassemble contract: 0 <= n_removed <= n_segments for
+    every doc, and a doc with nothing removed reassembles to EXACTLY
+    its original text (slice + position-ordered join is lossless)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES, load_table
+
+    out = {r.doc_id: r for r in QUERIES["boilerplate_removal"](spark, sf_dir).collect()}
+    orig = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(out) == set(orig)
+    for doc_id, r in out.items():
+        assert 0 <= r.n_removed <= r.n_segments, r
+        if r.n_removed == 0:
+            assert r.clean_text == orig[doc_id], doc_id
+        else:
+            assert len(r.clean_text) < len(orig[doc_id]), doc_id
+
+
 def test_funnel_and_cohort_conservation(spark, sf_dir):
     """conservation invariants: funnel stage counts partition the user
     base; every user is active on their own cohort day (offset 0)."""
