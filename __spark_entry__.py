@@ -71,6 +71,7 @@ _FRONT = [
     "embedding_outlier_score",
     "hll_portable_rollup",
     "boilerplate_removal",
+    "exact_quantiles",
     # --- rows-only, never driver-graded (16) ---
     "quantile_sketch",
     "kcore_decomposition",

@@ -1777,6 +1777,36 @@ def q_approx_distinct_hll(spark, sf_dir):
     )
 
 
+@register(
+    "exact_quantiles",
+    """WITH o AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, pct, value AS q_value
+FROM o, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                (CAST(0.99 AS DOUBLE))) p(pct)
+WHERE rn = CAST(floor(pct * (n - 1)) AS BIGINT)""",
+)
+def q_exact_quantiles(spark, sf_dir):
+    """EXACT order statistics at scale — the error-free complement to
+    quantile_sketch: two-phase selection (operators/quantiles.py)
+    histograms each group into 1024 fixed buckets (reduce side ≤
+    groups × 1024 rows at any corpus size), locates each target
+    rank's bucket from the cumulative counts, then re-scans and sorts
+    ONLY the target buckets (~n/1024 of the data) — no global sort,
+    no single-reducer percent_rank bottleneck. Rank convention
+    floor(p·(n−1)) lower-quantile, same IEEE multiply + floor in the
+    oracle, which gets to use the lazy window-sort formulation the
+    distributed plan exists to avoid."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.quantiles import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_quantiles(ev, "event_type", "value", [0.5, 0.9, 0.99])
+
+
 @register("quantile_sketch")  # KLL/GK sketch internals engine-specific → rows-only
 def q_quantile_sketch(spark, sf_dir):
     """approximate quantiles via Spark's Greenwald-Khanna sketch —

@@ -393,6 +393,54 @@ def test_hll_portable_properties(spark, sf_dir):
     assert abs(est - 5000) <= 0.55 * 5000, est
 
 
+def test_exact_quantiles_matches_sorted_selection(spark, sf_dir):
+    """two-phase selection == naive sort-and-index, on the real table
+    AND on an adversarial frame (heavy ties, a 1-row group, a
+    constant group — the mx==mn width-0 guard)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.quantiles import exact_quantiles
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import load_table
+
+    def naive(rows, pcts):
+        out = {}
+        by_g = {}
+        for g, v in rows:
+            by_g.setdefault(g, []).append(v)
+        for g, vs in by_g.items():
+            vs.sort()
+            for p in pcts:
+                out[(g, p)] = vs[math.floor(p * (len(vs) - 1))]
+        return out
+
+    pcts = [0.5, 0.9, 0.99]
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        (r[0], r.pct): r.q_value
+        for r in exact_quantiles(ev, "event_type", "value", pcts).collect()
+    }
+    want = naive(
+        [(r.event_type, r.value) for r in ev.select("event_type", "value").collect()],
+        pcts,
+    )
+    assert got == want
+
+    adv = spark.createDataFrame(
+        [("ties", float(v % 3)) for v in range(100)]
+        + [("one", 7.0)]
+        + [("const", 5.0)] * 20,
+        "g string, v double",
+    )
+    got = {
+        (r.g, r.pct): r.q_value
+        for r in exact_quantiles(adv, "g", "v", pcts, n_buckets=8).collect()
+    }
+    want = naive([(r.g, r.v) for r in adv.collect()], pcts)
+    assert got == want
+
+
 def test_boilerplate_removal_invariants(spark, sf_dir):
     """cut-and-reassemble contract: 0 <= n_removed <= n_segments for
     every doc, and a doc with nothing removed reassembles to EXACTLY
