@@ -72,11 +72,11 @@ _FRONT = [
     "hll_portable_rollup",
     "boilerplate_removal",
     "exact_quantiles",
+    "pagerank_portable",
     # --- rows-only, never driver-graded (16) ---
     "quantile_sketch",
     "kcore_decomposition",
     "label_propagation",
-    "dedup_simhash",
     "binary_ingest",
     "multimodal_frames",
     "embedding_ann_ivf_trained",
@@ -89,6 +89,10 @@ _FRONT = [
     "pq_ann_topk",
     "bpe_merges",
     "pagerank_topk",
+    # deliberately last: if the ~50-row gate cap cuts one entry, let it
+    # be the rows-only op whose bitwise twin (simhash_portable) already
+    # holds a hard driver row
+    "dedup_simhash",
 ]
 
 

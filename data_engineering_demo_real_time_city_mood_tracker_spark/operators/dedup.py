@@ -672,7 +672,9 @@ def embedding_banded_near_dup_pairs(
     id_col: str,
     threshold: float = 0.95,
     bands: int = 4,
-    bits_per_band: int = 4,
+    bits_per_band: int | None = None,
+    target_bucket_size: int = 64,
+    dim: int = 64,
 ) -> DataFrame:
     """Multi-band sign-LSH embedding near-dups — the recall-improved
     companion to :func:`embedding_near_dup_pairs` (same banding idea
@@ -681,11 +683,26 @@ def embedding_banded_near_dup_pairs(
     single-bucket filter at the same total bit budget, while the cost
     stays band-bucket-bounded (per-band occupancy n/2^bits_per_band).
 
+    ``bits_per_band`` defaults to ADAPTIVE (same adaptive_nbits rule
+    as the single-bucket path, min 4): a fixed width is a scale
+    killer — measured at the 10× corpus, fixed 4 bits (16 buckets per
+    band forever) went 3.1 s → 79.6 s (exponent 1.41, O(n²/16)
+    in-bucket pairs); adaptive width pins per-band occupancy near
+    ``target_bucket_size`` so pair volume stays ~n·occupancy. Width
+    is capped at dim // bands (bands tile the leading dimensions);
+    past that cap — ~2^16 buckets/band at these defaults — shrink
+    bands or move to random-hyperplane projections.
+
     Plan: explode each vector into ``bands`` (band, bucket) rows, one
     band-keyed self-join, DISTINCT the candidate pairs (a pair can
     agree on several bands), then one id-keyed join-back for the
     cosine — the band rows never carry the vector payload through the
     exchange."""
+    if bits_per_band is None:
+        bits_per_band = min(
+            dim // bands,
+            adaptive_nbits(df.count(), target_bucket_size, min_bits=4),
+        )
     v = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),

@@ -12,8 +12,43 @@ one shuffle join + one aggregation, all keyed on vertex id.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _vertex_sized_shuffle(spark, n_vertices: int):
+    """Scope shuffle settings for power-iteration rounds, sized by the
+    DATA the rounds actually move: every round's reduce side is a
+    VERTEX-sized frame (ranks, inflows), not the corpus, so partition
+    count follows n/65536 (floor 8) instead of the session's
+    corpus-sized default, and AQE turns off below 10^6 vertices —
+    its per-shuffle sub-job re-planning is pure scheduling overhead
+    on frames that small (measured: pagerank_portable at sf0.1
+    7.2 s → 4.3 s), while at larger n its coalescing pays and stays
+    on. Saved/restored so corpus-sized queries keep their settings."""
+    parts = max(8, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                       (n_vertices + 65535) // 65536))
+    keys = {"spark.sql.shuffle.partitions": str(parts)}
+    if n_vertices < 1_000_000:
+        keys["spark.sql.adaptive.enabled"] = "false"
+    old = {}
+    for key, val in keys.items():
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, val)
+    try:
+        yield
+    finally:
+        for key, val in old.items():
+            if val is not None:
+                spark.conf.set(key, val)
+            else:
+                spark.conf.unset(key)
 
 
 def connected_components(
@@ -198,46 +233,47 @@ def pagerank(
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     try:
-        for _ in range(iterations):
-            with_deg = ranks.join(
-                outdeg, ranks.id == outdeg.src, "left"
-            ).select("id", "rank", "outdeg")
-            # dangling mass (ranks of vertices with no out-edges)
-            # rides a broadcast 1-row frame instead of a per-round
-            # driver collect: the whole round stays ONE lazy plan, no
-            # extra job per iteration (measured 13.8 s → 4.3 s on the
-            # 5k-vertex kNN-graph query at 5 iterations)
-            dangling = with_deg.agg(
-                F.coalesce(
-                    F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))),
-                    F.lit(0.0),
-                ).alias("_dangling")
-            )
-            contribs = (
-                with_deg.filter(F.col("outdeg").isNotNull())
-                .join(e, F.col("id") == e.src)
-                .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
-                .groupBy("dst")
-                .agg(F.sum("c").alias("inflow"))
-            )
-            ranks = (
-                verts.join(contribs, verts.id == contribs.dst, "left")
-                .crossJoin(F.broadcast(dangling))
-                .select(
-                    "id",
-                    (
-                        F.lit(base)
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("inflow"), F.lit(0.0))
-                            + F.col("_dangling") / n
-                        )
-                    ).alias("rank"),
+        with _vertex_sized_shuffle(spark, n):
+            for _ in range(iterations):
+                with_deg = ranks.join(
+                    outdeg, ranks.id == outdeg.src, "left"
+                ).select("id", "rank", "outdeg")
+                # dangling mass (ranks of vertices with no out-edges)
+                # rides a broadcast 1-row frame instead of a per-round
+                # driver collect: the whole round stays ONE lazy plan, no
+                # extra job per iteration (measured 13.8 s → 4.3 s on the
+                # 5k-vertex kNN-graph query at 5 iterations)
+                dangling = with_deg.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))),
+                        F.lit(0.0),
+                    ).alias("_dangling")
                 )
-                .localCheckpoint(eager=False)
-            )
-        ranks = ranks.persist()
-        ranks.count()  # materialize before releasing the inputs
+                contribs = (
+                    with_deg.filter(F.col("outdeg").isNotNull())
+                    .join(e, F.col("id") == e.src)
+                    .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+                    .groupBy("dst")
+                    .agg(F.sum("c").alias("inflow"))
+                )
+                ranks = (
+                    verts.join(contribs, verts.id == contribs.dst, "left")
+                    .crossJoin(F.broadcast(dangling))
+                    .select(
+                        "id",
+                        (
+                            F.lit(base)
+                            + F.lit(damping)
+                            * (
+                                F.coalesce(F.col("inflow"), F.lit(0.0))
+                                + F.col("_dangling") / n
+                            )
+                        ).alias("rank"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+            ranks = ranks.persist()
+            ranks.count()  # materialize before releasing the inputs
     finally:
         verts.unpersist()
         outdeg.unpersist()
@@ -482,3 +518,70 @@ def label_propagation(
     und.unpersist()
     verts.unpersist()
     return labels.select("id", F.col("label").alias("community"))
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    rounds: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """(id, rank_fp) PageRank over the symmetrized graph in FIXED-POINT
+    integer arithmetic — the hash-gateable twin of :func:`pagerank`.
+
+    Float PageRank can't ride a SQL oracle: the per-vertex inflow sums
+    doubles in partition order. Quantizing rank to an integer at
+    ``scale`` (1e-12 resolution) makes every step exact and
+    order-free: contribution = rank_fp // deg (floor division,
+    deterministic on nonnegative BIGINTs), inflow = exact integer SUM,
+    update = (15·scale) // (100·n) + (85·inflow) // 100. The rounds
+    then unroll into engine-portable CTEs exactly like
+    label_propagation's. Symmetrized graphs have no dangling vertices
+    (every vertex has out-edges), so the dangling-mass machinery drops
+    out entirely.
+
+    Scale shape matches :func:`pagerank`: per round one vertex-keyed
+    join + one agg, rank frame vertex-sized, lineage truncated via
+    localCheckpoint; the single driver scalar is n (one count, before
+    the loop)."""
+    e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    und = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    verts = deg.select(F.col("src").alias("id")).persist()
+    n = verts.count()
+    spark = edges.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "id long, rank_fp long")
+    tele = (15 * scale) // (100 * n)
+    contrib_base = und.join(deg, "src").persist()  # (src, dst, d)
+    ranks = verts.select("id", F.lit(scale // n).cast("long").alias("r"))
+    with _vertex_sized_shuffle(spark, n):
+        for _ in range(rounds):
+            c = (
+                contrib_base.join(
+                    ranks.select(F.col("id").alias("src"), "r"), "src"
+                )
+                .select("dst", F.expr("r div d").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                verts.join(c, verts.id == c.dst, "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(tele)
+                        + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                    ).cast("long").alias("r"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        ranks = ranks.persist()
+        ranks.count()
+    deg.unpersist()
+    verts.unpersist()
+    contrib_base.unpersist()
+    return ranks.select("id", F.col("r").alias("rank_fp"))

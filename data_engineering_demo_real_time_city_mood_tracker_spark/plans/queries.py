@@ -2266,10 +2266,10 @@ l{r} AS (
 )"""
 
 
-# the 3 fixed rounds unrolled as CTE chains — every step is integer
-# arithmetic (counts, ids), so the sync-iterative op is hash-gateable
-# after all (r2 verdict next-round item 7)
-_LPA_ORACLE = f"""WITH g0 AS (
+# the co-activity graph (mirror of _coactivity_edges + symmetrize) as
+# a reusable CTE chain — shared by every oracle-backed iterative graph
+# op so they can never drift onto different graphs
+_COACT_CTES = """g0 AS (
   SELECT DISTINCT user_id AS id, event_type, date_trunc('minute', ts) AS m
   FROM events
 ),
@@ -2284,10 +2284,68 @@ e0 AS (
 und AS (
   SELECT u AS src, v AS dst FROM e0 UNION SELECT v AS src, u AS dst FROM e0
 ),
-verts AS (SELECT DISTINCT src AS id FROM und),
+verts AS (SELECT DISTINCT src AS id FROM und)"""
+
+# the 3 fixed rounds unrolled as CTE chains — every step is integer
+# arithmetic (counts, ids), so the sync-iterative op is hash-gateable
+# after all (r2 verdict next-round item 7)
+_LPA_ORACLE = f"""WITH {_COACT_CTES},
 l0 AS (SELECT id, id AS label FROM verts),
 {",".join(_lpa_round_sql(r, f"l{r - 1}") for r in (1, 2, 3))}
 SELECT id, label AS community FROM l3"""
+
+
+def _pr_round_sql(r: int) -> str:
+    """one fixed-point PageRank round: integer floor-div contributions
+    → exact integer inflow sum → integer damping update. Nonnegative
+    BIGINTs throughout, so // here == Spark's `div` bitwise."""
+    return f"""c{r} AS (
+  SELECT u.dst AS id, SUM(p.r // dg.d) AS s
+  FROM und u JOIN pr{r - 1} p ON p.id = u.src JOIN deg dg ON dg.id = u.src
+  GROUP BY u.dst
+),
+pr{r} AS (
+  SELECT v.id,
+         (SELECT t FROM tele) + (85 * COALESCE(c.s, CAST(0 AS BIGINT))) // 100 AS r
+  FROM verts v LEFT JOIN c{r} c ON c.id = v.id
+)"""
+
+
+_PR_ROUNDS = 5
+_PR_SCALE = 10**12
+_PAGERANK_ORACLE = f"""WITH {_COACT_CTES},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+tele AS (SELECT (15 * {_PR_SCALE}) // (100 * (SELECT COUNT(*) FROM verts)) AS t),
+pr0 AS (SELECT id, {_PR_SCALE} // (SELECT COUNT(*) FROM verts) AS r FROM verts),
+{",".join(_pr_round_sql(r) for r in range(1, _PR_ROUNDS + 1))}
+SELECT id, r AS rank_fp, CAST(rn AS BIGINT) AS rnk FROM (
+  SELECT id, r, ROW_NUMBER() OVER (ORDER BY r DESC, id) AS rn FROM pr{_PR_ROUNDS}) t
+WHERE rn <= 20"""
+
+
+@register("pagerank_portable", _PAGERANK_ORACLE)
+def q_pagerank_portable(spark, sf_dir):
+    """PageRank centrality, HASH-GATED: fixed-point integer arithmetic
+    (rank quantized at 1e-12 — operators/graph.py pagerank_fixed_point)
+    makes every contribution, inflow sum and damping update exact and
+    partition-order-free, so the 5 power-iteration rounds unroll into
+    the same portable CTE pattern as label_propagation. Runs on the
+    shared user co-activity graph; symmetrized, so the dangling-mass
+    machinery drops out. pagerank_topk (float, kNN similarity graph)
+    stays registered as the production variant; this twin moves the
+    ALGORITHM itself onto the oracle-verified surface. Top-20 by
+    (rank_fp desc, id) — integer ties break deterministically."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+
+    edges = _coactivity_edges(spark, sf_dir)
+    ranks = graph_ops.pagerank_fixed_point(
+        edges, rounds=_PR_ROUNDS, scale=_PR_SCALE
+    )
+    top = ranks.orderBy(F.col("rank_fp").desc(), F.col("id")).limit(20)
+    w = Window.orderBy(F.col("rank_fp").desc(), F.col("id"))
+    return top.select(
+        "id", "rank_fp", F.row_number().over(w).cast("long").alias("rnk")
+    )
 
 
 @register("label_propagation", _LPA_ORACLE)
@@ -2417,24 +2475,28 @@ def q_dedup_embedding(spark, sf_dir):
     return dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.35)
 
 
-def _band_bucket_sql(band: int, bits: int) -> str:
-    """sign bits of dims [band*bits, (band+1)*bits) folded big-endian —
-    the per-band twin of functions.vectors.sign_bucket_sql."""
-    terms = " + ".join(
-        f"(CASE WHEN embedding[{band * bits + i + 1}] > 0 THEN {1 << (bits - 1 - i)} ELSE 0 END)"
-        for i in range(bits)
-    )
-    return f"({terms})"
-
-
 @register(
     "dedup_embedding_banded",
-    f"""WITH v AS (
+    # bits-per-band mirrors adaptive_nbits(n, 64, min=4) capped at 16
+    # (dim 64 // 4 bands); the big-endian sign fold's first-element
+    # list_reduce seed equals Spark's 0-seed on 0/1 bits.
+    """WITH params AS (
+  SELECT LEAST(16, GREATEST(4, CASE WHEN (COUNT(*) + 63) // 64 > 1
+           THEN length(bin((COUNT(*) + 63) // 64 - 1)) ELSE 1 END)) AS bits
+  FROM embeddings
+),
+v AS (
   SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
   FROM embeddings
 ),
 bands AS (
-  {" UNION ALL ".join(f"SELECT vec_id AS id, {b} AS band, {_band_bucket_sql(b, 4)} AS bucket FROM embeddings" for b in range(4))}
+  SELECT vec_id AS id, b.band,
+         list_reduce(list_transform(
+           range(b.band * (SELECT bits FROM params) + 1,
+                 (b.band + 1) * (SELECT bits FROM params) + 1),
+           i -> CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END),
+           (acc, x) -> acc * 2 + x) AS bucket
+  FROM embeddings, (VALUES (0), (1), (2), (3)) b(band)
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -2452,13 +2514,15 @@ WHERE list_reduce(list_transform(range(1, 65), i -> va.vec[i] * vb.vec[i]), (acc
 def q_dedup_embedding_banded(spark, sf_dir):
     """multi-band sign-LSH embedding near-dups (the banded companion
     to dedup_embedding, same banding idea as minhash-LSH): candidates
-    agree on ANY of 4 bands' 4 sign bits, so recall strictly dominates
-    the single-bucket filter at the same bit budget; the DISTINCT
-    candidate set is band-bucket-bounded and the band rows shuffle
-    without the vector payload (cosine joins back by id)."""
+    agree on ANY of 4 bands' ADAPTIVE-width sign bits (fixed width was
+    a measured 10× scale-killer — see embedding_banded_near_dup_pairs),
+    so recall strictly dominates the single-bucket filter at the same
+    bit budget; the DISTINCT candidate set is band-bucket-bounded and
+    the band rows shuffle without the vector payload (cosine joins
+    back by id)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_banded_near_dup_pairs(
-        emb, "embedding", "vec_id", threshold=0.35, bands=4, bits_per_band=4
+        emb, "embedding", "vec_id", threshold=0.35, bands=4
     )
 
 
@@ -5255,6 +5319,31 @@ def q_image_dedup_dhash(spark, sf_dir):
         "var",
     )
     return multimodal.image_near_dup_pairs(media, max_hamming=6)
+
+
+@register("audio_dedup_energy")  # Python decode step → rows-only
+def q_audio_dedup_energy(spark, sf_dir):
+    """perceptual audio dedup end to end — the audio twin of
+    image_dedup_dhash: REAL RIFF/WAVE PCM16 clips (synthesized
+    deterministically; every third doc shares a base clip with
+    one-window amplitude variants — planted near-dup groups),
+    windowed-RMS fingerprints extracted from raw bytes in Arrow
+    batches, then 2×4-window band LSH + exact differing-window verify,
+    both JVM-side (operators/multimodal.py:audio_near_dup_pairs).
+    Decode is the only Python stage; candidate volume is
+    band-bounded, lossless for ≤1 differing window by pigeonhole."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_wav_media(
+        docs.select(
+            "doc_id",
+            F.expr("doc_id div 3").alias("grp"),
+            (F.col("doc_id") % 3).cast("int").alias("var"),
+        ),
+        "doc_id",
+        "grp",
+        "var",
+    )
+    return multimodal.audio_near_dup_pairs(media, max_diff_windows=1)
 
 
 @register(

@@ -393,6 +393,68 @@ def test_hll_portable_properties(spark, sf_dir):
     assert abs(est - 5000) <= 0.55 * 5000, est
 
 
+def test_audio_dedup_recovers_planted_groups(spark):
+    """WAV energy-fingerprint dedup: every (base, variant) pair inside
+    a planted group differs in exactly one window and MUST be found
+    (pigeonhole losslessness at ≤1); variant-variant pairs differ in
+    two windows and must be excluded; no cross-group pairs."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import multimodal
+
+    base = spark.range(30).select(
+        F.col("id").alias("media_id"),
+        F.expr("id div 3").alias("grp"),
+        (F.col("id") % 3).cast("int").alias("var"),
+    )
+    media = multimodal.synthesize_wav_media(base, "media_id", "grp", "var")
+    pairs = multimodal.audio_near_dup_pairs(media, max_diff_windows=1).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    want = set()
+    for g in range(10):
+        want.add((3 * g, 3 * g + 1))
+        want.add((3 * g, 3 * g + 2))
+    assert got == want, got.symmetric_difference(want)
+    assert all(r.n_diff_windows == 1 for r in pairs)
+
+
+def test_pagerank_fixed_point_tracks_float(spark):
+    """the fixed-point twin must agree with float pagerank on a known
+    asymmetric graph (star + tail): same ranking, values within the
+    accumulated quantization error (rounds × deg truncations at 1e-12
+    each ≪ 1e-6 relative), and total mass ≈ 1 (teleport floor-loss
+    only)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+
+    # hub 0 connected to 1..5; tail 5-6-7
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(5, 6), (6, 7)],
+        "id_a long, id_b long",
+    )
+    fp = {
+        r.id: r.rank_fp / 1e12
+        for r in graph_ops.pagerank_fixed_point(edges, rounds=8).collect()
+    }
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    fl = {
+        r.id: r.rank
+        for r in graph_ops.pagerank(
+            sym, "id_a", "id_b", iterations=8
+        ).collect()
+    }
+    assert set(fp) == set(fl)
+    for v in fp:
+        assert abs(fp[v] - fl[v]) < 1e-6, (v, fp[v], fl[v])
+    assert sorted(fp, key=lambda v: (-fp[v], v)) == sorted(
+        fl, key=lambda v: (-fl[v], v)
+    )
+    assert abs(sum(fp.values()) - 1.0) < 1e-6
+
+
 def test_exact_quantiles_matches_sorted_selection(spark, sf_dir):
     """two-phase selection == naive sort-and-index, on the real table
     AND on an adversarial frame (heavy ties, a 1-row group, a
