@@ -73,6 +73,7 @@ _FRONT = [
     "boilerplate_removal",
     "exact_quantiles",
     "pagerank_portable",
+    "hard_negative_mining",
     # --- rows-only, never driver-graded (16) ---
     "quantile_sketch",
     "kcore_decomposition",
@@ -81,7 +82,6 @@ _FRONT = [
     "multimodal_frames",
     "embedding_ann_ivf_trained",
     "kmeans_embeddings",
-    "hll_merge_rollup",
     "semantic_dedup",
     "image_dedup_dhash",
     "ivfpq_index_probe",
@@ -89,10 +89,12 @@ _FRONT = [
     "pq_ann_topk",
     "bpe_merges",
     "pagerank_topk",
-    # deliberately last: if the ~50-row gate cap cuts one entry, let it
-    # be the rows-only op whose bitwise twin (simhash_portable) already
-    # holds a hard driver row
-    "dedup_simhash",
+    # dedup_simhash and hll_merge_rollup deliberately NOT front-loaded:
+    # the 50-row cap can't fit every never-graded entry, and these two
+    # are the rows-only ops whose bitwise twins (simhash_portable,
+    # hll_portable_rollup) carry the hard hash signal — a rows-only row
+    # only proves "runs", so the slots go to oracle-backed entries;
+    # both still follow in registry order after the front block
 ]
 
 

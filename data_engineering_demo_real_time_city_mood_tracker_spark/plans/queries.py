@@ -2544,6 +2544,50 @@ _COS_SQL = _cos_sql("q.vec", "c.vec")
 
 
 @register(
+    "hard_negative_mining",
+    f"""WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+         c.vec_id AS negative_id, c.label AS negative_label,
+         {_COS_SQL} AS cos_sim
+  FROM v q JOIN v c ON q.label != c.label
+  WHERE q.vec_id < 10
+)
+SELECT anchor_id, CAST(anchor_label AS INT) AS anchor_label,
+       negative_id, CAST(negative_label AS INT) AS negative_label,
+       cos_sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY cos_sim DESC, negative_id) AS rnk
+  FROM scored
+) t WHERE rnk <= 5""",
+)
+def q_hard_negative_mining(spark, sf_dir):
+    """contrastive-training curation: per anchor, the top-5 most
+    cosine-similar vectors carrying a DIFFERENT label (the near-misses
+    that actually train a metric model — easy negatives teach
+    nothing). Label inequality lives in the join condition, pruning
+    same-label pairs before any cosine; ranking is the standard
+    per-anchor window. At corpus scale the candidate source swaps to
+    the ANN bucket join, filter and ranking unchanged
+    (operators/similarity.py:hard_negative_mining)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.hard_negative_mining(
+        emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id", "label", k=5
+    )
+    return out.select(
+        "anchor_id",
+        F.col("anchor_label").cast("int").alias("anchor_label"),
+        "negative_id",
+        F.col("negative_label").cast("int").alias("negative_label"),
+        "cos_sim",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+@register(
     "embedding_topk",
     f"""WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

@@ -143,3 +143,25 @@ def incremental_agg_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def hll_distinct_stream(stream_df: DataFrame, group_cols: list[str], key_col: str):
+    """Streaming distinct-count sketch: the portable HLL's register
+    aggregation (operators/sketches.py) as an UPDATE-mode streaming
+    agg — Spark's state store holds exactly the registers, max-merging
+    each micro-batch in, so state is O(groups × m) rows (m = 32)
+    FOREVER, regardless of how many events or distinct keys stream
+    through. That is the whole point of sketch-backed streaming
+    dashboards: exact streaming countDistinct needs O(distinct keys)
+    state; this needs 32 rows per group at any cardinality.
+
+    Returns the register frame (group..., idx, m); the consumer feeds
+    it to hll_estimate_from_registers batch-side (the estimate is a
+    per-group fold over ≤ m rows). Because registers max-merge, the
+    drained stream's registers — and therefore the estimate — equal
+    the batch computation on the same data EXACTLY (parity
+    test-asserted, not approximately)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.sketches import hll_register_rows
+
+    rows = hll_register_rows(stream_df, group_cols, F.col(key_col))
+    return rows.groupBy(*group_cols, "idx").agg(F.max("rnk").alias("m"))

@@ -35,10 +35,13 @@ def test_queries_and_oracles_share_ordering():
         (n for n in entry._FRONT if n in QUERIES), key=lambda k: k not in ORACLES
     )
     assert q[: len(front)] == front
-    # r3 gate plan: _FRONT = exactly the 45 queries never driver-graded
-    # in rounds 1-2 (29 oracle-backed sorted first, then 16 rows-only),
-    # so a 50-row cap grades them all (VERDICT r2 next-round item 1)
+    # r3 gate plan: _FRONT = the 45 queries never driver-graded in
+    # rounds 1-2 plus the 6 new r3 oracle-backed queries, minus
+    # dedup_simhash (see _FRONT comment) — 38 oracle-backed hard-signal
+    # entries sort first, so a 50-row cap grades every one of them
+    # (VERDICT r2 next-round item 1)
     assert len(front) <= 50, "front block must fit the driver's 50-row cap"
+    assert sum(1 for n in front if n in ORACLES) >= 38
     # oracle dict must follow the same front-loaded order restricted
     # to oracle-backed names (driver zips them positionally by name)
     assert o == [n for n in q if n in ORACLES]

@@ -25,6 +25,7 @@ PYTHON_OK = {
     "multimodal_frames",
     "binary_ingest",
     "image_dedup_dhash",
+    "audio_dedup_energy",  # WAV synth + RMS decode: the Arrow stage IS the op
 }
 
 

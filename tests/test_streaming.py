@@ -1505,3 +1505,57 @@ def test_incremental_agg_stream_recovers_legacy_crash_window(spark, sf_dir, tmp_
         .collect()
     }
     assert got == want
+
+
+def test_hll_distinct_stream_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """streaming HLL registers: drained update-mode stream state ==
+    batch register table BITWISE (max merges across micro-batches),
+    so the distinct-count estimate is IDENTICAL to the batch one —
+    and the state is m=32 rows per group, not O(distinct keys)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.sketches import (
+        HLL_M,
+        hll_estimate_from_registers,
+        hll_register_rows,
+    )
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.aggregation import hll_distinct_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = str(tmp_path / "ev")
+    for part in ev.randomSplit([1.0, 1.0, 1.0], seed=7):
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    regs = hll_distinct_stream(stream, ["event_type"], "user_id")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("hll_regs")
+
+    batch = (
+        hll_register_rows(ev, ["event_type"], F.col("user_id"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("rnk").alias("m"))
+    )
+    key = lambda df: {
+        (r.event_type, r.idx): r.m for r in df.collect()
+    }
+    assert key(streamed) == key(batch)  # registers bitwise equal
+    # per-group state is register-bounded
+    per_group = streamed.groupBy("event_type").count().collect()
+    assert all(r["count"] <= HLL_M for r in per_group)
+
+    est = lambda df: {
+        r.event_type: r.est
+        for r in hll_estimate_from_registers(df, ["event_type"], "est").collect()
+    }
+    assert est(streamed) == est(batch)  # estimates identical, not approx
