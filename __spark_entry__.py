@@ -74,12 +74,12 @@ _FRONT = [
     "exact_quantiles",
     "pagerank_portable",
     "hard_negative_mining",
+    "ewma_minutes",
     # --- rows-only, never driver-graded (16) ---
     "quantile_sketch",
     "kcore_decomposition",
     "label_propagation",
     "binary_ingest",
-    "multimodal_frames",
     "embedding_ann_ivf_trained",
     "kmeans_embeddings",
     "semantic_dedup",
@@ -89,12 +89,13 @@ _FRONT = [
     "pq_ann_topk",
     "bpe_merges",
     "pagerank_topk",
-    # dedup_simhash and hll_merge_rollup deliberately NOT front-loaded:
-    # the 50-row cap can't fit every never-graded entry, and these two
-    # are the rows-only ops whose bitwise twins (simhash_portable,
-    # hll_portable_rollup) carry the hard hash signal — a rows-only row
-    # only proves "runs", so the slots go to oracle-backed entries;
-    # both still follow in registry order after the front block
+    # dedup_simhash, hll_merge_rollup and multimodal_frames deliberately
+    # NOT front-loaded: the 50-row cap can't fit every never-graded
+    # entry, and these are the rows-only ops whose signal is carried
+    # elsewhere (bitwise twins simhash_portable / hll_portable_rollup;
+    # multimodal_meta's oracle row + binary_ingest's runs row for the
+    # same plumbing) — a rows-only row only proves "runs", so the slots
+    # go to oracle-backed entries; all still follow in registry order
 ]
 
 

@@ -199,3 +199,58 @@ def ts_pattern_topk(
         .orderBy(F.col("zdist").asc(), F.col("series_key"), F.col("start_id"))
         .limit(k)
     )
+
+
+def ewma_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-(key, day) exponentially-weighted moving average over the
+    day's per-minute means, alpha = 1/2 — the smoothing step behind
+    anomaly baselines (seasonal_baseline's reactive companion).
+
+    Built to be BITWISE-portable despite being a sequential recurrence:
+    s_t = (x_t + s_{t-1}) / 2 — dividing an IEEE double by 2 is EXACT
+    (exponent decrement, no rounding), so each step costs exactly one
+    deterministic rounding (the add), and the fold runs in minute
+    order over a bounded per-(key, day) array (≤ 1440 elements — this
+    is why the grain is daily: an unbounded per-key collect would not
+    scale). Minute means use the exact-decimal-sum discipline, so the
+    whole chain hash-matches a SQL oracle. Seed = the day's first
+    minute mean, matching DuckDB list_reduce's first-element seed.
+
+    Output: (key, day, n_minutes, ewma) — one row per key-day, the
+    smoothed end-of-day level."""
+    minutes = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.to_date(ts_col).alias("day"),
+            F.date_trunc("minute", F.col(ts_col)).alias("minute"),
+        )
+        .agg(
+            (
+                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+                / F.count(value_col)
+            ).alias("m")
+        )
+    )
+    arr = (
+        minutes.groupBy("key", "day")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("minute", "m"))).alias("s"),
+        )
+        .select(
+            "key",
+            "day",
+            F.size("s").cast("long").alias("n_minutes"),
+            F.transform("s", lambda x: x["m"]).alias("vals"),
+        )
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, 100000),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: (acc + x) / F.lit(2.0),
+    )
+    return arr.select("key", "day", "n_minutes", ewma.alias("ewma"))

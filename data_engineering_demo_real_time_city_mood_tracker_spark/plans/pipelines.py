@@ -258,3 +258,38 @@ def observed_write(df: DataFrame, writer, name: str = "metrics", metrics=None):
     observed = df.observe(ob, *(metrics or [F.count(F.lit(1)).alias("rows")]))
     out = writer(observed)
     return out, dict(ob.get)
+
+
+# --------------------------------------------------------------------------
+# incremental join-view maintenance
+
+def maintain_join_view(
+    base_a: DataFrame,
+    base_b: DataFrame,
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Incremental maintenance of the join view V = A ⋈ B under
+    insert-only deltas: the classic delta rule
+
+        ΔV = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    (old A/B on the cross terms, so no new pair is double-counted).
+    Appending ΔV to the standing view is row-multiset-identical to
+    recomputing (A ∪ ΔA) ⋈ (B ∪ ΔB) from scratch — asserted bitwise
+    in tests — while the work scales with |Δ| × matched keys, not
+    with the history: at 100 TB the standing view is never rescanned,
+    and the delta joins broadcast when the delta is small (the usual
+    case for a day's increment into years of history). The fact sides
+    A and B ARE rescanned per refresh; partition the bases on the
+    join key's coarse prefix (or bucket them) so each delta join
+    prunes to the key ranges the delta actually touches.
+
+    Deletes/updates follow the same algebra with retraction rows
+    (signed multiplicities); this utility implements the insert-only
+    case the ingestion pipelines here produce."""
+    da = delta_a.join(base_b, keys)
+    ab = base_a.join(delta_b, keys)
+    dd = delta_a.join(delta_b, keys)
+    return da.unionByName(ab).unionByName(dd)

@@ -4931,6 +4931,36 @@ def _coactivity_edges(spark, sf_dir):
 
 
 @register(
+    "ewma_minutes",
+    f"""WITH m AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         date_trunc('minute', ts) AS minute,
+         {davg_sql("value")} AS m
+  FROM events GROUP BY 1, 2, 3
+),
+a AS (
+  SELECT key, day, CAST(COUNT(*) AS BIGINT) AS n_minutes,
+         list(m ORDER BY minute) AS vals
+  FROM m GROUP BY key, day
+)
+SELECT key, day, n_minutes,
+       list_reduce(vals, (acc, x) -> (acc + x) / 2.0) AS ewma
+FROM a""",
+)
+def q_ewma_minutes(spark, sf_dir):
+    """per-(type, day) EWMA (alpha = 1/2) over the day's minute means —
+    the reactive smoothing companion to seasonal_baseline's static
+    hour-of-day profile. A sequential recurrence made hash-gateable:
+    halving an IEEE double is EXACT, so each step costs one
+    deterministic rounding and the minute-ordered fold (bounded ≤1440
+    elements per key-day — the reason the grain is daily) matches
+    DuckDB's first-element-seeded list_reduce bitwise
+    (operators/windows.py:ewma_daily)."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.ewma_daily(ev, "event_type", "ts", "value")
+
+
+@register(
     "seasonal_baseline",
     f"""WITH prof AS (
   SELECT event_type, EXTRACT(hour FROM ts) AS hod,

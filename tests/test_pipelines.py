@@ -274,3 +274,33 @@ def test_observed_write_collects_metrics_in_one_pass(spark, sf_dir, tmp_path):
     assert metrics["min_value"] == direct["min_value"]
     assert metrics["max_value"] == direct["max_value"]
     assert spark.read.parquet(out).count() == metrics["rows"]
+
+
+def test_maintain_join_view_matches_recompute_bitwise(spark, sf_dir):
+    """insert-only IVM delta rule: standing view + ΔV must be
+    row-multiset-identical to recomputing the join over the grown
+    inputs — including delta-delta matches (a new order joining a new
+    customer) and rows whose join partner arrives only in the delta."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.pipelines import maintain_join_view
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    base_c = cust.filter(F.col("c_custkey") % 3 != 0)
+    delta_c = cust.filter(F.col("c_custkey") % 3 == 0)
+    base_o = orders.filter(F.col("o_orderkey") % 4 != 0)
+    delta_o = orders.filter(F.col("o_orderkey") % 4 == 0)
+
+    view = base_c.join(base_o, ["c_custkey"])
+    dv = maintain_join_view(base_c, base_o, delta_c, delta_o, ["c_custkey"])
+    got = view.unionByName(dv)
+    want = cust.join(orders, ["c_custkey"])
+
+    def multiset(df):
+        rows = sorted(tuple(r) for r in df.collect())
+        return rows
+
+    assert multiset(got) == multiset(want)
+    assert dv.count() > 0  # the split actually exercises all 3 terms
