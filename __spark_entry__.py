@@ -24,15 +24,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate caps at ~50 rows per round. Rounds
-# 1+2 hard-graded 99 distinct queries; the 45 below have never
-# received a driver row (VERDICT r2 "Next round" item 1). Front-load
-# exactly those so round 3 grades them all: oracle-backed entries
-# sort first within this list (see _ordered), then the rows-only
-# tail — 45 < 50, so every one lands inside the cap, and the
-# remaining ~5 slots fall to already-green registry-order entries.
-# Previously-green rows stay out of the front block on purpose.
+# 1+2 hard-graded 99 distinct queries; _FRONT holds the never-graded
+# entries (VERDICT r2 "Next round" item 1) plus every round-3
+# addition. Oracle-backed entries sort first within this list (see
+# _ordered), then the rows-only tail — exactly 50 entries, 40 of them
+# hard-signal. Previously-green rows stay out of the front block on
+# purpose; the three rows-only ops whose signal is carried elsewhere
+# yield their slots (see the tail comment).
 _FRONT = [
-    # --- oracle-backed, never driver-graded (29) ---
+    # --- oracle-backed, never driver-graded in r1+r2 ---
     # OLAP shapes added after round 1
     "late_sole_suppliers",
     "revenue_concentration",

@@ -4,8 +4,10 @@ sort, no sketch error.
 `percentile_approx` (GK sketch) trades error for mergeability, and a
 window `percent_rank` needs every group's rows through ONE sorted
 partition — the classic single-reducer bottleneck when groups are few
-and rows are billions. Two-phase selection gets the EXACT order
-statistic with scale-proof pieces instead:
+and rows are billions. Two-phase selection (the iterative-narrowing
+idea behind Munro & Paterson 1980's multi-pass selection, done in one
+histogram pass + one targeted pass) gets the EXACT order statistic
+with scale-proof pieces instead:
 
 - phase 1 histograms values into ``n_buckets`` fixed ranges per group:
   a map-side-combining groupBy whose reduce side is ≤ groups ×

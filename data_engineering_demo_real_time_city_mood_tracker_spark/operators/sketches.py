@@ -71,8 +71,10 @@ def cms_estimate(
 
 
 # --------------------------------------------------------------------------
-# Portable HyperLogLog: every arithmetic step is engine-exact, so the
-# whole sketch — registers, harmonic sum, estimate — hash-matches a SQL
+# Portable HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007,
+# "HyperLogLog: the analysis of a near-optimal cardinality estimation
+# algorithm"): every arithmetic step is engine-exact, so the whole
+# sketch — registers, harmonic sum, estimate — hash-matches a SQL
 # oracle bitwise (unlike approx_count_distinct / hll_sketch_agg, whose
 # sketch internals are engine-specific by construction).
 #
