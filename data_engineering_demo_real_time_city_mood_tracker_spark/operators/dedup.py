@@ -317,7 +317,11 @@ def remove_boilerplate_segments(
         .filter(F.col("df") >= min_df)
         .select("h")
     )
-    kept = seg_rows.join(F.broadcast(boiler), "h", "left_anti")
+    # no forced broadcast: the boilerplate set is bounded by
+    # corpus_segments / min_df — tiny in practice but not by
+    # construction, so let AQE pick broadcast-anti when it fits the
+    # threshold and fall back to a shuffled anti-join when it doesn't
+    kept = seg_rows.join(boiler, "h", "left_anti")
     clean = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

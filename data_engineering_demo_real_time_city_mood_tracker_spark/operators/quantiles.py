@@ -36,10 +36,24 @@ def exact_quantiles(
     group_col: str,
     value_col: str,
     pcts: list[float],
-    n_buckets: int = 1024,
+    n_buckets: int | None = None,
+    target_bucket_rows: int = 2_000_000,
 ) -> DataFrame:
     """(group, pct, q_value): the exact pct-quantile of ``value_col``
-    per group, rank = floor(pct * (n-1)) into the ascending order."""
+    per group, rank = floor(pct * (n-1)) into the ascending order.
+
+    ``n_buckets`` defaults to ADAPTIVE — ceil(total_rows /
+    target_bucket_rows), floored at 1024: with a fixed width, phase
+    2's per-(group, pct) window sees ~n/n_buckets rows through ONE
+    sorted partition, which quietly regrows the single-reducer
+    bottleneck the operator exists to avoid (at 10¹¹ rows, fixed 1024
+    buckets → 10⁸-row windows). Sizing buckets off a cheap driver-side
+    count pins the phase-2 window near ``target_bucket_rows``
+    regardless of corpus size — the same fixed-parameter-is-a-latent-
+    quadratic rule as adaptive_nbits. Bucketing is internal: the
+    result (and the SQL oracle) is bucket-count-independent."""
+    if n_buckets is None:
+        n_buckets = max(1024, -(-df.count() // target_bucket_rows))
     v = F.col(value_col)
     stats = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
