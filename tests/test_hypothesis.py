@@ -243,3 +243,60 @@ def test_containment_matches_python_model(spark, texts, threshold, max_df):
     assert set(got) == set(want), (texts, threshold, max_df)
     for pair, c in want.items():
         assert abs(got[pair] - c) < 1e-12
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_portable_mean_matches_python_model(spark, values):
+    """clustering._portable_mean == the pure-Python floor-quantized
+    model (math.floor(x*1e10) exact-int sum → two float divisions),
+    regardless of partitioning — the tie-free discipline that keeps
+    trained centroids engine-portable."""
+    import math
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import _portable_mean
+
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    got = df.repartition(5).agg(_portable_mean(F.col("x")).alias("m")).first().m
+    want = float(sum(math.floor(v * 1e10) for v in values)) / len(values) / 1e10
+    assert got == want
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**31), min_size=1, max_size=60))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hll_registers_match_python_model(spark, keys):
+    """operators/sketches.py register derivation == a pure-Python md5
+    model (index from first 2 hex chars mod m; rank = leading-zero
+    bits of the next 64 + 1) for arbitrary keys."""
+    import hashlib
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.sketches import HLL_M, hll_register_rows
+
+    def py_reg(k):
+        h = hashlib.md5(f"hll:{k}".encode()).hexdigest()
+        idx = int(h[:2], 16) % HLL_M
+        tail = int(h[2:18], 16)
+        rank = 65 if tail == 0 else 64 - tail.bit_length() + 1
+        return idx, rank
+
+    df = spark.createDataFrame([(int(k),) for k in keys], "k long")
+    rows = hll_register_rows(df.select(F.lit("g").alias("g"), "k"), ["g"], F.col("k"))
+    got = sorted((r.idx, r.rnk) for r in rows.collect())
+    want = sorted(py_reg(k) for k in keys)
+    assert got == want
