@@ -291,3 +291,70 @@ def test_orc_partitioned_write_prunes(spark, sf_dir, tmp_path):
     plan = plan_of(back)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and any("event_type" in l for l in pf), plan
+
+
+def test_snapshot_versioning_time_travel_rollback_vacuum(spark, sf_dir, tmp_path):
+    """snapshot commit protocol: append/overwrite versions, time
+    travel to any retained version, rollback = reversible pointer
+    flip, vacuum finalizes rollback and collects unreferenced dirs;
+    a simulated crash before the pointer flip leaves the table at the
+    old version and vacuum collects the orphan."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_json_meta, write_json_meta
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.snapshots import (
+        current_version,
+        read_snapshot,
+        rollback_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    assert write_snapshot(first, base, "append") == 0
+    assert write_snapshot(second, base, "append") == 1
+    assert current_version(spark, base) == 1
+    assert read_snapshot(spark, base).count() == ev.count()
+    assert read_snapshot(spark, base, 0).count() == first.count()  # time travel
+
+    assert write_snapshot(first.limit(10), base, "overwrite") == 2
+    assert read_snapshot(spark, base).count() == 10
+    assert read_snapshot(spark, base, 1).count() == ev.count()
+
+    # rollback is a pointer flip; the abandoned v2 stays readable
+    rollback_snapshot(spark, base, 1)
+    assert current_version(spark, base) == 1
+    assert read_snapshot(spark, base).count() == ev.count()
+    assert read_snapshot(spark, base, 2).count() == 10
+
+    # crash simulation: data + manifest written, pointer never flipped
+    # (manifest 2 is the abandoned lineage; fake an uncommitted v5)
+    (tmp_path / "snap" / "data" / "v5-deadbeef").mkdir(parents=True)
+    first.limit(3).write.mode("overwrite").parquet(
+        str(tmp_path / "snap" / "data" / "v5-deadbeef")
+    )
+    write_json_meta(
+        spark,
+        f"{base}/_manifests/5.json",
+        {"version": 5, "parent": 1, "op": "append", "dirs": ["data/v5-deadbeef"]},
+    )
+    assert current_version(spark, base) == 1  # pointer wins; no phantom commit
+
+    deleted = vacuum_snapshots(spark, base, keep_last=2)
+    # vacuum drops: the abandoned v2 lineage, the crashed v5 orphan
+    assert any("v5-deadbeef" in d for d in deleted)
+    assert read_json_meta(spark, f"{base}/_manifests/2.json") is None
+    assert read_json_meta(spark, f"{base}/_manifests/5.json") is None
+    # survivors still read
+    assert read_snapshot(spark, base).count() == ev.count()
+    assert read_snapshot(spark, base, 0).count() == first.count()
+
+    # mid-flip crash: pointer deleted, rename never happened — readers
+    # fall back to the highest manifest (the flip had started = commit)
+    import os
+
+    os.remove(str(tmp_path / "snap" / "_current.json"))
+    assert current_version(spark, base) == 1
+    assert read_snapshot(spark, base).count() == ev.count()
