@@ -75,7 +75,12 @@ def current_version(spark: SparkSession, base: str) -> int | None:
     return versions[-1] if versions else None
 
 
-def write_snapshot(df: DataFrame, base: str, mode: str = "append") -> int:
+def write_snapshot(
+    df: DataFrame,
+    base: str,
+    mode: str = "append",
+    extra_meta: dict | None = None,
+) -> int:
     """Commit ``df`` as a new snapshot version; returns the version.
     ``mode='append'`` adds to the current version's data;
     ``'overwrite'`` replaces it (old versions stay time-travelable
@@ -97,7 +102,13 @@ def write_snapshot(df: DataFrame, base: str, mode: str = "append") -> int:
     write_json_meta(
         spark,
         _manifest_path(base, version),
-        {"version": version, "parent": parent, "op": mode, "dirs": dirs},
+        {
+            "version": version,
+            "parent": parent,
+            "op": mode,
+            "dirs": dirs,
+            **(extra_meta or {}),
+        },
     )
     write_json_meta(spark, _pointer_path(base), {"version": version})
     return version

@@ -169,3 +169,44 @@ def start_parquet_sink(df: DataFrame, path: str, checkpoint: str, **trigger):
         .trigger(**trigger)
         .start()
     )
+
+
+def commit_snapshot_batch(batch, batch_id: int, base: str) -> bool:
+    """Commit one micro-batch as an APPEND snapshot, idempotently: if
+    the CURRENT manifest already carries this ``batch_id`` the batch
+    is a replay (crash landed between the snapshot commit and the
+    checkpoint advance — foreachBatch re-delivers only the last
+    uncommitted batch, so checking the head of the lineage suffices)
+    and nothing is written. Returns True when a commit happened."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_json_meta
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.snapshots import (
+        _manifest_path,
+        current_version,
+        write_snapshot,
+    )
+
+    spark = batch.sparkSession
+    cur = current_version(spark, base)
+    if cur is not None:
+        man = read_json_meta(spark, _manifest_path(base, cur))
+        if man is not None and man.get("batch_id") == batch_id:
+            return False  # replayed micro-batch — already committed
+    write_snapshot(batch, base, mode="append", extra_meta={"batch_id": batch_id})
+    return True
+
+
+def snapshot_sink_stream(stream_df, base: str, checkpoint: str, **trigger):
+    """foreachBatch sink that commits every micro-batch as an APPEND
+    snapshot (sources/snapshots.py) via ``commit_snapshot_batch`` —
+    exactly-once by idempotent replay. Readers get atomic visibility
+    (a half-written micro-batch is never referenced by any manifest)
+    and free time travel over the ingest history — each micro-batch
+    IS a version. Returns the StreamingQuery."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda batch, bid: commit_snapshot_batch(batch, bid, base)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .start()
+    )

@@ -1559,3 +1559,47 @@ def test_hll_distinct_stream_matches_batch_exactly(spark, sf_dir, tmp_path):
         for r in hll_estimate_from_registers(df, ["event_type"], "est").collect()
     }
     assert est(streamed) == est(batch)  # estimates identical, not approx
+
+
+def test_snapshot_sink_stream_exactly_once_on_replay(spark, sf_dir, tmp_path):
+    """snapshot sink: each micro-batch commits as one snapshot
+    version, and a replayed batch (the crash window between the
+    snapshot commit and the checkpoint advance — foreachBatch
+    re-delivers the last uncommitted batch_id) is recognized via the
+    manifest's batch_id and skipped: counts and version unchanged."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.snapshots import current_version, read_snapshot
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.sinks import (
+        commit_snapshot_batch,
+        snapshot_sink_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    src = str(tmp_path / "src")
+    for part in ev.randomSplit([1.0, 1.0, 1.0], seed=3):
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    base = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = snapshot_sink_stream(stream, base, ckpt, availableNow=True)
+    q.awaitTermination(120)
+    q.stop()
+    total = ev.count()
+    assert read_snapshot(spark, base).count() == total
+    v_after = current_version(spark, base)
+    assert v_after is not None and v_after >= 2  # one version per batch
+
+    # replay the LAST batch (same batch_id, same data): must skip
+    last_bid = v_after  # batch ids and versions advance together here
+    assert commit_snapshot_batch(ev.limit(50), last_bid, base) is False
+    assert read_snapshot(spark, base).count() == total
+    assert current_version(spark, base) == v_after
+
+    # a genuinely new batch still commits
+    assert commit_snapshot_batch(ev.limit(5), last_bid + 1, base) is True
+    assert read_snapshot(spark, base).count() == total + 5
+    assert current_version(spark, base) == v_after + 1
