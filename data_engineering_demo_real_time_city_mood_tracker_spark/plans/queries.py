@@ -6482,6 +6482,65 @@ def q_connected_components_star(spark, sf_dir):
 
 
 @register(
+    "snapshot_time_travel",
+    """SELECT 'v0' AS version, COUNT(*) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events WHERE event_id % 3 = 0
+UNION ALL
+SELECT 'v1', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+FROM events WHERE event_id % 3 IN (0, 1)
+UNION ALL
+SELECT 'v2', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+FROM events WHERE event_id % 3 = 2
+UNION ALL
+SELECT 'current', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+FROM events WHERE event_id % 3 IN (0, 1)""",
+)
+def q_snapshot_time_travel(spark, sf_dir):
+    """the snapshot commit protocol end-to-end, hash-gated: build a
+    3-version table (append, append, overwrite) from deterministic
+    event slices, roll back to v1, then read EVERY version — v0 must
+    be exactly the first slice, v1 the union, v2 the overwrite, and
+    current (post-rollback) identical to v1. The oracle recomputes
+    each version's count + id-sum from the raw filters, proving time
+    travel and rollback lose and invent nothing. Rebuilds into a
+    deterministic per-SF scratch dir each call (cleared first —
+    idempotent), like the index-probe queries."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.snapshots import (
+        read_snapshot,
+        rollback_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"{tempfile.gettempdir()}/spark_graft_snapshots_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    write_snapshot(ev.filter(F.col("event_id") % 3 == 0), base, "append")
+    write_snapshot(ev.filter(F.col("event_id") % 3 == 1), base, "append")
+    write_snapshot(ev.filter(F.col("event_id") % 3 == 2), base, "overwrite")
+    rollback_snapshot(spark, base, 1)
+
+    def agg(df, label):
+        return df.agg(
+            F.lit(label).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("id_sum"),
+        ).select("version", "n_rows", "id_sum")
+
+    return (
+        agg(read_snapshot(spark, base, 0), "v0")
+        .unionByName(agg(read_snapshot(spark, base, 1), "v1"))
+        .unionByName(agg(read_snapshot(spark, base, 2), "v2"))
+        .unionByName(agg(read_snapshot(spark, base), "current"))
+    )
+
+
+@register(
     "dedup_index_probe",
     f"""WITH sh AS (
   SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
