@@ -585,3 +585,48 @@ def pagerank_fixed_point(
     verts.unpersist()
     contrib_base.unpersist()
     return ranks.select("id", F.col("r").alias("rank_fp"))
+
+
+def k_core_rounds(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Bounded-round k-core peel — the hash-gateable twin of
+    :func:`k_core`: exactly ``rounds`` peel rounds (drop vertices with
+    degree < k, then their edges), no data-dependent convergence loop,
+    so the rounds unroll into portable integer-arithmetic CTEs like
+    label_propagation's. When the graph reaches its fixpoint within
+    the budget — true for the shallow co-activity/near-dup graphs this
+    runs on, asserted in tests — the result IS the k-core (extra
+    rounds are no-ops); on deep path-shaped graphs it is the
+    documented ``rounds``-bounded peel, and :func:`k_core` (which
+    raises on non-convergence rather than lying) is the right tool.
+    Emits (id, core_degree) within the surviving subgraph."""
+    cur = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.explode(F.array("u", "v")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        good = deg.filter(F.col("d") >= k).select("id")
+        cur = (
+            cur.join(good, cur.u == good.id, "left_semi")
+            .join(good, F.col("v") == good.id, "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cur.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

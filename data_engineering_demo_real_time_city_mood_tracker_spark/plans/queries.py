@@ -2295,6 +2295,49 @@ l0 AS (SELECT id, id AS label FROM verts),
 SELECT id, label AS community FROM l3"""
 
 
+def _kcore_round_sql(r: int, k: int) -> str:
+    """one bounded peel round: degrees over surviving edges → keep
+    vertices with degree ≥ k → keep edges with both endpoints kept.
+    Pure integer arithmetic ⇒ bitwise-portable."""
+    prev = "e0" if r == 1 else f"ke{r - 1}"
+    return f"""kd{r} AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT u AS id FROM {prev} UNION ALL SELECT v AS id FROM {prev}) t
+  GROUP BY id
+),
+kg{r} AS (SELECT id FROM kd{r} WHERE d >= {k}),
+ke{r} AS (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN kg{r} a ON a.id = e.u JOIN kg{r} b ON b.id = e.v
+)"""
+
+
+_KCORE_ROUNDS = 4
+_KCORE_ORACLE = f"""WITH {_COACT_CTES},
+{",".join(_kcore_round_sql(r, 2) for r in range(1, _KCORE_ROUNDS + 1))}
+SELECT id, COUNT(*) AS core_degree FROM (
+  SELECT u AS id FROM ke{_KCORE_ROUNDS}
+  UNION ALL SELECT v AS id FROM ke{_KCORE_ROUNDS}) t
+GROUP BY id"""
+
+
+@register("kcore_portable", _KCORE_ORACLE)
+def q_kcore_portable(spark, sf_dir):
+    """k-core graph cleaning, HASH-GATED: a fixed 4-round peel budget
+    (operators/graph.py:k_core_rounds) replaces the data-dependent
+    convergence loop, so the rounds unroll into the same portable
+    integer CTE pattern as label_propagation/pagerank_portable — the
+    whole iterative-graph family (CC, LPA, PageRank, k-core) now has
+    an oracle-verified member. On the shallow co-activity graph the
+    budget reaches the fixpoint (equals kcore_decomposition's true
+    core — test-asserted), so the hash gate covers the real k-core
+    semantics, not just the bounded peel."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+
+    edges = _coactivity_edges(spark, sf_dir)
+    return graph_ops.k_core_rounds(edges, k=2, rounds=_KCORE_ROUNDS)
+
+
 def _pr_round_sql(r: int) -> str:
     """one fixed-point PageRank round: integer floor-div contributions
     → exact integer inflow sum → integer damping update. Nonnegative

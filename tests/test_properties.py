@@ -393,6 +393,34 @@ def test_hll_portable_properties(spark, sf_dir):
     assert abs(est - 5000) <= 0.55 * 5000, est
 
 
+def test_kcore_rounds_reaches_fixpoint_on_coactivity_graph(spark, sf_dir):
+    """the 4-round bounded peel must equal the true (fixpoint) k-core
+    on the shared co-activity graph — the claim that lets
+    kcore_portable's hash gate stand in for real k-core semantics —
+    and on a deep path graph (needs diameter rounds) it must NOT,
+    returning the documented bounded peel instead."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import _coactivity_edges
+
+    edges = _coactivity_edges(spark, sf_dir)
+    bounded = {
+        (r.id, r.core_degree)
+        for r in graph_ops.k_core_rounds(edges, k=2, rounds=4).collect()
+    }
+    true_core = {
+        (r.id, r.core_degree) for r in graph_ops.k_core(edges, k=2).collect()
+    }
+    assert bounded == true_core
+
+    # a 12-node path peels one pendant pair per round: 4 rounds leave
+    # a (shorter) path, the fixpoint is empty
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    assert graph_ops.k_core(path, k=2).count() == 0
+    assert graph_ops.k_core_rounds(path, k=2, rounds=4).count() > 0
+
+
 def test_audio_dedup_recovers_planted_groups(spark):
     """WAV energy-fingerprint dedup: every (base, variant) pair inside
     a planted group differs in exactly one window and MUST be found
