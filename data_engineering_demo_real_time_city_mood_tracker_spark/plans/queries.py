@@ -5949,16 +5949,121 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
-@register("pq_ann_topk")  # k-means-trained codebooks → rows-only
+_PQ_M, _PQ_KSUB, _PQ_DSUB, _PQ_ITERS = 4, 16, 16, 3
+
+
+def _pqo_dist_sql(v: str, c: str) -> str:
+    """squared L2 over a 16-dim subspace — seedless list_reduce ==
+    Spark's 0.0-seeded fold (squares are non-negative)."""
+    return (
+        f"list_reduce(list_transform(range(1, {_PQ_DSUB + 1}),"
+        f" i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (acc, x) -> acc + x)"
+    )
+
+
+def _pqo_round_sql(j: int, r: int) -> str:
+    """one Lloyd round for subspace j: assignment (tie → lowest cid)
+    then floor-quantized portable mean update; empty clusters keep
+    the previous centroid."""
+    return f"""a{j}_{r} AS (
+  SELECT id, vec, cid AS cluster FROM (
+    SELECT s.id, s.vec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.id
+                              ORDER BY {_pqo_dist_sql('s.vec', 'c.vec')}, c.cid) AS rn
+    FROM sv{j} s, c{j}_{r - 1} c) t WHERE rn = 1
+),
+m{j}_{r} AS (
+  SELECT cluster, i AS pos,
+         CAST(SUM(CAST(FLOOR(vec[i] * 1e10) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e10 AS cm
+  FROM a{j}_{r}, range(1, {_PQ_DSUB + 1}) t(i) GROUP BY cluster, i
+),
+mv{j}_{r} AS (SELECT cluster AS cid, list(cm ORDER BY pos) AS vec FROM m{j}_{r} GROUP BY cluster),
+c{j}_{r} AS (
+  SELECT p.cid, COALESCE(mv{j}_{r}.vec, p.vec) AS vec
+  FROM c{j}_{r - 1} p LEFT JOIN mv{j}_{r} ON p.cid = mv{j}_{r}.cid
+)"""
+
+
+def _pq_oracle_sql() -> str:
+    """the whole PQ pipeline unrolled: one md5-ordered seed set, per
+    subspace 3 portable Lloyd rounds, corpus encoding against the
+    final books, per-query subspace LUTs, ADC = the same
+    ((((0+l0)+l1)+l2)+l3) fold order Spark's F.aggregate runs."""
+    parts = [
+        "v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
+        f"""seeds AS (
+  SELECT vec, ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cid
+  FROM v ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_PQ_KSUB}
+)""",
+    ]
+    for j in range(_PQ_M):
+        lo = j * _PQ_DSUB + 1
+        hi = (j + 1) * _PQ_DSUB
+        parts.append(
+            f"sv{j} AS (SELECT id, list_slice(vec, {lo}, {hi}) AS vec FROM v)"
+        )
+        parts.append(
+            f"c{j}_0 AS (SELECT cid, list_slice(vec, {lo}, {hi}) AS vec FROM seeds)"
+        )
+        for r in range(1, _PQ_ITERS + 1):
+            parts.append(_pqo_round_sql(j, r))
+        parts.append(
+            f"""code{j} AS (
+  SELECT id, cid FROM (
+    SELECT s.id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.id
+                              ORDER BY {_pqo_dist_sql('s.vec', 'c.vec')}, c.cid) AS rn
+    FROM sv{j} s, c{j}_{_PQ_ITERS} c) t WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""lut{j} AS (
+  SELECT q.id AS query_id, c.cid,
+         {_pqo_dist_sql(f'list_slice(q.vec, {lo}, {hi})', 'c.vec')} AS d
+  FROM v q, c{j}_{_PQ_ITERS} c WHERE q.id < 10
+)"""
+        )
+    adc = "(((CAST(0.0 AS DOUBLE) + l0.d) + l1.d) + l2.d) + l3.d"
+    joins = "\n".join(
+        f"JOIN lut{j} l{j} ON l{j}.query_id = q.query_id AND l{j}.cid = code{j}_c.cid"
+        for j in range(_PQ_M)
+    )
+    code_joins = "\n".join(
+        f"JOIN code{j} code{j}_c ON code{j}_c.id = cd.id" for j in range(_PQ_M)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+q AS (SELECT DISTINCT id AS query_id FROM v WHERE id < 10),
+sc AS (
+  SELECT q.query_id, cd.id AS corpus_id, {adc} AS approx_dist
+  FROM v cd
+  {code_joins}
+  CROSS JOIN q
+  {joins}
+)
+SELECT query_id, corpus_id, approx_dist, CAST(rn AS BIGINT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx_dist, corpus_id) AS rn
+  FROM sc) t
+WHERE rn <= 5"""
+    )
+
+
+@register("pq_ann_topk", _pq_oracle_sql())
 def q_pq_ann_topk(spark, sf_dir):
     """product-quantization ANN (Jégou et al. 2011): 64-dim vectors →
     4 subspace codes (16 centroids each, 64× compression), queries
     answered by ADC — per-query distance LUT as a plan literal, the
     scan reads CODES not vectors and sums 4 table lookups per row.
     The memory-bandwidth answer to vector search at 100 TB (compose
-    with IVF cells for the I/O answer). Rows-only (iterative
-    training); code-range, determinism, and recall-vs-exact bounds
-    are test-asserted (tests/test_operators.py, test_properties.py)."""
+    with IVF cells for the I/O answer). Oracle-backed since r3's
+    tie-free portable trainer means: the whole chain — md5 seeds,
+    4 × 3 unrolled Lloyd rounds, encoding, per-query LUTs, the exact
+    ADC fold order — is reproduced in SQL, so even the quantizer is
+    hash-gated; code-range, determinism, and recall-vs-exact bounds
+    stay test-asserted."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
