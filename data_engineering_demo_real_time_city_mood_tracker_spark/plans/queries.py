@@ -5898,16 +5898,159 @@ def q_bm25_index_probe(spark, sf_dir):
     return retrieval.query_text_index(spark, path, _BM25_QUERIES, k=10)
 
 
-@register("ivfpq_index_probe")  # two trained quantizers → rows-only
+_PQ_M, _PQ_KSUB, _PQ_DSUB, _PQ_ITERS = 4, 16, 16, 3
+
+
+def _pqo_dist_sql(v: str, c: str) -> str:
+    """squared L2 over a 16-dim subspace — seedless list_reduce ==
+    Spark's 0.0-seeded fold (squares are non-negative)."""
+    return (
+        f"list_reduce(list_transform(range(1, {_PQ_DSUB + 1}),"
+        f" i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (acc, x) -> acc + x)"
+    )
+
+
+def _pqo_round_sql(j: int, r: int) -> str:
+    """one Lloyd round for subspace j: assignment (tie → lowest cid)
+    then floor-quantized portable mean update; empty clusters keep
+    the previous centroid."""
+    return f"""a{j}_{r} AS (
+  SELECT id, vec, cid AS cluster FROM (
+    SELECT s.id, s.vec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.id
+                              ORDER BY {_pqo_dist_sql('s.vec', 'c.vec')}, c.cid) AS rn
+    FROM sv{j} s, c{j}_{r - 1} c) t WHERE rn = 1
+),
+m{j}_{r} AS (
+  SELECT cluster, i AS pos,
+         CAST(SUM(CAST(FLOOR(vec[i] * 1e10) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e10 AS cm
+  FROM a{j}_{r}, range(1, {_PQ_DSUB + 1}) t(i) GROUP BY cluster, i
+),
+mv{j}_{r} AS (SELECT cluster AS cid, list(cm ORDER BY pos) AS vec FROM m{j}_{r} GROUP BY cluster),
+c{j}_{r} AS (
+  SELECT p.cid, COALESCE(mv{j}_{r}.vec, p.vec) AS vec
+  FROM c{j}_{r - 1} p LEFT JOIN mv{j}_{r} ON p.cid = mv{j}_{r}.cid
+)"""
+
+
+def _ivfpq_oracle_sql() -> str:
+    """the persistent IVF-PQ pipeline unrolled: coarse 8-cell k-means
+    (2 portable Lloyd rounds) → residuals against the trained cells →
+    per-subspace 16-centroid PQ on the residuals (2 rounds, same md5
+    seed order) → encoding → per-(query, probed-cell) residual LUTs →
+    cell-pruned ADC with Spark's exact fold order. The index
+    write/read layer is a pass-through (codes are ints; meta floats
+    round-trip via JSON shortest-repr), so reproducing the arithmetic
+    IS reproducing the probe."""
+    iters = 2
+    parts = [
+        "v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
+        """c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cid, vec
+  FROM v ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8
+)""",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(_km_assign_sql(r, f"c{r - 1}"))
+        parts.append(_km_update_sql(r))
+    parts.append(_km_assign_sql(iters + 1, f"c{iters}"))
+    parts.append(
+        f"""resid AS (
+  SELECT a.id, a.cluster AS cell,
+         list_transform(range(1, 65), i -> a.vec[i] - c.vec[i]) AS vec
+  FROM a{iters + 1} a JOIN c{iters} c ON c.cid = a.cluster
+)"""
+    )
+    parts.append(
+        f"""pseeds AS (
+  SELECT vec, ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cid
+  FROM resid ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_PQ_KSUB}
+)"""
+    )
+    for j in range(_PQ_M):
+        lo = j * _PQ_DSUB + 1
+        hi = (j + 1) * _PQ_DSUB
+        parts.append(
+            f"sv{j} AS (SELECT id, list_slice(vec, {lo}, {hi}) AS vec FROM resid)"
+        )
+        parts.append(
+            f"c{j}_0 AS (SELECT cid, list_slice(vec, {lo}, {hi}) AS vec FROM pseeds)"
+        )
+        for r in range(1, iters + 1):
+            parts.append(_pqo_round_sql(j, r))
+        parts.append(
+            f"""code{j} AS (
+  SELECT id, cid FROM (
+    SELECT s.id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.id
+                              ORDER BY {_pqo_dist_sql('s.vec', 'c.vec')}, c.cid) AS rn
+    FROM sv{j} s, c{j}_{iters} c) t WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""qv AS (SELECT id AS query_id, vec FROM v WHERE id < 10),
+qcell AS (
+  SELECT query_id, cid AS cell, cvec FROM (
+    SELECT q.query_id, c.cid, c.vec AS cvec,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_km_dist_sql('q.vec', 'c.vec')}, c.cid) AS rn
+    FROM qv q, c{iters} c) t WHERE rn <= 2
+),
+qres AS (
+  SELECT qc.query_id, qc.cell,
+         list_transform(range(1, 65), i -> q.vec[i] - qc.cvec[i]) AS res
+  FROM qcell qc JOIN qv q ON q.query_id = qc.query_id
+)"""
+    )
+    for j in range(_PQ_M):
+        lo = j * _PQ_DSUB + 1
+        hi = (j + 1) * _PQ_DSUB
+        parts.append(
+            f"""plut{j} AS (
+  SELECT r.query_id, r.cell, c.cid,
+         {_pqo_dist_sql(f'list_slice(r.res, {lo}, {hi})', 'c.vec')} AS d
+  FROM qres r, c{j}_{iters} c
+)"""
+        )
+    adc = "(((CAST(0.0 AS DOUBLE) + l0.d) + l1.d) + l2.d) + l3.d"
+    joins = "\n  ".join(
+        f"JOIN code{j} k{j} ON k{j}.id = cd.id "
+        f"JOIN plut{j} l{j} ON l{j}.query_id = r.query_id AND l{j}.cell = r.cell "
+        f"AND l{j}.cid = k{j}.cid"
+        for j in range(_PQ_M)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sc AS (
+  SELECT r.query_id, cd.id AS corpus_id, {adc} AS approx_dist
+  FROM resid cd
+  JOIN qres r ON r.cell = cd.cell
+  {joins}
+)
+SELECT query_id, corpus_id, approx_dist, CAST(rn AS BIGINT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx_dist, corpus_id) AS rn
+  FROM sc) t
+WHERE rn <= 5"""
+    )
+
+
+@register("ivfpq_index_probe", _ivfpq_oracle_sql())
 def q_ivfpq_index_probe(spark, sf_dir):
     """the persistent IVF-PQ index end-to-end (FAISS IVFPQ layout,
     lake-native): coarse k-means cells + residual product codes
     written partitioned BY CELL, probed with n_probe=2 — the codes
     scan is directory-pruned to the probed cells and reads 4-byte
     codes, never vectors. Rebuilds into a deterministic per-SF scratch
-    dir (overwrite — idempotent). Rows-only (two iterative
-    trainings); the ADC arithmetic is verified against a pure-Python
-    model and the cell pruning is plan-asserted in tests."""
+    dir (overwrite — idempotent). Oracle-backed since r3: BOTH
+    trainings (coarse cells + residual codebooks) unroll into portable
+    Lloyd CTEs, residual subtraction and the per-probe LUT/ADC folds
+    are IEEE-exact, and the lake round-trip is a pass-through (ints +
+    JSON shortest-repr floats) — so the hash gate covers the whole
+    index lifecycle; ADC-vs-Python-model and cell-pruning plan tests
+    retained."""
     import hashlib
     import tempfile
 
@@ -5947,41 +6090,6 @@ def q_bpe_encode(spark, sf_dir):
         "n_subwords",
         F.slice("subwords", 1, 8).alias("sample"),
     )
-
-
-_PQ_M, _PQ_KSUB, _PQ_DSUB, _PQ_ITERS = 4, 16, 16, 3
-
-
-def _pqo_dist_sql(v: str, c: str) -> str:
-    """squared L2 over a 16-dim subspace — seedless list_reduce ==
-    Spark's 0.0-seeded fold (squares are non-negative)."""
-    return (
-        f"list_reduce(list_transform(range(1, {_PQ_DSUB + 1}),"
-        f" i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (acc, x) -> acc + x)"
-    )
-
-
-def _pqo_round_sql(j: int, r: int) -> str:
-    """one Lloyd round for subspace j: assignment (tie → lowest cid)
-    then floor-quantized portable mean update; empty clusters keep
-    the previous centroid."""
-    return f"""a{j}_{r} AS (
-  SELECT id, vec, cid AS cluster FROM (
-    SELECT s.id, s.vec, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY s.id
-                              ORDER BY {_pqo_dist_sql('s.vec', 'c.vec')}, c.cid) AS rn
-    FROM sv{j} s, c{j}_{r - 1} c) t WHERE rn = 1
-),
-m{j}_{r} AS (
-  SELECT cluster, i AS pos,
-         CAST(SUM(CAST(FLOOR(vec[i] * 1e10) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e10 AS cm
-  FROM a{j}_{r}, range(1, {_PQ_DSUB + 1}) t(i) GROUP BY cluster, i
-),
-mv{j}_{r} AS (SELECT cluster AS cid, list(cm ORDER BY pos) AS vec FROM m{j}_{r} GROUP BY cluster),
-c{j}_{r} AS (
-  SELECT p.cid, COALESCE(mv{j}_{r}.vec, p.vec) AS vec
-  FROM c{j}_{r - 1} p LEFT JOIN mv{j}_{r} ON p.cid = mv{j}_{r}.cid
-)"""
 
 
 def _pq_oracle_sql() -> str:
