@@ -5355,7 +5355,39 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
-@register("semantic_dedup")  # k-means-seeded (iterative) → rows-only
+def _semantic_dedup_oracle_sql() -> str:
+    """SemDeDup unrolled: dynamic cell count k = clamp(n/128, 16, 256)
+    via a LIMIT scalar subquery (the round CTEs are k-agnostic), 2
+    portable Lloyd rounds, within-cluster cosine pairs, p99 cutoff
+    via exact interpolated quantile_cont (Spark computes a+(b−a)·f,
+    DuckDB (1−f)·a+f·b — up to 1 ulp apart, which only matters if a
+    pair's cosine lands inside that ulp; the cutoff is strictly
+    between data points otherwise), keep-min purge rollup."""
+    return f"""WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+kp AS (SELECT LEAST(256, GREATEST(16, COUNT(*) // 128)) AS k FROM embeddings),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cid, vec
+  FROM v ORDER BY md5(CAST(id AS VARCHAR)) LIMIT (SELECT k FROM kp)
+),
+{_km_assign_sql(1, "c0")},
+{_km_update_sql(1)},
+{_km_assign_sql(2, "c1")},
+{_km_update_sql(2)},
+{_km_assign_sql(3, "c2")},
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         {_cos_sql('a.vec', 'b.vec')} AS cos_sim
+  FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.id < b.id
+),
+thr AS (SELECT quantile_cont(cos_sim, 0.99) AS t FROM pairs)
+SELECT id_b AS purge_id, MIN(id_a) AS kept_id, MAX(cos_sim) AS max_cos
+FROM pairs, thr WHERE cos_sim >= thr.t GROUP BY id_b"""
+
+
+@register("semantic_dedup", _semantic_dedup_oracle_sql())
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023):
     cluster the embedding space with trained k-means, then purge
@@ -5376,9 +5408,11 @@ def q_semantic_dedup(spark, sf_dir):
     own regime (k ∝ n) needs the IVF-index trainer, not plan-literal
     centroids — documented, not silent.
     Emits one row per purged doc with its lowest-id witness (greedy
-    keep-min policy, same discipline as exact_dedup). Rows-only: the
-    k-means step is iterative. Threshold/witness invariants are
-    asserted in tests/test_properties.py."""
+    keep-min policy, same discipline as exact_dedup). Oracle-backed
+    since r3: the dynamic-k training unrolls into portable Lloyd CTEs
+    (k enters only through the seed LIMIT) and the p99 cutoff is an
+    exact interpolated percentile on both engines. Threshold/witness
+    invariants stay asserted in tests/test_properties.py."""
     from pyspark import StorageLevel
 
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import kmeans
