@@ -6103,15 +6103,115 @@ def q_ivfpq_index_probe(spark, sf_dir):
     return pq.query_ivfpq_index(spark, path, queries, k=5, n_probe=2)
 
 
-@register("bpe_encode")  # trained-merge apply; training iterative → rows-only
+_BPE_ROUNDS = 8
+
+
+def _bpe_round_sql(r: int) -> str:
+    """one BPE training round: adjacent pair counts over the delimited
+    word strings -> argmax pair (count desc, then lexicographic) ->
+    apply the merge via replace on the double-delimiter encoding."""
+    d = "chr(1)"
+    pat = f"{d} || (SELECT l FROM top{r}) || {d} || {d} || (SELECT rr FROM top{r}) || {d}"
+    rep = f"{d} || (SELECT l FROM top{r}) || (SELECT rr FROM top{r}) || {d}"
+    return f"""pc{r} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS rr, SUM(weight) AS n FROM (
+    SELECT syms, weight, unnest(range(1, len(syms))) AS i FROM (
+      SELECT list_filter(string_split(s, chr(1)), x -> x <> '') AS syms, weight
+      FROM w{r - 1}) t0) t1
+  GROUP BY 1, 2
+),
+top{r} AS (SELECT l, rr, n FROM pc{r} ORDER BY n DESC, l, rr LIMIT 1),
+w{r} AS MATERIALIZED (SELECT replace(s, {pat}, {rep}) AS s, weight FROM w{r - 1})"""
+
+
+def _bpe_rounds_cte(where: str = "") -> str:
+    """the shared training CTE chain (wf, w0, 8 rounds) over documents
+    optionally restricted by ``where``; exposes top1..top8 (the
+    learned rules) to the enclosing query."""
+    rounds = ",\n".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    return f"""wf AS (
+  SELECT word, COUNT(*) AS weight FROM (
+    SELECT unnest(string_split({_docs_norm_sql()}, ' ')) AS word
+    FROM documents {where}) t
+  WHERE length(word) > 0 GROUP BY word
+),
+w0 AS MATERIALIZED (
+  SELECT chr(1) || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> word[i]),
+           chr(1) || chr(1)) || chr(1) AS s,
+         weight
+  FROM wf
+),
+{rounds}"""
+
+
+def _bpe_oracle_sql() -> str:
+    """BPE training unrolled: word frequencies -> per-round (pair
+    count, argmax via scalar subqueries, merge via replace on the
+    '|sym||sym|' encoding — the pattern '|l||r|' consumes its boundary
+    delimiters so replacements cannot overlap, which IS the greedy
+    leftmost fold's semantics) -> union of the 8 learned rules."""
+    out = "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS BIGINT) AS rank, l AS "left", rr AS "right", '
+        f"CAST(n AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"WITH {_bpe_rounds_cte()}\n{out}"
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """BPE apply unrolled: train on the doc_id % 4 == 0 quarter (the
+    shared rounds CTE), then segment every distinct word of the FULL
+    corpus with the 8 learned rules — one nested replace chain in
+    rank order over the same delimiter encoding — and reassemble
+    per-doc subword sequences in position order."""
+    d = "chr(1)"
+    chain = (
+        f"{d} || array_to_string(list_transform(range(1, length(word) + 1),"
+        f" i -> word[i]), {d} || {d}) || {d}"
+    )
+    for r in range(1, _BPE_ROUNDS + 1):
+        pat = f"{d} || (SELECT l FROM top{r}) || {d} || {d} || (SELECT rr FROM top{r}) || {d}"
+        rep = f"{d} || (SELECT l FROM top{r}) || (SELECT rr FROM top{r}) || {d}"
+        chain = f"replace({chain}, {pat}, {rep})"
+    return f"""WITH {_bpe_rounds_cte("WHERE doc_id % 4 = 0")},
+inst AS (
+  SELECT doc_id, i, toks[i] AS word FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM (
+      SELECT doc_id,
+             list_filter(string_split({_docs_norm_sql()}, ' '), w -> length(w) > 0) AS toks
+      FROM documents) t0) t1
+),
+vocab AS (SELECT DISTINCT word FROM inst),
+segd AS MATERIALIZED (
+  SELECT word,
+         list_filter(string_split({chain}, chr(1)), x -> x <> '') AS subs
+  FROM vocab
+),
+pd AS (
+  SELECT i.doc_id, CAST(COUNT(*) AS INT) AS n_words,
+         flatten(list(s.subs ORDER BY i.i)) AS subwords
+  FROM inst i JOIN segd s ON s.word = i.word
+  GROUP BY i.doc_id
+)
+SELECT d.doc_id, COALESCE(pd.n_words, 0) AS n_words,
+       CAST(len(COALESCE(pd.subwords, CAST([] AS VARCHAR[]))) AS INT) AS n_subwords,
+       list_slice(COALESCE(pd.subwords, CAST([] AS VARCHAR[])), 1, 8) AS sample
+FROM (SELECT doc_id FROM documents) d LEFT JOIN pd ON pd.doc_id = d.doc_id"""
+
+
+@register("bpe_encode", _bpe_encode_oracle_sql())
 def q_bpe_encode(spark, sf_dir):
     """the APPLY side of the BPE tokenizer: learn 8 merges on a
     deterministic corpus quarter (doc_id % 4 == 0 — codebooks train on
     samples), then segment EVERY doc map-only with the merge table as
     plan literals (operators/bpe.py:encode_bpe — one greedy-leftmost
     fold per rule, identical to the trainer's pass, no shuffle). This
-    is the tokenize-100-TB-for-sequence-prep path. Rows-only;
-    segmentation correctness on known merges is test-asserted."""
+    is the tokenize-100-TB-for-sequence-prep path. Oracle-backed
+    since r3: the trainer chain rides the shared rounds CTE and the
+    apply side is one nested replace chain in rank order over the
+    same delimiter encoding; segmentation correctness on known merges
+    stays test-asserted."""
     docs = load_table(spark, sf_dir, "documents")
     merges_df = bpe.train_bpe(docs.filter(F.col("doc_id") % 4 == 0), "text", 8)
     merges = [
@@ -6218,14 +6318,19 @@ def q_pq_ann_topk(spark, sf_dir):
     return pq.pq_topk(codes, books, queries, k=5)
 
 
-@register("bpe_merges")  # iterative (one driver-picked pair per round) → rows-only
+@register("bpe_merges", _bpe_oracle_sql())
 def q_bpe_merges(spark, sf_dir):
     """distributed BPE tokenizer training: learn the first 8 merge
     rules over the corpus (operators/bpe.py). The corpus collapses to
     a word-frequency table in one shuffle; every round after that is
-    vocabulary-sized. Rows-only: the 8-round iteration isn't
-    SQL-expressible, its invariants are test-asserted
-    (tests/test_operators.py)."""
+    vocabulary-sized. Oracle-backed since r3: each round's argmax
+    pair rides scalar subqueries into the next round's CTE, and the
+    greedy leftmost non-overlapping merge is EXACTLY a string
+    replace over a delimiter encoding — symbols joined with a double
+    delimiter, pattern '|l||r|' → '|lr|', so a replacement consumes
+    its boundary delimiters and cannot overlap the next match, which
+    is the fold's just-merged-never-rematches rule (see
+    _bpe_oracle_sql)."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe.train_bpe(docs, "text", n_merges=8)
 
