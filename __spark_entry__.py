@@ -27,10 +27,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # 1+2 hard-graded 99 distinct queries; _FRONT holds the never-graded
 # entries (VERDICT r2 "Next round" item 1) plus every round-3
 # addition. Oracle-backed entries sort first within this list (see
-# _ordered), then the rows-only tail — exactly 50 entries, 40 of them
-# hard-signal. Previously-green rows stay out of the front block on
-# purpose; the three rows-only ops whose signal is carried elsewhere
-# yield their slots (see the tail comment).
+# _ordered), then the rows-only tail — exactly 50 entries, 47 of them
+# hard-signal after the late-r3 oracle conversions. Previously-green
+# rows stay out of the front block on purpose; the rows-only ops whose
+# signal is carried elsewhere yield their slots (see the tail comment).
 _FRONT = [
     # --- oracle-backed, never driver-graded in r1+r2 ---
     # OLAP shapes added after round 1
@@ -75,9 +75,9 @@ _FRONT = [
     "pagerank_portable",
     "hard_negative_mining",
     "ewma_minutes",
-    # --- rows-only, never driver-graded (16) ---
-    "quantile_sketch",
-    "kcore_decomposition",
+    "kcore_portable",
+    "snapshot_time_travel",
+    # --- rows-only or converted-late; _ordered sorts by ORACLES ---
     "label_propagation",
     "binary_ingest",
     "embedding_ann_ivf_trained",
@@ -89,13 +89,15 @@ _FRONT = [
     "pq_ann_topk",
     "bpe_merges",
     "pagerank_topk",
-    # dedup_simhash, hll_merge_rollup and multimodal_frames deliberately
-    # NOT front-loaded: the 50-row cap can't fit every never-graded
-    # entry, and these are the rows-only ops whose signal is carried
-    # elsewhere (bitwise twins simhash_portable / hll_portable_rollup;
-    # multimodal_meta's oracle row + binary_ingest's runs row for the
-    # same plumbing) — a rows-only row only proves "runs", so the slots
-    # go to oracle-backed entries; all still follow in registry order
+    # dedup_simhash, hll_merge_rollup, multimodal_frames, quantile_sketch
+    # and kcore_decomposition deliberately NOT front-loaded: the 50-row
+    # cap can't fit every never-graded entry, and these are the
+    # rows-only ops whose signal is carried elsewhere (bitwise twins
+    # simhash_portable / hll_portable_rollup / exact_quantiles /
+    # kcore_portable; multimodal_meta's oracle row + binary_ingest's
+    # runs row for the same plumbing) — a rows-only row only proves
+    # "runs", so the slots go to oracle-backed entries; all still
+    # follow in registry order after the front block
 ]
 
 
