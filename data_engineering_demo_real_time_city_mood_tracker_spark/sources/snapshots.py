@@ -29,6 +29,14 @@ Scale: manifests store DIRECTORY names, not file lists, so commit
 metadata is O(commits) bytes; appends never rewrite or move existing
 data. For 100 TB tables pair with ``compact`` (sources/maintenance.py)
 by writing the compacted files as a new ``overwrite`` snapshot.
+
+Concurrency contract: SINGLE WRITER (the streaming sink's foreachBatch
+serialization, or one batch job at a time). Two concurrent writers
+would both read parent N and race on manifest N+1; ``vacuum`` run
+concurrently with an in-flight commit could sweep its not-yet-pointed
+manifest. Readers are always safe — they only ever follow committed
+pointers/manifests. Multi-writer coordination needs a lock or a
+conditional-put filesystem (the same line Delta/Iceberg draw).
 """
 
 from __future__ import annotations
