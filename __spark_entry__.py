@@ -32,72 +32,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows stay out of the front block on purpose; the rows-only ops whose
 # signal is carried elsewhere yield their slots (see the tail comment).
 _FRONT = [
-    # --- oracle-backed, never driver-graded in r1+r2 ---
-    # OLAP shapes added after round 1
-    "late_sole_suppliers",
-    "revenue_concentration",
-    "nation_trade_volume",
-    "nation_market_share",
-    "multi_res_rollup",
-    "priority_linestatus",
-    "customer_order_distribution",
-    "small_qty_revenue",
-    "returned_revenue_customers",
-    "important_parts",
-    "supplier_part_variety",
-    "dominant_part_suppliers",
-    # event analytics
-    "funnel_analysis",
-    "cohort_retention",
-    "cdc_apply",
-    "session_window_native",
-    "robust_outliers",
-    "association_rules",
-    "conversion_lag",
-    "seasonal_baseline",
-    "gap_fill_minutes",
-    "join_key_skew_profile",
-    "paned_sliding_window",
-    # data quality / sketch / sampling / multimodal
-    "data_quality_report",
-    "distribution_drift",
-    "heavy_hitters_cms",
-    "multimodal_meta",
-    "negative_sampling",
-    "shard_export",
-    # new in round 3 (oracle-backed; LPA + k-means also moved to
-    # oracle-backed this round — _ordered resolves via ORACLES)
-    "dedup_embedding_banded",
-    "embedding_outlier_score",
-    "hll_portable_rollup",
-    "boilerplate_removal",
-    "exact_quantiles",
-    "pagerank_portable",
-    "hard_negative_mining",
-    "ewma_minutes",
-    "kcore_portable",
-    "snapshot_time_travel",
-    # --- rows-only or converted-late; _ordered sorts by ORACLES ---
-    "label_propagation",
-    "binary_ingest",
-    "embedding_ann_ivf_trained",
-    "kmeans_embeddings",
-    "semantic_dedup",
-    "image_dedup_dhash",
+    # --- r3 driver reds, fixed this round; need a green r4 row ---
+    "pagerank_portable",  # oracle rank_fp now CAST AS BIGINT (HUGEINT artifact)
+    "bpe_encode",  # sample column stringified (driver canon can't hash lists)
+    "priority_linestatus",  # shipdate slice moved into 1995 data (was vacuous 0-row)
+    # --- the 6 queries never driver-graded in any round (VERDICT r3
+    # item 4) — rows-only by design; their hash signal rides in-gate
+    # twins (simhash_portable / hll_portable_rollup / exact_quantiles /
+    # kcore_portable / multimodal_meta), this rotation closes the
+    # "every registry query has >=1 driver row ever" loop ---
+    "audio_dedup_energy",
+    "dedup_simhash",
+    "hll_merge_rollup",
+    "kcore_decomposition",
+    "multimodal_frames",
+    "quantile_sketch",
+    # --- perf-guard re-grades: queries whose plans change this round
+    # (trainer-round fusion, broadcast removal) — the oracle row is the
+    # bitwise guard that the optimization changed nothing ---
     "ivfpq_index_probe",
-    "bpe_encode",
+    "bm25_index_probe",
+    "embedding_ann_ivf_trained",
+    "exact_quantiles",
+    "kmeans_embeddings",
     "pq_ann_topk",
-    "bpe_merges",
-    "pagerank_topk",
-    # dedup_simhash, hll_merge_rollup, multimodal_frames, quantile_sketch
-    # and kcore_decomposition deliberately NOT front-loaded: the 50-row
-    # cap can't fit every never-graded entry, and these are the
-    # rows-only ops whose signal is carried elsewhere (bitwise twins
-    # simhash_portable / hll_portable_rollup / exact_quantiles /
-    # kcore_portable; multimodal_meta's oracle row + binary_ingest's
-    # runs row for the same plumbing) — a rows-only row only proves
-    # "runs", so the slots go to oracle-backed entries; all still
-    # follow in registry order after the front block
+    # --- newly oracle-backed in r4: the binary-decode stretch item —
+    # needs its first HASH row (r3's row was rows-only) ---
+    "image_dedup_dhash",
+    # new r4 queries are appended here as they land; remaining gate
+    # slots fall through to registry order (long-green r1 rows —
+    # harmless repeat confirmations)
 ]
 
 

@@ -107,7 +107,11 @@ _LITERAL_K_MAX = 32
 
 
 def assign_clusters(
-    df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    use_blas: bool | None = None,
 ) -> DataFrame:
     """(id, cluster, vec): nearest-centroid assignment, map-only.
 
@@ -117,10 +121,19 @@ def assign_clusters(
     evaluation (measured: k=156 k-means 30.7 s vs 4 s at sf1) — so
     large k ships the matrix as ONE broadcast row instead: identical
     arithmetic on the same doubles (createDataFrame round-trips float
-    bits exactly), plan size O(1) in k."""
+    bits exactly), plan size O(1) in k.
+
+    ``use_blas`` makes the path choice explicit (ADVICE r3): the BLAS
+    path computes ||c||² − 2v·c, which can argmin differently from
+    the per-dimension fold on near-tie distances. Default ``None``
+    keeps the size-based switch; pass ``False`` to force fold-exact
+    semantics at any k (paying interpreted eval past the codegen
+    budget), ``True`` to force the matmul path at small k."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"), vec.alias("vec"))
-    if len(centroids) > _LITERAL_K_MAX:
+    if use_blas is None:
+        use_blas = len(centroids) > _LITERAL_K_MAX
+    if use_blas:
         return _assign_clusters_np(base, centroids)
     cents = _centroid_array(centroids)
     dists = F.transform(cents, lambda c: _sq_dist(F.col("vec"), c))
@@ -220,6 +233,33 @@ def init_centroids(
     return [list(r.vec) for r in rows]
 
 
+def py_sq_dist(vec: list[float], cent: list[float]) -> float:
+    """driver-side replica of :func:`_sq_dist`'s JVM fold — 0.0-seeded
+    left-to-right sum of (x−y)², one IEEE double add per dimension in
+    the same order, so it is bitwise equal to the Column expression on
+    the same doubles. Exists so tiny bounded frames (seed vectors) can
+    be assigned on the driver without a Spark job while keeping every
+    downstream hash-gated value identical."""
+    acc = 0.0
+    for x, y in zip(vec, cent):
+        d = x - y
+        acc += d * d
+    return acc
+
+
+def py_assign(vec: list[float], centroids: list[list[float]]) -> int:
+    """driver-side replica of :func:`assign_clusters`'s argmin —
+    ``array_position(dists, array_min(dists)) - 1`` picks the FIRST
+    index achieving the minimum, mirrored here with a strict ``<``
+    scan."""
+    best, best_d = 0, py_sq_dist(vec, centroids[0])
+    for i in range(1, len(centroids)):
+        d = py_sq_dist(vec, centroids[i])
+        if d < best_d:
+            best, best_d = i, d
+    return best
+
+
 def kmeans(
     df: DataFrame,
     vec_col: str,
@@ -227,6 +267,7 @@ def kmeans(
     k: int = 8,
     max_iter: int = 5,
     dim: int | None = None,
+    initial_centroids: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's iterations; returns (assignments df, final centroids).
 
@@ -236,6 +277,11 @@ def kmeans(
     depends only on literal centroids, not the previous plan).
     ``dim`` is accepted for API stability but no longer needed — the
     (cluster, pos)-keyed update infers it from the data.
+    ``initial_centroids`` skips the init job when the caller already
+    holds the k smallest-md5(id) seed vectors (build_ivfpq_index
+    collects coarse + PQ seeds in ONE TakeOrdered job); passing
+    anything else changes the result, so callers must preserve the
+    md5-order contract.
     """
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
 
@@ -250,7 +296,10 @@ def kmeans(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
     with _no_aqe(df.sparkSession):
-        centroids = init_centroids(base, "vec", "id", k)
+        if initial_centroids is not None:
+            centroids = [list(c) for c in initial_centroids]
+        else:
+            centroids = init_centroids(base, "vec", "id", k)
         for _ in range(max_iter):
             assigned = assign_clusters(base, "vec", "id", centroids)
             # per-dimension exact quantized-integer sums →

@@ -295,10 +295,11 @@ def remove_boilerplate_segments(
 
     Scale shape: segments are non-overlapping (corpus token count /
     seg_words rows, ~5× cheaper than sliding shingles), df is one
-    hash-keyed agg with map-side combine, and the boilerplate set is
-    broadcast for the anti join — by definition it only holds
-    segments repeated ≥ min_df times, so its cardinality is bounded
-    by corpus_segments / min_df and in practice tiny. Reassembly
+    hash-keyed agg with map-side combine, and the anti join against
+    the boilerplate set is left to AQE (no forced broadcast — see the
+    inline comment): the set only holds segments repeated ≥ min_df
+    times, so its cardinality is bounded by corpus_segments / min_df
+    and AQE broadcasts it whenever it fits. Reassembly
     groups per doc (bounded rows per doc). All linear in corpus
     size; no pair blowup at any scale."""
     words = F.split(F.col(text_col), " ")

@@ -87,6 +87,7 @@ def train_pq(
     m: int = 4,
     ksub: int = 16,
     max_iter: int = 3,
+    seed_vecs: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """codebooks[m][ksub][dsub]: k-means per subspace slice, with all
     ``m`` subspaces trained in the SAME jobs.
@@ -102,6 +103,13 @@ def train_pq(
     codebooks to m independent kmeans() runs (test-asserted), at
     1/m-th the job count; the per-round shuffle payload is m × ksub ×
     dsub partials per task — corpus-size-independent.
+
+    ``seed_vecs`` (ksub full-dim vectors) skips the seed-collect job
+    when the caller already holds the ksub smallest-md5(id) vectors of
+    ``df`` — build_ivfpq_index derives them driver-side from its one
+    combined seed collect (clustering.py_assign replicates the JVM
+    argmin bitwise, so the residual seeds are byte-identical to what
+    this function would have collected).
     """
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
 
@@ -118,12 +126,15 @@ def train_pq(
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import _no_aqe
 
     with _no_aqe(df.sparkSession):
-        seeds = (
-            base.select(F.md5(F.col("id").cast("string")).alias("h"), "_v")
-            .orderBy("h")
-            .limit(ksub)
-            .collect()
-        )
+        if seed_vecs is not None:
+            seeds = [{"_v": list(v)} for v in seed_vecs]
+        else:
+            seeds = (
+                base.select(F.md5(F.col("id").cast("string")).alias("h"), "_v")
+                .orderBy("h")
+                .limit(ksub)
+                .collect()
+            )
         books, dim = _lloyd_rounds(base, seeds, m, ksub, max_iter)
     return books
 
@@ -292,9 +303,41 @@ def build_ivfpq_index(
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
         assign_clusters,
         kmeans,
+        py_assign,
     )
 
-    _, cents = kmeans(df, vec_col, id_col, k=n_cells, max_iter=max_iter)
+    # ONE TakeOrdered job collects max(n_cells, ksub) smallest-md5(id)
+    # vectors and seeds BOTH trainings: the coarse quantizer takes the
+    # first n_cells, and the PQ seeds — the ksub smallest-md5 ids of
+    # the residual frame, whose id set IS the corpus id set — are
+    # derived driver-side after the coarse training finishes
+    # (py_assign/py_sq_dist replicate the JVM fold bitwise on the
+    # already-widened doubles, so every downstream hash-gated value is
+    # unchanged; the r3 profile showed these trainer queries are pure
+    # fixed job overhead at bench SF, so -2 jobs is the honest win).
+    n_seeds = max(n_cells, ksub)
+    seed_rows = (
+        df.select(
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .orderBy("h")
+        .limit(n_seeds)
+        .collect()
+    )
+    seed_vecs = [list(r["_v"]) for r in seed_rows]
+    _, cents = kmeans(
+        df,
+        vec_col,
+        id_col,
+        k=n_cells,
+        max_iter=max_iter,
+        initial_centroids=seed_vecs[:n_cells],
+    )
+    pq_seeds = [
+        [x - c for x, c in zip(v, cents[py_assign(v, cents)])]
+        for v in seed_vecs[:ksub]
+    ]
     assigned = assign_clusters(df, vec_col, id_col, cents)
     cmat = _centroid_array(cents)
     # persisted: the residual pipeline (assignment argmin + subtract)
@@ -309,7 +352,10 @@ def build_ivfpq_index(
         ).alias("res"),
     ).persist()
     try:
-        books = train_pq(resid, "res", "id", m=m, ksub=ksub, max_iter=max_iter)
+        books = train_pq(
+            resid, "res", "id", m=m, ksub=ksub, max_iter=max_iter,
+            seed_vecs=pq_seeds,
+        )
         codes = encode_pq(resid, "res", "id", books, carry=("cell",))
         (
             codes.select("id", "code", "cell")

@@ -79,7 +79,12 @@ def exact_quantiles(
     # phase 1: per-(group, bucket) counts — map-side combine bounds the
     # shuffle at groups × n_buckets rows regardless of corpus size;
     # the cumulative window runs over that bounded frame only.
-    binned = df.join(F.broadcast(stats), group_col).withColumn("_b", bucket)
+    # no forced broadcast on stats/tb: both are one-row-per-(group[,pct])
+    # frames — tiny for dashboard-style groupings but O(groups) by
+    # construction, so a forced broadcast becomes a driver OOM at
+    # high-cardinality group_col (ADVICE r3). AQE broadcasts them
+    # whenever they fit the threshold and shuffles otherwise.
+    binned = df.join(stats, group_col).withColumn("_b", bucket)
     hist = binned.groupBy(group_col, "_b").agg(F.count(F.lit(1)).alias("cnt"))
     cw = (
         Window.partitionBy(group_col)
@@ -100,7 +105,7 @@ def exact_quantiles(
     # phase 2: only rows in target buckets pay the sort
     w = Window.partitionBy(group_col, "pct").orderBy(value_col)
     return (
-        binned.join(F.broadcast(tb), [group_col, "_b"])
+        binned.join(tb, [group_col, "_b"])
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == F.col("rk") - F.col("cum_prev") + 1)
         .select(group_col, "pct", v.alias("q_value"))

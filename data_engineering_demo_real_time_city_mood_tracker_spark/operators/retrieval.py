@@ -9,7 +9,7 @@ build-once / append-per-crawl / query-many lifecycle real:
 
     index/
       postings/seg=<name>/bucket=<0..n-1>/  (token, doc_id, tf, dl)
-      stats/seg=<name>/                     (n_docs, total_dl)
+      stats/seg=<name>.json                 (n_docs, total_dl)
 
 - ``bucket = crc32(token) % n_buckets`` — a probe reads ONLY its query
   terms' buckets (PartitionFilters directory pruning) and pushes the
@@ -19,10 +19,18 @@ build-once / append-per-crawl / query-many lifecycle real:
   for that token across segments, N = Σ n_docs, avgdl = Σ total_dl /
   Σ n_docs — appending a crawl never re-tokenizes the standing corpus
   (same posture as ``merge_agg_partials`` / the dedup index).
-- crash-replay safe: a segment's ``stats`` row is written LAST and is
-  the commit record — probes only read segments whose stats exist, and
-  both writes use dynamic partition overwrite so re-running a failed
+- crash-replay safe: a segment's stats sidecar is written LAST and is
+  the commit record — probes only read segments whose stats exist;
+  postings use dynamic partition overwrite so re-running a failed
   append repairs the segment in place instead of duplicating postings.
+- segment stats are exact integer partials collected by the
+  Observation API DURING the postings write (one tokenize pass total,
+  r4 — previously a second full corpus pass) and land as zero-job
+  JSON sidecars (the same commit-log pattern as ``write_json_meta``
+  index metadata): n_docs/total_dl are corpus-sized aggregates but
+  2-int results, so neither writing nor merging them needs a Spark
+  job — probes resolve committed segments with driver-side file
+  reads only.
 """
 
 from __future__ import annotations
@@ -105,6 +113,13 @@ def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     base = _spread(docs).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     )
+    return _postings_from_base(base)
+
+
+def _postings_from_base(base: DataFrame) -> DataFrame:
+    """postings from an already-tokenized (doc_id, _toks) frame — split
+    out so build_text_index can pin an Observation on the pre-explode
+    node (stats ride the write job instead of a second corpus pass)."""
     return (
         base.select(
             "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("tok")
@@ -112,6 +127,32 @@ def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.min("dl").alias("dl"))
     )
+
+
+def _stats_path(path: str, segment: str) -> str:
+    return f"{path}/stats/seg={segment}.json"
+
+
+def _segment_stats(spark: SparkSession, path: str) -> dict[str, dict]:
+    """{segment: {n_docs, total_dl}} for every COMMITTED segment —
+    driver-side sidecar reads, zero Spark jobs (the merge inputs are
+    2 ints per segment regardless of corpus size)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_json_meta
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/stats")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return {}
+    out = {}
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("seg=") and name.endswith(".json"):
+            seg = name[len("seg=") : -len(".json")]
+            meta = read_json_meta(spark, f"{path}/stats/{name}")
+            if meta is not None:
+                out[seg] = meta
+    return out
 
 
 def _bucket(tok_col, n_buckets: int):
@@ -163,10 +204,26 @@ def build_text_index(
     wrong-bucket prune). Rebuilding a segment DELETES it first (stats
     — the commit record — before postings), so a changed corpus can
     never leave stale bucket partitions behind; postings then land,
-    and the fresh stats row lands LAST, recommitting the segment. A
-    crash at any point leaves the segment invisible to probes and a
+    and the fresh stats sidecar lands LAST, recommitting the segment.
+    A crash at any point leaves the segment invisible to probes and a
     re-run repairs it in place.
+
+    Stats count EVERY input doc (dl = token count, 0 included): a doc
+    that tokenizes to nothing has no postings rows, so deriving
+    n_docs/total_dl from written postings would drop it and skew
+    idf/avgdl away from the from-scratch definition (_BM25_ORACLE
+    counts all docs). They are collected by an ``Observation`` pinned
+    on the pre-explode (doc, tokens) node of the SAME job that writes
+    the postings — exact integer count/sum, no second tokenize pass —
+    and land as the segment's JSON sidecar only after the write
+    action succeeded, so the commit record is still last.
     """
+    from pyspark.sql import Observation
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import write_json_meta
+
     spark = docs.sparkSession
     pinned = _read_meta_buckets(spark, path)
     if pinned is not None and pinned != n_buckets:
@@ -175,14 +232,24 @@ def build_text_index(
             f"got {n_buckets}"
         )
     if pinned is None:
-        from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import write_json_meta
-
         write_json_meta(spark, f"{path}/meta.json", {"n_buckets": int(n_buckets)})
     # decommit, then clear: stats first so a crash mid-delete still
     # leaves the segment invisible rather than half-stale
-    _fs_delete(spark, f"{path}/stats/seg={segment}")
+    _fs_delete(spark, _stats_path(path, segment))
     _fs_delete(spark, f"{path}/postings/seg={segment}")
-    post = _postings(docs, text_col, id_col).withColumn(
+    obs = Observation()
+    base = (
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.size("_toks").cast("long")), F.lit(0).cast("long")).alias(
+                "total_dl"
+            ),
+        )
+    )
+    post = _postings_from_base(base).withColumn(
         "bucket", _bucket(F.col("tok"), n_buckets)
     )
     # repartition on the partition keys before the partitioned write:
@@ -197,23 +264,12 @@ def build_text_index(
         f"{path}/postings",
         ["seg", "bucket"],
     )
-    # stats counts EVERY input doc (dl = token count, 0 included): a doc
-    # that tokenizes to nothing has no postings rows, so deriving n_docs
-    # /total_dl from written postings would drop it and skew idf/avgdl
-    # away from the from-scratch definition (_BM25_ORACLE counts all
-    # docs). Commit ordering is unchanged — this agg only runs after the
-    # postings write action succeeded, so stats still lands last.
-    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens
-
-    stats = (
-        docs.select(F.size(tokens(F.col(text_col))).alias("dl"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.col("dl").cast("decimal(18,0)")).cast("long").alias("total_dl"),
-        )
-        .withColumn("seg", F.lit(segment))
+    got = obs.get
+    write_json_meta(
+        spark,
+        _stats_path(path, segment),
+        {"n_docs": int(got["n_docs"]), "total_dl": int(got["total_dl"])},
     )
-    _dyn_overwrite(stats, f"{path}/stats", ["seg"])
 
 
 def append_text_index(
@@ -253,32 +309,30 @@ def query_text_index(
 ) -> DataFrame:
     """BM25 top-``k`` per query against the persistent index.
 
-    Reads ONLY committed segments (stats is the commit record), ONLY
-    the query terms' hash buckets (PartitionFilters directory pruning,
-    modulus from the index's own meta — never a caller guess), with
-    the token equality pushed into the parquet scan — probe I/O is
-    independent of corpus size. Corpus stats merge from the
-    per-segment partials (exact integer arithmetic ⇒ bitwise equal to
-    a from-scratch computation)."""
+    Reads ONLY committed segments (the stats sidecar is the commit
+    record), ONLY the query terms' hash buckets (PartitionFilters
+    directory pruning, modulus from the index's own meta — never a
+    caller guess), with the token equality pushed into the parquet
+    scan — probe I/O is independent of corpus size. Corpus stats
+    merge from the per-segment partials driver-side (exact integer
+    arithmetic ⇒ bitwise equal to a from-scratch computation, zero
+    Spark jobs before the probe scan itself)."""
     import zlib
 
     n_buckets = _read_meta_buckets(spark, path)
     if n_buckets is None:
         raise ValueError(f"no index meta at {path} — build_text_index first")
-    stats = spark.read.parquet(f"{path}/stats")
-    segs = [r.seg for r in stats.select("seg").distinct().collect()]
-    tot = (
-        stats.filter(F.col("seg").isin(segs))
-        .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("dl"))
-        .first()
-    )
-    if tot["n"] is None or int(tot["n"]) == 0:
+    seg_stats = _segment_stats(spark, path)
+    segs = sorted(seg_stats)
+    n_total = sum(int(s["n_docs"]) for s in seg_stats.values())
+    if n_total == 0:
         raise ValueError(
             f"no committed segments at {path} — every append crashed "
-            "before its stats row landed (or the corpus was empty); "
+            "before its stats sidecar landed (or the corpus was empty); "
             "re-run build/append_text_index to repair"
         )
-    n_docs, avgdl = int(tot["n"]), float(tot["dl"]) / int(tot["n"])
+    dl_total = sum(int(s["total_dl"]) for s in seg_stats.values())
+    n_docs, avgdl = n_total, float(dl_total) / n_total
     terms = sorted({t for _, t in query_pairs})
     buckets = sorted({zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms})
     tf = (

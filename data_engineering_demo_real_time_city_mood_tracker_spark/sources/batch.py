@@ -237,21 +237,29 @@ def write_json_meta(spark: SparkSession, path: str, obj: dict) -> None:
     works on any supported filesystem and costs ZERO Spark jobs, where
     a 1-row parquet write costs a full job's fixed overhead per build
     (measured 0.3-0.7 s each on the index-probe queries). Staged to a
-    tmp name + rename so readers never see a half-written file."""
+    tmp name, then flipped with FileContext.rename(OVERWRITE) — atomic
+    on local and HDFS — so readers never see a half-written OR missing
+    file. The previous delete-then-rename left a window with no file
+    at all, which let snapshot rollback be silently undone: a reader
+    hitting the gap fell back to highest-manifest resolution and
+    resurrected the abandoned head (ADVICE r3)."""
     import json
 
     jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs = p.getFileSystem(conf)
     tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.__tmp__")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(obj).encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(p):
-        fs.delete(p, False)
-    fs.rename(tmp, p)
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(conf)
+    rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark._sc._gateway.new_array(rename_cls, 1)
+    opts[0] = rename_cls.OVERWRITE
+    fc.rename(tmp, p, opts)
 
 
 def read_json_meta(spark: SparkSession, path: str) -> dict | None:

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame
@@ -123,13 +124,21 @@ def incremental_agg_stream(
             os.remove(ptr_tmp)
         os.symlink(os.path.abspath(vdir), ptr_tmp)
         os.rename(ptr_tmp, base_path)
-        # Post-commit housekeeping (best-effort; crash leaves only junk).
-        prefix = f"{os.path.basename(base_path)}__"
+        # Post-commit housekeeping (best-effort; crash leaves only
+        # junk). Deletion is restricted to the EXACT names this module
+        # creates — `__v<digits>`, `__agg_old`, `__agg_tmp`,
+        # `__ptr_tmp` — so an unrelated user directory sharing the
+        # `{base}__` prefix (e.g. agg_base__backup) is never touched
+        # (ADVICE r3).
+        basename = os.path.basename(base_path)
+        own = re.compile(
+            re.escape(basename) + r"__(v\d+|agg_old|agg_tmp|ptr_tmp)$"
+        )
         parent = os.path.dirname(os.path.abspath(base_path)) or "."
         for name in os.listdir(parent):
             full = os.path.join(parent, name)
             if (
-                name.startswith(prefix)
+                own.fullmatch(name)
                 and full != vdir
                 and not os.path.islink(full)
                 and os.path.isdir(full)

@@ -4,7 +4,7 @@ micro-batch segment at a time.
 
 Replay safety needs NO commit log here, unlike the document sink: a
 segment's name derives from the batch id, both index writes use
-dynamic partition overwrite, and the segment's stats row lands last as
+dynamic partition overwrite, and the segment's stats sidecar lands last as
 its commit record — so a replayed batch rewrites exactly its own
 segment in place, probes never see a torn segment, and duplicated
 postings are structurally impossible. This is the same
@@ -29,7 +29,7 @@ def text_index_ingest_stream(
     """Ingest a document stream into the persistent inverted index:
     each micro-batch appends as its own segment (``seg=batch-<id>``).
     Docs are queryable (query_text_index) as soon as their segment's
-    stats row lands; corpus stats (df / N / avgdl) stay exact because
+    stats sidecar lands; corpus stats (df / N / avgdl) stay exact because
     segments are mergeable partials. Returns the StreamingQuery."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators import retrieval
 

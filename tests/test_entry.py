@@ -35,13 +35,15 @@ def test_queries_and_oracles_share_ordering():
         (n for n in entry._FRONT if n in QUERIES), key=lambda k: k not in ORACLES
     )
     assert q[: len(front)] == front
-    # r3 gate plan: _FRONT = the 45 queries never driver-graded in
-    # rounds 1-2 plus the 6 new r3 oracle-backed queries, minus
-    # dedup_simhash (see _FRONT comment) — 38 oracle-backed hard-signal
-    # entries sort first, so a 50-row cap grades every one of them
-    # (VERDICT r2 next-round item 1)
+    # r4 gate plan: _FRONT = the 3 fixed r3 reds + the 6 never-graded
+    # rows-only queries + perf-guard re-grades for every plan touched
+    # this round + new r4 queries; the rest of the 50-row cap falls
+    # through to long-green registry order (VERDICT r3 item 4)
     assert len(front) <= 50, "front block must fit the driver's 50-row cap"
-    assert sum(1 for n in front if n in ORACLES) >= 38
+    for must in ("pagerank_portable", "bpe_encode", "priority_linestatus",
+                 "audio_dedup_energy", "dedup_simhash", "hll_merge_rollup",
+                 "kcore_decomposition", "multimodal_frames", "quantile_sketch"):
+        assert must in front, f"{must} must be front-loaded for the r4 gate"
     # oracle dict must follow the same front-loaded order restricted
     # to oracle-backed names (driver zips them positionally by name)
     assert o == [n for n in q if n in ORACLES]

@@ -360,6 +360,69 @@ def test_fused_pq_training_equals_sequential_kmeans(spark):
     assert fused == seq
 
 
+def test_driver_side_seeding_bitwise_equals_collect_path(spark):
+    """build_ivfpq_index's r4 job fusion: ONE TakeOrdered collect
+    seeds both trainings, with the PQ residual seeds derived on the
+    driver (py_assign/py_sq_dist). Pins the two contracts that make
+    that safe: (a) the python fold/argmin replicas match the JVM
+    Column expressions bitwise, and (b) train_pq(seed_vecs=derived)
+    returns BYTE-identical codebooks to its own seed-collect path."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
+        assign_clusters,
+        py_assign,
+        py_sq_dist,
+    )
+
+    rows = [
+        (i, [float(((i * 29 + j * 7) % 23) - 11) / 3.0 for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[float(((c * 11 + j * 3) % 19) - 9) / 7.0 for j in range(8)] for c in range(4)]
+
+    # (a) the python replica matches the JVM fold+argmin on every row
+    jvm_assign = {
+        r.id: (r.cluster, list(r.vec))
+        for r in assign_clusters(df, "embedding", "vec_id", cents).collect()
+    }
+    for i, (cl, vec) in jvm_assign.items():
+        assert py_assign(vec, cents) == cl, f"argmin diverged on id {i}"
+        d = F.aggregate(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.array(*[F.lit(c) for c in cents[0]]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    spark_d = {
+        r.vec_id: r.d for r in df.select("vec_id", d.alias("d")).collect()
+    }
+    for i, (_, vec) in jvm_assign.items():
+        assert py_sq_dist(vec, cents[0]) == spark_d[i], f"fold diverged on id {i}"
+
+    # (b) seeded train_pq == collect-path train_pq, byte-identical
+    want = pq.train_pq(df, "embedding", "vec_id", m=2, ksub=4, max_iter=2)
+    seed_rows = (
+        df.select(
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("_v"),
+        )
+        .orderBy("h")
+        .limit(4)
+        .collect()
+    )
+    got = pq.train_pq(
+        df, "embedding", "vec_id", m=2, ksub=4, max_iter=2,
+        seed_vecs=[list(r["_v"]) for r in seed_rows],
+    )
+    assert got == want
+
+
 def test_bpe_encode_applies_merges_in_rank_order(spark):
     """encode_bpe reproduces hand-computed BPE segmentation: rules
     fire in rank order, each greedy-leftmost; words untouched by any

@@ -48,6 +48,29 @@ def test_query_matches_oracle(spark, sf_dir, name):
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
 
+    # Driver-canon contract (r3 verdict item 2): the external driver
+    # canonicalizes both result frames with pandas sort_values, which
+    # raises "unhashable type" on array/map/struct cells — bpe_encode's
+    # array<string> sample column crashed the r3 gate this way. No
+    # oracle-backed query may emit a complex-typed output column.
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if any(t in f.dataType.simpleString() for t in ("array", "map", "struct"))
+    ]
+    assert not complex_cols, (
+        f"{name}: complex-typed output columns {complex_cols} would crash "
+        "the driver's pandas canonicalizer — serialize them "
+        "(concat_ws / array_to_string) on both sides"
+    )
+    if orows:
+        obad = [
+            ocols[i]
+            for i, v in enumerate(orows[0])
+            if isinstance(v, (list, dict, tuple))
+        ]
+        assert not obad, f"{name}: oracle emits complex-typed columns {obad}"
+
     assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
     assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
     sset = _rowset(scols, [tuple(r) for r in srows])

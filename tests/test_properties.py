@@ -871,7 +871,7 @@ def test_text_index_crash_replay_ignores_uncommitted_segment(spark, tmp_path):
     """a segment whose postings landed but whose stats (commit record)
     did not must be invisible to probes; re-running the append repairs
     it in place without duplicating postings."""
-    import shutil
+    import os
 
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators import retrieval
 
@@ -889,7 +889,7 @@ def test_text_index_crash_replay_ignores_uncommitted_segment(spark, tmp_path):
 
     # simulate a crash: postings for crawl1 land, stats do not
     retrieval.append_text_index(inc, "text", "doc_id", path, segment="crawl1")
-    shutil.rmtree(f"{path}/stats/seg=crawl1")
+    os.remove(f"{path}/stats/seg=crawl1.json")
     assert {
         tuple(r) for r in retrieval.query_text_index(spark, path, q).collect()
     } == before
@@ -968,9 +968,6 @@ def test_text_index_stats_count_zero_token_docs(spark, tmp_path):
 
     # no committed segments → clear ValueError, not int(None)
     shutil.rmtree(f"{path}/stats")
-    spark.createDataFrame(
-        [], "n_docs long, total_dl long, seg string"
-    ).write.parquet(f"{path}/stats")
     with pytest.raises(ValueError, match="no committed segments"):
         retrieval.query_text_index(spark, path, q)
 

@@ -1279,7 +1279,7 @@ def test_streaming_text_index_ingest_builds_searchable_segments(spark, tmp_path)
     )
     q.awaitTermination(120)
 
-    segs = {r.seg for r in spark.read.parquet(f"{index}/stats").select("seg").collect()}
+    segs = set(retrieval._segment_stats(spark, index))
     assert len(segs) == 2, f"expected one segment per micro-batch, got {segs}"
 
     queries = [(1, "shuffle"), (1, "data")]
