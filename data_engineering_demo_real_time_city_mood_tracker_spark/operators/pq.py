@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
     _centroid_array,
+    _dists_sql,
     _portable_mean,
     kmeans,
 )
@@ -43,19 +44,10 @@ from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clusterin
 _EMPTY_TOPK = "query_id int, corpus_id long, approx_dist double, rnk long"
 
 
-def _sub_dists(sub, cents):
-    """per-centroid squared distance of a subvector expression — the
-    ONE definition of PQ's distance arithmetic, shared by training,
-    encoding, and any future quantizer (train and encode disagreeing
-    here would silently corrupt every code)."""
-    return F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ),
-    )
+# PQ's distance arithmetic has ONE definition — clustering._dists_sql
+# (the 0.0-seeded index-order zip_with/aggregate fold) — shared by
+# training and encoding; train and encode disagreeing there would
+# silently corrupt every code.
 
 
 def _lut_literal(luts: list[list[list[float]]]):
@@ -150,8 +142,9 @@ def _lloyd_rounds(base, seeds, m, ksub, max_iter):
         per_sub = []
         for j, book in enumerate(books):
             sub = F.slice(F.col("_v"), j * dsub + 1, dsub)
-            cents = _centroid_array(book)
-            dists = _sub_dists(sub, cents)
+            # one parsed SQL string per subspace instead of the py4j
+            # lambda tree — same fold, leaner plan (clustering._dists_sql)
+            dists = F.expr(_dists_sql(f"slice(_v, {j * dsub + 1}, {dsub})", book))
             cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
             per_sub.append(
                 F.struct(
@@ -191,9 +184,7 @@ def encode_pq(
     out = df.select(F.col(id_col).alias("id"), *carry, vec.alias("_v"))
     codes = []
     for j, book in enumerate(codebooks):
-        sub = F.slice(F.col("_v"), j * dsub + 1, dsub)
-        cents = _centroid_array(book)
-        dists = _sub_dists(sub, cents)
+        dists = F.expr(_dists_sql(f"slice(_v, {j * dsub + 1}, {dsub})", book))
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
