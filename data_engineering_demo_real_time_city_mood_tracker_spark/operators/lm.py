@@ -1,0 +1,195 @@
+"""Corpus language-model scoring in portable fixed-point arithmetic —
+the two data-selection stages a pretraining pipeline runs after dedup:
+
+- **bigram LM fluency scoring** (the CCNet recipe, Wenzek et al. 2020:
+  score every document with a small LM trained on the corpus, keep the
+  fluent head). The classical filter scores perplexity under a 5-gram
+  KenLM; the distributed analog here trains a bigram model ON the
+  corpus itself (counts are two map-side-combining aggregations) and
+  scores each document by its mean conditional bigram probability.
+- **hashed importance resampling** (the DSIR recipe, Xie et al. 2023:
+  weight every document by target-vs-source likelihood ratio under
+  hashed n-gram features, then resample). Features hash into a
+  fixed-width bucket table, so the "model" is B rows at ANY corpus
+  size; the selection keeps the top documents by quantized ratio
+  score.
+
+Both stay bitwise oracle-portable by never touching floats: log-space
+scoring is the textbook formulation, but ln() is not IEEE-pinned
+across engines (memory: ln/pow are NOT portable), so probabilities are
+quantized to integers once — ``(scale * num) div den`` on BIGINTs,
+floor division, no rounding rule to disagree on — and every downstream
+step is exact integer SUM / floor-div. Monotonicity with the float
+score is preserved at ``scale`` resolution, which is what a
+keep/drop filter consumes.
+
+Scale shape (100 TB): everything is explode → map-side-combining
+groupBy. The bigram count table is vocab²-bounded and joins back to
+per-doc partials on (w1, w2) — hot stop-word bigrams are exactly the
+AQE skew-join case, and partial aggregation absorbs them in the count
+phase. The DSIR bucket table is B-bounded by construction (a count
+table, NOT a candidate-pair generator — fixed B here is not the
+fixed-width quadratic trap that bit r3's pair-family ops, because no
+doc×doc join ever happens); it broadcasts at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens
+from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread, _toked
+
+# Quantization scale for conditional probabilities / likelihood
+# ratios. 1e9 keeps sums far from BIGINT range: a 1e6-token document
+# sums to ≤ 1e15, and the DSIR ratio for a pure-target bucket tops out
+# at scale * (tgt+1) ≤ ~1e9 * corpus tokens / B.
+FP_SCALE = 10**9
+
+
+def doc_bigram_counts(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2, c) — per-document counts of adjacent token pairs.
+
+    One tokenize pass: the pair array is built inline inside the
+    explode from the bound ``_toks`` projection (the Generate-inlines-
+    its-child hazard documented at dedup._shingle_arrays), and every
+    downstream statistic — the bigram table, the left-context totals,
+    the per-doc scores — derives from THIS frame, the same
+    partials-reuse trick tfidf_topk uses for tf/df.
+    """
+    pairs = F.expr(
+        "transform(slice(_toks, 1, size(_toks) - 1),"
+        " (x, i) -> struct(x AS w1, _toks[i + 1] AS w2))"
+    )
+    return (
+        _toked(docs, text_col, id_col)
+        .select("id", F.explode(pairs).alias("p"))
+        .select("id", "p.w1", "p.w2")
+        .groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def bigram_model(dbc: DataFrame, scale: int = FP_SCALE) -> DataFrame:
+    """(w1, w2, cond_fp) — quantized Laplace-smoothed conditional
+    probability table: cond_fp = (scale * (c(w1,w2) + 1)) div
+    (c(w1·) + V) as exact BIGINT floor division, V = left-context
+    vocabulary size. Unsmoothed conditionals are a trap for a
+    SELF-trained LM: a singleton context has probability 1 by
+    construction, so one-off gibberish bigrams would score as
+    maximally fluent (caught by test_bigram_lm_scores_fluent_docs_
+    higher); add-one smoothing makes rare contexts cheap and frequent
+    corpus patterns expensive to beat, which is the signal the filter
+    wants. The left-context totals AND the vocabulary size derive from
+    the bigram partials (vocab²-sized) instead of re-scanning the
+    corpus; V rides a 1-row cross join, never a driver action.
+    """
+    bg = dbc.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    lft = bg.groupBy("w1").agg(F.sum("cb").alias("c1")).persist()
+    vcnt = lft.agg(F.count(F.lit(1)).alias("v"))
+    return (
+        bg.join(lft, "w1")
+        .crossJoin(vcnt)
+        .select("w1", "w2", F.expr(f"({scale} * (cb + 1)) div (c1 + v)").alias("cond_fp"))
+    )
+
+
+def score_bigram_lm(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    scale: int = FP_SCALE) -> DataFrame:
+    """(doc_id, n_bigrams, score_fp) — mean conditional bigram
+    probability of each document under the corpus bigram LM, quantized
+    at ``scale``. Higher = more fluent relative to the corpus; the
+    CCNet-style filter is ``score_fp >= threshold`` with the threshold
+    picked by quantile (see operators/quantiles.exact_quantiles).
+
+    Documents with < 2 tokens have no bigrams and are absent from the
+    output (they carry no LM evidence either way).
+    """
+    dbc = doc_bigram_counts(docs, text_col, id_col).persist()
+    model = bigram_model(dbc, scale)
+    out = (
+        dbc.join(model, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("c") * F.col("cond_fp")).alias("s"),
+            F.sum("c").alias("nb"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("nb").cast("long").alias("n_bigrams"),
+            F.expr("s div nb").cast("long").alias("score_fp"),
+        )
+    )
+    return out
+
+
+def dsir_scores(docs: DataFrame, is_target, text_col: str = "text",
+                id_col: str = "doc_id", n_buckets: int = 4096,
+                scale: int = FP_SCALE) -> DataFrame:
+    """(doc_id, n_tokens, score_fp) — hashed-unigram importance score
+    of every document: mean over its token occurrences of the
+    quantized target/source frequency ratio
+    ``(scale * (tgt_b + 1)) div (src_b + 1)`` (add-one smoothed) where
+    ``b = md5-bucket(token) mod n_buckets``. ``is_target`` is a boolean
+    Column over ``docs`` marking the target-distribution exemplars.
+
+    One tokenize pass: per-doc bucket counts are the persisted
+    partials; target and source bucket totals both derive from them.
+    The ratio table is exactly ``n_buckets`` rows no matter the corpus
+    — it is force-broadcast deliberately (bounded by construction,
+    unlike the unbounded stats frame the r3 advice flagged in
+    exact_quantiles).
+    """
+    toked = (
+        docs.withColumn("_tgt", is_target)
+        .select(F.col(id_col).alias("id"), "_tgt", F.col(text_col).alias("_txt"))
+    )
+    tok = (
+        _spread(toked)
+        .select("id", "_tgt", tokens(F.col("_txt")).alias("_toks"))
+        .select("id", "_tgt", F.explode("_toks").alias("token"))
+    )
+    b = F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long") % n_buckets
+    tb = (
+        tok.select("id", "_tgt", b.alias("b"))
+        .groupBy("id", "_tgt", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    src = tb.groupBy("b").agg(F.sum("c").alias("sc"))
+    tgt = tb.filter("_tgt").groupBy("b").agg(F.sum("c").alias("tc"))
+    w = src.join(tgt, "b", "left").select(
+        "b",
+        F.expr(f"({scale} * (coalesce(tc, CAST(0 AS BIGINT)) + 1)) div (sc + 1)").alias("w_fp"),
+    )
+    return (
+        tb.join(F.broadcast(w), "b")
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("c") * F.col("w_fp")).alias("s"),
+            F.sum("c").alias("nt"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("nt").cast("long").alias("n_tokens"),
+            F.expr("s div nt").cast("long").alias("score_fp"),
+        )
+    )
+
+
+def dsir_sample(docs: DataFrame, is_target, keep_frac_denom: int = 4,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 4096, scale: int = FP_SCALE) -> DataFrame:
+    """Top-(n/keep_frac_denom) documents by DSIR importance score,
+    deterministically tie-broken by doc_id (total order, so the LIMIT
+    boundary is engine-independent). The top-k itself is a
+    TakeOrdered — per-partition heaps, no global sort."""
+    n_docs = docs.count()
+    m = max(1, n_docs // keep_frac_denom)
+    return (
+        dsir_scores(docs, is_target, text_col, id_col, n_buckets, scale)
+        .orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(m)
+    )

@@ -38,6 +38,7 @@ from data_engineering_demo_real_time_city_mood_tracker_spark.operators import (
     bpe,
     dedup,
     joins,
+    lm,
     multimodal,
     sessions,
     similarity,
@@ -7176,3 +7177,87 @@ def q_dedup_index_probe(spark, sf_dir):
     return dedup.query_dedup_index(
         spark, path, batch, "text", "doc_id", threshold=0.2
     )
+
+
+# --------------------------------------------------------------------------
+# corpus LM scoring / importance resampling (round-4 additions —
+# the data-SELECTION stages a pretraining pipeline runs after dedup)
+
+
+_BIGRAM_PAIRS_CTE = f"""tok AS (
+  SELECT doc_id AS id, string_split({{norm}}, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT id, unnest(list_zip(t, t[2:])) AS p FROM tok) z
+  WHERE p[2] IS NOT NULL
+),
+dbc AS (SELECT id, w1, w2, COUNT(*) AS c FROM pairs GROUP BY id, w1, w2)"""
+
+
+@register(
+    "bigram_lm_score",
+    f"""WITH {_BIGRAM_PAIRS_CTE.format(norm=_docs_norm_sql())},
+bg AS (SELECT w1, w2, SUM(c) AS cb FROM dbc GROUP BY w1, w2),
+lft AS (SELECT w1, SUM(cb) AS c1 FROM bg GROUP BY w1),
+vcnt AS (SELECT COUNT(*) AS v FROM lft),
+model AS (
+  SELECT bg.w1, bg.w2, (1000000000 * (bg.cb + 1)) // (lft.c1 + vcnt.v) AS cond_fp
+  FROM bg JOIN lft ON bg.w1 = lft.w1 CROSS JOIN vcnt
+),
+ds AS (
+  SELECT id, SUM(c * cond_fp) AS s, SUM(c) AS nb
+  FROM dbc JOIN model USING (w1, w2) GROUP BY id
+)
+SELECT id AS doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+       CAST(s // nb AS BIGINT) AS score_fp
+FROM ds""",
+)
+def q_bigram_lm_score(spark, sf_dir):
+    """CCNet-style LM fluency scoring (Wenzek et al. 2020), portable:
+    train a Laplace-smoothed bigram LM on the corpus (two map-side-
+    combining aggs over one tokenize pass), score every doc by mean
+    conditional bigram probability in fixed-point (ln() isn't
+    IEEE-pinned across engines; (scale*num) div den floor-division
+    is). See operators/lm.py for the 100 TB shape (vocab²-bounded
+    model, AQE skew-join on hot stop-word bigrams) and why unsmoothed
+    self-trained conditionals would invert the fluency signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.score_bigram_lm(docs, "text", "doc_id")
+
+
+@register(
+    "dsir_sample",
+    f"""WITH tok AS (
+  SELECT doc_id AS id, lang = 'en' AS is_tgt,
+         unnest(string_split({_docs_norm_sql()}, ' ')) AS token
+  FROM documents
+),
+tb AS (
+  SELECT id, is_tgt, {_hex4_sql("md5(token)", 1, 4096)} AS b, COUNT(*) AS c
+  FROM tok GROUP BY id, is_tgt, b
+),
+srcc AS (SELECT b, SUM(c) AS sc FROM tb GROUP BY b),
+tgtc AS (SELECT b, SUM(c) AS tc FROM tb WHERE is_tgt GROUP BY b),
+w AS (
+  SELECT srcc.b, (1000000000 * (COALESCE(tc, 0) + 1)) // (sc + 1) AS w_fp
+  FROM srcc LEFT JOIN tgtc ON srcc.b = tgtc.b
+),
+ds AS (SELECT id, SUM(c * w_fp) AS s, SUM(c) AS nt FROM tb JOIN w USING (b) GROUP BY id)
+SELECT id AS doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       CAST(s // nt AS BIGINT) AS score_fp
+FROM ds
+ORDER BY score_fp DESC, doc_id
+LIMIT (SELECT GREATEST(1, COUNT(*) // 4) FROM documents)""",
+)
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023), portable variant:
+    hashed-unigram features (md5 bucket mod 4096 — the _hex4 idiom),
+    add-one-smoothed target/source ratio quantized to BIGINT, keep the
+    top quarter by score with doc_id tiebreak (total order, so the
+    LIMIT boundary is engine-independent). Target exemplars here are
+    the lang='en' docs; the ratio table is n_buckets rows at ANY
+    corpus size (a count table, not a pair generator — see
+    operators/lm.py on why fixed B is safe here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.dsir_sample(docs, F.col("lang") == "en", keep_frac_denom=4)

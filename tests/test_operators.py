@@ -457,3 +457,53 @@ def test_bpe_train_then_encode_roundtrip(spark):
     # 'abab' must collapse into a single subword within 3 merges
     subs = list(enc[0].subwords)
     assert "abab" in subs
+
+
+def test_bigram_lm_scores_fluent_docs_higher(spark):
+    """A doc made of the corpus's dominant bigrams outscores a doc of
+    one-off bigrams, scores are bounded by the quantization scale, and
+    a doc with <2 tokens is absent (no LM evidence)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.lm import FP_SCALE, score_bigram_lm
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "the cat sat on the mat"),
+        (4, "zx qv pl mn ko ij"),  # every bigram unique in corpus
+        (5, "word"),  # single token — no bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in score_bigram_lm(docs).collect()}
+    assert 5 not in out
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].score_fp == out[2].score_fp == out[3].score_fp
+    # dominant-bigram docs score strictly higher than the one-off doc
+    assert out[1].score_fp > out[4].score_fp
+    for r in out.values():
+        assert 0 <= r.score_fp <= FP_SCALE
+    # doc 1 has 5 bigrams; "the"->{"cat","mat"} splits its context
+    assert out[1].n_bigrams == 5
+
+
+def test_dsir_sample_prefers_target_like_docs(spark):
+    """Docs sharing the target exemplars' vocabulary get higher
+    importance scores than off-distribution docs, and the keep set is
+    exactly the top-(n/denom) by (score desc, doc_id)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.lm import dsir_sample, dsir_scores
+    from pyspark.sql import functions as F
+
+    tgt_text = "alpha beta gamma delta alpha beta"
+    src_text = "omega psi chi phi omega psi"
+    rows = (
+        [(i, tgt_text, "en") for i in range(4)]
+        + [(10 + i, tgt_text, "xx") for i in range(3)]  # target-LIKE, not exemplars
+        + [(20 + i, src_text, "xx") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    is_tgt = F.col("lang") == "en"
+    scores = {r.doc_id: r.score_fp for r in dsir_scores(docs, is_tgt).collect()}
+    assert min(scores[d] for d in (10, 11, 12)) > max(scores[d] for d in (20, 21, 22, 23, 24))
+    kept = dsir_sample(docs, is_tgt, keep_frac_denom=4).collect()
+    assert len(kept) == 3  # 12 docs // 4
+    expect = sorted(scores, key=lambda d: (-scores[d], d))[:3]
+    assert [r.doc_id for r in kept] == expect
