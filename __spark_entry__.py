@@ -59,9 +59,11 @@ _FRONT = [
     # --- newly oracle-backed in r4: the binary-decode stretch item —
     # needs its first HASH row (r3's row was rows-only) ---
     "image_dedup_dhash",
-    # --- new r4 queries: corpus LM scoring / importance resampling ---
+    # --- new r4 queries: corpus LM scoring / importance resampling /
+    # curation observability ---
     "bigram_lm_score",
     "dsir_sample",
+    "filter_funnel_report",
     # new r4 queries are appended here as they land; remaining gate
     # slots fall through to registry order (long-green r1 rows —
     # harmless repeat confirmations)

@@ -489,9 +489,12 @@ def label_propagation(
     und = und.union(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     ).distinct().persist()
-    verts = und.select(F.col("src").alias("id")).distinct().persist()
-    verts.count()
-    labels = verts.select("id", F.col("id").alias("label"))
+    # initial labels = own id; verts is single-use now (no per-round
+    # re-join, see below), so it needs no persist of its own
+    labels = (
+        und.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("label"))
+    )
     for _ in range(rounds):
         neigh = (
             und.join(labels, und.src == labels.id)
@@ -499,24 +502,20 @@ def label_propagation(
             .groupBy("id", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        # argmax label by (max count, min label) — deterministic
-        new_labels = neigh.groupBy("id").agg(
+        # argmax label by (max count, min label) — deterministic.
+        # No verts re-join: the graph is symmetrized above, so every
+        # vertex appears as a dst and gets neighbor votes — the
+        # isolated-vertex coalesce could never fire (the SQL oracle
+        # keeps its LEFT JOIN spelling; the results are identical, and
+        # the oracle hash row guards that claim every round).
+        labels = neigh.groupBy("id").agg(
             F.min_by("label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias(
                 "label"
             )
-        )
-        labels = (
-            verts.join(new_labels, "id", "left")
-            .select(
-                verts.id.alias("id"),
-                F.coalesce(new_labels.label, verts.id).alias("label"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        ).localCheckpoint(eager=False)
     labels = labels.persist()
     labels.count()
     und.unpersist()
-    verts.unpersist()
     return labels.select("id", F.col("label").alias("community"))
 
 
@@ -550,14 +549,15 @@ def pagerank_fixed_point(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
-    verts = deg.select(F.col("src").alias("id")).persist()
-    n = verts.count()
+    n = deg.count()  # == vertex count: deg has one row per vertex
     spark = edges.sparkSession
     if n == 0:
         return spark.createDataFrame([], "id long, rank_fp long")
     tele = (15 * scale) // (100 * n)
     contrib_base = und.join(deg, "src").persist()  # (src, dst, d)
-    ranks = verts.select("id", F.lit(scale // n).cast("long").alias("r"))
+    ranks = deg.select(
+        F.col("src").alias("id"), F.lit(scale // n).cast("long").alias("r")
+    )
     with _vertex_sized_shuffle(spark, n):
         for _ in range(rounds):
             c = (
@@ -568,21 +568,18 @@ def pagerank_fixed_point(
                 .groupBy("dst")
                 .agg(F.sum("c").alias("s"))
             )
-            ranks = (
-                verts.join(c, verts.id == c.dst, "left")
-                .select(
-                    "id",
-                    (
-                        F.lit(tele)
-                        + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
-                    ).cast("long").alias("r"),
-                )
-                .localCheckpoint(eager=False)
-            )
+            # no verts re-join: the symmetrized graph gives every
+            # vertex inbound edges, so the inflow agg already covers
+            # all of verts and the zero-inflow coalesce could never
+            # fire (the SQL oracle keeps its LEFT JOIN spelling; the
+            # hash row guards the equivalence).
+            ranks = c.select(
+                F.col("dst").alias("id"),
+                (F.lit(tele) + F.expr("(85 * s) div 100")).cast("long").alias("r"),
+            ).localCheckpoint(eager=False)
         ranks = ranks.persist()
         ranks.count()
     deg.unpersist()
-    verts.unpersist()
     contrib_base.unpersist()
     return ranks.select("id", F.col("r").alias("rank_fp"))
 

@@ -7261,3 +7261,114 @@ def q_dsir_sample(spark, sf_dir):
     operators/lm.py on why fixed B is safe here)."""
     docs = load_table(spark, sf_dir, "documents")
     return lm.dsir_sample(docs, F.col("lang") == "en", keep_frac_denom=4)
+
+
+_FUNNEL_SH5 = T.word_shingles_sql("text", 5)
+
+
+@register(
+    "filter_funnel_report",
+    f"""WITH s0 AS (
+  SELECT doc_id, lang, text, md5({_docs_norm_sql()}) AS fp,
+         len(string_split({_docs_norm_sql()}, ' ')) AS nt,
+         len(list_distinct(string_split({_docs_norm_sql()}, ' '))) AS nd
+  FROM documents WHERE doc_id % 97 != 0
+),
+s1 AS (SELECT * FROM s0 WHERE lang = 'en'),
+s2 AS (SELECT * FROM s1 WHERE nt >= 10 AND nd * 10 >= nt * 3),
+s3 AS (
+  SELECT * FROM s2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+),
+b5 AS (
+  SELECT DISTINCT unnest({_FUNNEL_SH5}) AS sh
+  FROM documents WHERE doc_id % 97 = 0
+),
+bad AS (
+  SELECT DISTINCT g.doc_id
+  FROM (SELECT doc_id, unnest(list_distinct({_FUNNEL_SH5})) AS sh FROM s3) g
+  JOIN b5 ON g.sh = b5.sh
+),
+s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage, COUNT(*) AS n_docs,
+       CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens FROM s0
+UNION ALL SELECT 1, 'lang', COUNT(*), CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s1
+UNION ALL SELECT 2, 'quality', COUNT(*), CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'dedup_exact', COUNT(*), CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'decontaminated', COUNT(*), CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s4""",
+)
+def q_filter_funnel_report(spark, sf_dir):
+    """corpus-curation funnel observability: how many documents and
+    tokens survive each successive cleaning stage (language keep →
+    quality gate → exact dedup → eval-set decontamination) — the
+    first report a data-curation run produces, and the one that
+    decides which stage to tune. Stages are CUMULATIVE (each applies
+    to the previous stage's survivors, e.g. dedup's min-doc_id keeper
+    is chosen among quality survivors only — order matters and the
+    oracle pins it). All counts are integers; the quality gate uses
+    integer cross-multiplication (nd*10 >= nt*3), never a float
+    ratio. One tokenize pass: the flagged base frame is persisted and
+    every stage derives from it; the benchmark 5-gram side is a tiny
+    fixed slice (doc_id % 97) left to AQE broadcast."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import (
+        normalize,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s0 = (
+        dedup._spread(docs.filter(F.col("doc_id") % 97 != 0))
+        .select("doc_id", "lang", "text", normalize(F.col("text")).alias("_norm"))
+        .select(
+            "doc_id", "lang", "text",
+            F.md5("_norm").alias("fp"),
+            F.split("_norm", " ").alias("_t"),
+        )
+        .select(
+            "doc_id", "lang", "text", "fp",
+            F.size("_t").alias("nt"),
+            F.size(F.array_distinct("_t")).alias("nd"),
+        )
+        .persist()
+    )
+    s1 = s0.filter(F.col("lang") == "en")
+    s2 = s1.filter((F.col("nt") >= 10) & (F.col("nd") * 10 >= F.col("nt") * 3))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    s3 = (
+        s2.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .persist()
+    )
+    b5 = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("text").alias("_btext"))
+        .select(F.explode(T.word_shingles(F.col("_btext"), 5)).alias("sh"))
+        .distinct()
+    )
+    g = s3.select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("_toks"), 5))).alias("sh"),
+    )
+    bad = g.join(b5, "sh").select("doc_id").distinct()
+    s4 = s3.join(bad, "doc_id", "left_anti")
+
+    def stage_agg(df, idx, name):
+        return df.agg(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+
+    out = (
+        stage_agg(s0, 0, "raw")
+        .unionAll(stage_agg(s1, 1, "lang"))
+        .unionAll(stage_agg(s2, 2, "quality"))
+        .unionAll(stage_agg(s3, 3, "dedup_exact"))
+        .unionAll(stage_agg(s4, 4, "decontaminated"))
+    )
+    return out
