@@ -64,6 +64,7 @@ _FRONT = [
     "bigram_lm_score",
     "dsir_sample",
     "filter_funnel_report",
+    "token_budget_mixture",
     # new r4 queries are appended here as they land; remaining gate
     # slots fall through to registry order (long-green r1 rows —
     # harmless repeat confirmations)

@@ -7372,3 +7372,124 @@ def q_filter_funnel_report(spark, sf_dir):
         .unionAll(stage_agg(s4, 4, "decontaminated"))
     )
     return out
+
+
+@register(
+    "token_budget_mixture",
+    f"""WITH nt AS (
+  SELECT doc_id, source,
+         len(string_split({_docs_norm_sql()}, ' ')) AS nt
+  FROM documents
+),
+sc AS (SELECT source, SUM(nt) AS n FROM nt GROUP BY source),
+tot AS (SELECT SUM(n) // 2 AS b FROM sc),
+ordered AS (
+  SELECT source, n,
+         ROW_NUMBER() OVER (ORDER BY n, source) AS i,
+         SUM(n) OVER (ORDER BY n, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         COUNT(*) OVER () AS m
+  FROM sc
+),
+flags AS (
+  SELECT *,
+         CASE WHEN n * (m - i + 1) + (p - n) <= (SELECT b FROM tot)
+              THEN i ELSE 0 END AS ok
+  FROM ordered
+),
+kk AS (SELECT MAX(ok) AS k FROM flags),
+lvl AS (
+  SELECT ((SELECT b FROM tot)
+          - COALESCE((SELECT p FROM ordered WHERE i = (SELECT k FROM kk)), 0))
+         // ((SELECT MAX(m) FROM ordered) - (SELECT k FROM kk)) AS l
+),
+alloc AS (
+  SELECT source,
+         CASE WHEN i <= (SELECT k FROM kk) THEN n ELSE (SELECT l FROM lvl) END AS alloc
+  FROM ordered
+),
+ranked AS (
+  SELECT doc_id, source, nt,
+         SUM(nt) OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM nt
+)
+SELECT r.doc_id, r.source, CAST(r.nt AS BIGINT) AS n_tokens,
+       CAST(a.alloc AS BIGINT) AS source_budget,
+       (r.cum <= a.alloc) AS kept
+FROM ranked r JOIN alloc a USING (source)""",
+)
+def q_token_budget_mixture(spark, sf_dir):
+    """domain mixing under a TOKEN budget (the way pretraining mixtures
+    are actually specified — "this many tokens per domain", not keep
+    rates): per-source budgets by integer max-min waterfilling against
+    half the corpus's tokens (small sources keep everything, large
+    sources cap at a common waterline — the budget arithmetic is pure
+    integer window math over the BOUNDED source table, identical in
+    both engines), then each source fills its budget greedily in
+    md5(doc_id) rank order (no RNG, byte-identical re-runs; the
+    same md5-rank-prefix discipline as temperature_sample).
+    `alloc` is a CAP — a non-monotone waterline flag just means a
+    small source keeps all its tokens, and the kept total is ≤ budget
+    by construction. Corpus pays one tokenize pass + one source-keyed
+    rank/cumsum window; per-source windows inherit
+    temperature_sample's scale caveat (swap for a two-level scan at
+    extreme per-key cardinality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = dedup._spread(docs).select(
+        "doc_id", "source", F.size(T.tokens(F.col("text"))).alias("nt")
+    )
+    sc = nt.groupBy("source").agg(F.sum("nt").alias("n"))
+    wo = Window.orderBy("n", "source")
+    ordered = sc.select(
+        "source", "n",
+        F.row_number().over(wo).alias("i"),
+        F.sum("n").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    ).persist()
+    b = ordered.agg(F.expr("sum(n) div 2").alias("b"))  # exact integer halving, == DuckDB //
+    # the waterline: k = max index still fully satisfiable, L = the
+    # integer fair share of what remains — 20ish rows, all integer
+    flags = ordered.crossJoin(F.broadcast(b)).select(
+        "source", "n", "i", "p", "m", "b",
+        F.when(
+            F.col("n") * (F.col("m") - F.col("i") + 1) + (F.col("p") - F.col("n"))
+            <= F.col("b"),
+            F.col("i"),
+        ).otherwise(F.lit(0)).alias("ok"),
+    )
+    kk = flags.agg(
+        F.max("ok").alias("k"),
+        F.max("m").alias("m"),
+        F.max("b").alias("b"),
+        F.max(F.when(F.col("ok") == F.col("i"), F.col("p"))).alias("pk"),
+    ).select(
+        "k",
+        F.expr("(b - coalesce(pk, CAST(0 AS BIGINT))) div (m - k)").alias("l"),
+    )
+    alloc = ordered.crossJoin(F.broadcast(kk)).select(
+        "source",
+        F.when(F.col("i") <= F.col("k"), F.col("n"))
+        .otherwise(F.col("l"))
+        .cast("long")
+        .alias("alloc"),
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = nt.select(
+        "doc_id", "source", "nt",
+        F.sum("nt").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return ranked.join(F.broadcast(alloc), "source").select(
+        "doc_id",
+        "source",
+        F.col("nt").cast("long").alias("n_tokens"),
+        F.col("alloc").alias("source_budget"),
+        (F.col("cum") <= F.col("alloc")).alias("kept"),
+    )

@@ -507,3 +507,26 @@ def test_dsir_sample_prefers_target_like_docs(spark):
     assert len(kept) == 3  # 12 docs // 4
     expect = sorted(scores, key=lambda d: (-scores[d], d))[:3]
     assert [r.doc_id for r in kept] == expect
+
+
+def test_token_budget_mixture_waterfill_invariants(spark):
+    """Waterfilled caps: kept tokens never exceed the half-corpus
+    budget, a source smaller than the waterline keeps ALL its docs,
+    and capped sources keep a greedy md5-rank prefix."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import queries
+
+    out = queries()["token_budget_mixture"](spark, "/root/testdata/sf0.001").toPandas()
+    total = out.n_tokens.sum()
+    kept = out[out.kept].n_tokens.sum()
+    assert kept <= total // 2
+    per_src = out.groupby("source")
+    for src, g in per_src:
+        n_src = g.n_tokens.sum()
+        cap = g.source_budget.iloc[0]
+        assert (g.source_budget == cap).all()
+        if n_src <= cap:  # under the waterline: everything kept
+            assert g.kept.all()
+        else:  # capped: kept tokens within cap, and nothing was skipped
+            assert g[g.kept].n_tokens.sum() <= cap
