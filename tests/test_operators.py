@@ -530,3 +530,19 @@ def test_token_budget_mixture_waterfill_invariants(spark):
             assert g.kept.all()
         else:  # capped: kept tokens within cap, and nothing was skipped
             assert g[g.kept].n_tokens.sum() <= cap
+
+
+def test_filter_funnel_is_monotone(spark):
+    """Cumulative funnel: every stage keeps a subset of the previous
+    stage's docs AND tokens, stage indices are contiguous from raw."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import queries
+
+    out = queries()["filter_funnel_report"](spark, "/root/testdata/sf0.001").toPandas()
+    out = out.sort_values("stage_idx").reset_index(drop=True)
+    assert list(out.stage_idx) == [0, 1, 2, 3, 4]
+    assert list(out.stage) == ["raw", "lang", "quality", "dedup_exact", "decontaminated"]
+    assert (out.n_docs.diff().dropna() <= 0).all()
+    assert (out.n_tokens.diff().dropna() <= 0).all()
+    assert out.n_docs.iloc[0] > 0
