@@ -205,6 +205,7 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
+    dangling_free: bool = False,
 ) -> DataFrame:
     """(id, rank) PageRank over a DIRECTED edge list (symmetrize first
     for undirected graphs). The standard power iteration as the
@@ -217,6 +218,16 @@ def pagerank(
     :func:`connected_components`. At 100 TB scale the rank frame is
     vertex-sized — the edges frame is the big side and it is scanned
     once per round from its (persisted) shuffle-partitioned form.
+
+    ``dangling_free=True`` is a CALLER PROMISE that every vertex has
+    at least one out-edge (true by construction for kNN graphs: each
+    vector emits k edges). It drops the per-round dangling-mass
+    aggregation + broadcast entirely; the result is bitwise identical
+    when the promise holds (dangling mass is exactly 0.0, and
+    ``inflow + 0.0`` / ``0.0 / n`` are IEEE identities on the
+    positive inflows) and WRONG when it doesn't — there is no cheap
+    runtime check, so only pass it for graphs whose construction
+    guarantees out-degree ≥ 1.
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
@@ -235,6 +246,28 @@ def pagerank(
     try:
         with _vertex_sized_shuffle(spark, n):
             for _ in range(iterations):
+                if dangling_free:
+                    contribs = (
+                        ranks.join(outdeg, ranks.id == outdeg.src)
+                        .select("id", "rank", "outdeg")
+                        .join(e, F.col("id") == e.src)
+                        .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+                        .groupBy("dst")
+                        .agg(F.sum("c").alias("inflow"))
+                    )
+                    ranks = (
+                        verts.join(contribs, verts.id == contribs.dst, "left")
+                        .select(
+                            "id",
+                            (
+                                F.lit(base)
+                                + F.lit(damping)
+                                * F.coalesce(F.col("inflow"), F.lit(0.0))
+                            ).alias("rank"),
+                        )
+                        .localCheckpoint(eager=False)
+                    )
+                    continue
                 with_deg = ranks.join(
                     outdeg, ranks.id == outdeg.src, "left"
                 ).select("id", "rank", "outdeg")

@@ -201,6 +201,7 @@ def lsh_ann_topk(
     k: int = 5,
     nbits: int = 4,
     hamming_probe: int = 0,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: probe the query's sign-LSH bucket.
 
@@ -216,6 +217,12 @@ def lsh_ann_topk(
     layout (ONE bucket per vector, the thing that makes this cheaper
     than brute force at 100 TB) is untouched; only the small query
     side fans out.
+
+    ``broadcast_queries=False`` drops the broadcast hint and lets AQE
+    choose the bucket-join strategy — REQUIRED for self-kNN callers
+    (queries == corpus), where the "query side" is corpus-sized and a
+    forced broadcast would OOM at scale; AQE still broadcasts it
+    whenever it actually fits (results are join-strategy independent).
     """
     from itertools import combinations
 
@@ -245,7 +252,7 @@ def lsh_ann_topk(
             ).alias("bucket"),
         )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q) if broadcast_queries else q, "bucket")
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select(
             "query_id",

@@ -6995,9 +6995,17 @@ def q_pagerank_topk(spark, sf_dir):
     # 10× corpora get 2^8+ buckets; occupancy ~128 still leaves ≥25×
     # the k=5 candidates per bucket
     nbits = dedup.adaptive_nbits(emb.count(), target_bucket_size=128, min_bits=4)
-    knn = similarity.lsh_ann_topk(emb, emb, "embedding", "vec_id", k=5, nbits=nbits)
+    # self-kNN: the "query side" is the corpus itself, so no broadcast
+    # hint — AQE broadcasts while it fits and shuffles past that
+    knn = similarity.lsh_ann_topk(
+        emb, emb, "embedding", "vec_id", k=5, nbits=nbits,
+        broadcast_queries=False,
+    )
     edges = knn.select(F.col("query_id").alias("src"), F.col("corpus_id").alias("dst"))
-    ranks = pagerank(edges, iterations=5)
+    # every vector emits k edges, so the kNN graph has out-degree ≥ 1
+    # by construction — the dangling machinery is skippable (bitwise
+    # identical; see pagerank docstring)
+    ranks = pagerank(edges, iterations=5, dangling_free=True)
     return (
         ranks.orderBy(F.col("rank").desc(), "id")
         .limit(20)
