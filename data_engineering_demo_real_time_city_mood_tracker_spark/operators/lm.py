@@ -41,9 +41,15 @@ from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text impo
 from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread, _toked
 
 # Quantization scale for conditional probabilities / likelihood
-# ratios. 1e9 keeps sums far from BIGINT range: a 1e6-token document
-# sums to ≤ 1e15, and the DSIR ratio for a pure-target bucket tops out
-# at scale * (tgt+1) ≤ ~1e9 * corpus tokens / B.
+# ratios (every ratio is ≤ 1, so quantized values are ≤ scale and a
+# 1e6-token document's score sum stays ≤ 1e15). The BIGINT headroom
+# bound lives in the NUMERATOR products: scale * (count + 1) must stay
+# under 2^63, i.e. count < 9.2e18 / scale — at scale=1e9 that is 9.2e9
+# occurrences of one bigram / one hash bucket, comfortable for the
+# registered corpora but NOT for a 100 TB run (~25 T tokens: a top
+# stop-word bigram reaches ~1e11, an average 4096-bucket count ~6e9).
+# At that scale pass scale=1e6 — headroom to 9.2e12 occurrences, and
+# 1e-6 resolution is far finer than a keep/drop threshold needs.
 FP_SCALE = 10**9
 
 
