@@ -7445,9 +7445,12 @@ def q_token_budget_mixture(spark, sf_dir):
     temperature_sample's scale caveat (swap for a two-level scan at
     extreme per-key cardinality)."""
     docs = load_table(spark, sf_dir, "documents")
+    # persisted: both the source totals AND the rank/cumsum pass read
+    # this doc-sized 3-column frame — without the cache the corpus
+    # would tokenize twice (the docstring's one-pass claim)
     nt = dedup._spread(docs).select(
         "doc_id", "source", F.size(T.tokens(F.col("text"))).alias("nt")
-    )
+    ).persist()
     sc = nt.groupBy("source").agg(F.sum("nt").alias("n"))
     wo = Window.orderBy("n", "source")
     ordered = sc.select(
