@@ -65,6 +65,8 @@ _FRONT = [
     "dsir_sample",
     "filter_funnel_report",
     "token_budget_mixture",
+    "quality_classifier",
+    "kcenter_coreset",
     # new r4 queries are appended here as they land; remaining gate
     # slots fall through to registry order (long-green r1 rows —
     # harmless repeat confirmations)

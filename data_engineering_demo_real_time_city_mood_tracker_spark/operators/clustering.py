@@ -352,3 +352,114 @@ def kmeans(
         assign_clusters(df, vec_col, id_col, centroids).select("id", "cluster"),
         centroids,
     )
+
+
+# --------------------------------------------------------------------------
+# greedy k-center coreset selection (farthest-point traversal) — the
+# diversity-based data-selection primitive: pick k points maximizing
+# pairwise spread, assign every point to its nearest pick. The greedy
+# traversal is the classical 2-approximation to the k-center objective
+# (Gonzalez 1985); data-curation pipelines use it to draw a coverage
+# sample ("coreset") of an embedding corpus before expensive stages.
+
+# Coordinate quantization scale. FLOOR(x * 1e6) is bit-deterministic
+# on any engine (no rounding rule, see _portable_mean), and all
+# distances thereafter are EXACT integer sums, so the argmax/argmin
+# choices — the part ties would corrupt — are engine-portable.
+# BIGINT bound: dim * (2 * scale * max|x|)^2 < 2^63 holds to
+# max|x| ~ 1.5e3 at dim 64; unit-norm-ish embeddings are ~1e9 inside.
+KC_SCALE = 10**6
+
+
+def _kc_qvec(vec_col):
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(KC_SCALE))).cast("long"),
+    )
+
+
+def _kc_cents_sql(cents: list[list[int]]) -> str:
+    """k x dim literal matrix of quantized centers as one parsed SQL
+    expression (the _centroid_array trick, integer flavor)."""
+    inner = ",".join(
+        "array(" + ",".join(f"{int(x)}L" for x in c) + ")" for c in cents
+    )
+    return f"array({inner})"
+
+
+def _kc_mindist_sql(cents: list[list[int]]) -> str:
+    """min over chosen centers of the exact integer squared L2
+    distance — integer adds commute, so fold order is irrelevant and
+    the value matches any engine's sum over the same terms."""
+    return (
+        f"array_min(transform({_kc_cents_sql(cents)}, c -> "
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, x) -> acc + x)))"
+    )
+
+
+def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8):
+    """(sel_rank, vec_id, dist_fp, n_assigned) — the k greedy k-center
+    picks in selection order with the coverage radius at selection
+    time (dist_fp = the point's min squared distance to the previously
+    chosen centers, quantized at KC_SCALE; the seed's is 0) and the
+    size of each pick's final nearest-center cell (ties to the earlier
+    pick).
+
+    Execution shape: the seed is the minimum-id point; each of the
+    k - 1 rounds is ONE map-only scan (centers-so-far ride the plan as
+    an integer literal matrix, the same zero-shuffle broadcast shape
+    as assign_clusters) feeding a TakeOrdered argmax — per-partition
+    top-1 heaps, no global sort — and collects exactly one row. Total
+    work O(n*k^2/2) distance folds; nothing data-sized ever reaches
+    the driver, so the scale ceiling is the scan, not the traversal.
+    """
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"), _kc_qvec(vec_col).alias("q")
+    ).persist()
+    seed = base.orderBy("id").limit(1).collect()[0]
+    # (rank, id, dist-at-selection, quantized vector)
+    chosen = [(1, seed.id, 0, list(seed.q))]
+    for r in range(2, k + 1):
+        far = (
+            base.select(
+                "id", "q",
+                F.expr(_kc_mindist_sql([c[3] for c in chosen])).alias("d"),
+            )
+            .orderBy(F.desc("d"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        row = far[0]
+        chosen.append((r, row.id, row.d, list(row.q)))
+    # final assignment: nearest chosen center per point, ties to the
+    # earlier pick — (dist, rank) structs compare field-by-field, so
+    # array_min IS the lexicographic argmin.
+    asg = (
+        "array_min(transform("
+        + _kc_cents_sql([c[3] for c in chosen])
+        + ", (c, i) -> struct("
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, x) -> acc + x) as d, "
+        "i + 1 as r)))"
+    )
+    counts = (
+        base.select(F.expr(f"({asg}).r").cast("long").alias("sel_rank"))
+        .groupBy("sel_rank")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    meta = spark.createDataFrame(
+        [(int(r), int(i), int(d)) for r, i, d, _ in chosen],
+        "sel_rank long, vec_id long, dist_fp long",
+    )
+    return (
+        meta.join(counts, "sel_rank", "left")
+        .select(
+            "sel_rank", "vec_id", "dist_fp",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_assigned"),
+        )
+        .orderBy("sel_rank")
+    )

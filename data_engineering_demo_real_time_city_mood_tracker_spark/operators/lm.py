@@ -199,3 +199,172 @@ def dsir_sample(docs: DataFrame, is_target, keep_frac_denom: int = 4,
         .orderBy(F.col("score_fp").desc(), "doc_id")
         .limit(m)
     )
+
+
+# --------------------------------------------------------------------------
+# fasttext-style quality probe: a hashed-feature linear classifier
+# trained BY SPARK with fixed-round full-batch gradient descent — the
+# third classic selection stage (GPT-3 / Llama curation trains a linear
+# classifier on curated positives and scores all of Common Crawl;
+# Brown et al. 2020 appendix A, Touvron et al. 2023 §2).
+#
+# The probe regresses CENTERED labels on CENTERED features — without
+# centering, full-batch GD spends its few rounds fitting the document-
+# length direction (the dominant eigenvector of binary presence
+# features) and learns no label signal (measured: AUC 0.49 after 10
+# uncentered rounds vs 0.63 after 3 centered rounds on the sf0.01
+# corpus). Centering never materializes a dense matrix: a centered
+# score is the sparse score minus ONE scalar (sum_b w_b*cnt_b/n), and
+# a centered gradient is the sparse gradient minus cnt_b*(sum resid)/n
+# — bounded scalar corrections, applied driver-side.
+#
+# The learning rate is 1/trace(C^T C) with the trace computed EXACTLY
+# in integers from the bucket counts: trace = sum_b (cnt_b -
+# cnt_b^2/n) >= lambda_max, so descent is provably monotone yet the
+# step adapts to the corpus (measured 4.4x larger than the worst-case
+# n*B/4 bound at sf0.01).
+
+# Weight/label scale. 1e6 keeps gradient products in BIGINT to
+# n ~ 1e11 docs (see train_quality_probe's bound note).
+QC_SCALE = 10**6
+# Offset making floor-division portable on SIGNED numerators: DuckDB's
+# `//` truncates toward zero on negatives while Python's `//` floors,
+# so the oracle computes ((num + OFF*den) // den) - OFF in HUGEINT —
+# numerator forced nonnegative, where trunc == floor. 2^40 exceeds
+# every |num|/den this trainer produces: |sum w*cnt|/n <= B*max|w|
+# ~ 1e9, |cnt*sum_resid|/n < n (needs n <= 1e12), |grad|/trace ~ 1e7.
+# Python needs no offset (its // already floors); Spark never
+# floor-divides a signed value executor-side in this operator.
+QC_PDIV_OFF = 1 << 40
+
+
+def hashed_presence_features(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             n_buckets: int = 256) -> DataFrame:
+    """(id, b) — binary hashed-unigram presence features (md5 bucket
+    mod ``n_buckets``, the dsir _hex4 idiom) plus a sentinel row
+    ``b = -1`` on every document. The sentinel carries weight 0
+    forever; its "gradient" is sum_i resid_i, so the scalar centering
+    correction rides the same single per-round collect as the real
+    per-bucket gradients — no second aggregation in either engine."""
+    tok = (
+        _toked(docs, text_col, id_col)
+        .select("id", F.explode("_toks").alias("token"))
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long")
+        % n_buckets
+    )
+    feats = tok.select("id", b.alias("b")).distinct()
+    sentinel = docs.select(
+        F.col(id_col).alias("id"), F.lit(-1).cast("long").alias("b")
+    )
+    return feats.unionByName(sentinel)
+
+
+def _qc_weight_expr(w: dict[int, int], n_buckets: int):
+    """score contribution of feature row ``b`` under the current
+    weights — the (B+1)-long weight vector rides the plan as ONE
+    parsed literal array (the _centroid_array trick; the b = -1
+    sentinel maps to index 1, pinned 0, so it never scores)."""
+    arr = ",".join(f"{w[b]}L" for b in range(-1, n_buckets))
+    return F.expr(f"element_at(array({arr}), cast(b as int) + 2)")
+
+
+def train_quality_probe(docs: DataFrame, is_positive, text_col: str = "text",
+                        id_col: str = "doc_id", n_buckets: int = 256,
+                        rounds: int = 3, scale: int = QC_SCALE):
+    """Fixed-round full-batch GD on the centered least-squares probe
+    ``min_w sum_i ((x_i - mu) . w - (y_i - ybar))^2`` over binary
+    hashed features, entirely in integer arithmetic — returns
+    ``(weights, kc, feats, ydf)``: ``weights`` a {-1..B-1} -> BIGINT
+    dict (sentinel -1 pinned 0), ``kc`` the final centering scalar
+    (``score_i = sum_{b in i} w_b - kc``), and the persisted frames.
+
+    Per round, over the persisted sparse feature table: one score
+    aggregation (weights as plan literals), one gradient aggregation
+    (join back on id, groupBy b), ONE driver collect of <= B+1 rows
+    (the b = -1 sentinel row doubles as sum-of-residuals). Centering
+    corrections are scalars computed on the driver from the bounded
+    count/weight tables; the data is never collected and never
+    densified.
+
+    Exactness: every per-doc/per-bucket quantity is an exact BIGINT
+    sum; the only rounding is floor-division at the documented
+    points, where Python's ``//`` (floor) matches the oracle's
+    offset-shifted ``//`` (QC_PDIV_OFF). Integer headroom:
+    |resid| <= a few * scale, |grad| <= n * max|resid| — BIGINT-safe
+    to n ~ 1e11 docs at the default scale; at 100 TB pass scale=1e4.
+    """
+    ydf = docs.select(
+        F.col(id_col).alias("id"), is_positive.cast("long").alias("y")
+    ).persist()
+    feats = hashed_presence_features(docs, text_col, id_col, n_buckets).persist()
+    n = ydf.count()
+    npos = ydf.agg(F.sum("y")).collect()[0][0] or 0
+    cnt = {
+        r.b: r.c
+        for r in feats.filter("b >= 0").groupBy("b").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    # exact integer trace of the centered Gram matrix — the provably
+    # safe, corpus-adaptive step size (lambda_max <= trace)
+    trace = max(sum(c - (c * c) // n for c in cnt.values()), 1)
+    ybar = (scale * npos) // n
+    w = {b: 0 for b in range(-1, n_buckets)}
+    kc = 0
+    for _ in range(rounds):
+        kc = sum(w[b] * c for b, c in cnt.items()) // n
+        sw = (
+            feats.groupBy("id")
+            .agg(F.sum(_qc_weight_expr(w, n_buckets)).alias("sw"))
+        )
+        resid = ydf.join(sw, "id").select(
+            "id",
+            (
+                F.col("sw") - F.lit(kc)
+                - (F.col("y") * F.lit(scale) - F.lit(ybar))
+            ).alias("resid"),
+        )
+        grads = {
+            r.b: r.g
+            for r in feats.join(resid, "id")
+            .groupBy("b")
+            .agg(F.sum("resid").alias("g"))
+            .collect()
+        }
+        sum_resid = grads.get(-1, 0)  # the sentinel row IS sum_i resid_i
+        for b in range(n_buckets):
+            gadj = grads.get(b, 0) - (cnt.get(b, 0) * sum_resid) // n
+            w[b] = w[b] - gadj // trace
+    kc = sum(w[b] * c for b, c in cnt.items()) // n
+    return w, kc, feats, ydf
+
+
+def quality_probe_topk(docs: DataFrame, is_positive, k: int = 20,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n_buckets: int = 256, rounds: int = 3,
+                       scale: int = QC_SCALE) -> DataFrame:
+    """(doc_id, is_pos, score_fp) — the k documents the trained probe
+    scores most positive-like (centered score, quantized at ``scale``),
+    doc_id tiebreak (total order). The closing step of the GPT-3-style
+    curation recipe: train on labeled exemplars, score the whole
+    corpus, keep the head."""
+    w, kc, feats, ydf = train_quality_probe(
+        docs, is_positive, text_col, id_col, n_buckets, rounds, scale
+    )
+    sw = (
+        feats.groupBy("id")
+        .agg((F.sum(_qc_weight_expr(w, n_buckets)) - F.lit(kc)).alias("score_fp"))
+    )
+    return (
+        ydf.join(sw, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("y").cast("long").alias("is_pos"),
+            F.col("score_fp").cast("long").alias("score_fp"),
+        )
+        .orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(k)
+    )

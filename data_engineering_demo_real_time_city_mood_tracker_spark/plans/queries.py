@@ -7504,3 +7504,190 @@ def q_token_budget_mixture(spark, sf_dir):
         F.col("alloc").alias("source_budget"),
         (F.col("cum") <= F.col("alloc")).alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# round-4 continuation: classifier-based quality selection + diversity
+# coreset — the remaining two classic data-SELECTION stages (alongside
+# bigram_lm_score / dsir_sample / token_budget_mixture above)
+
+_QC_SCALE = 10**6
+_QC_OFF = 1 << 40
+_QC_B = 256
+
+
+def _qc_pdiv(num: str, den: str) -> str:
+    """portable floor-division for SIGNED numerators: DuckDB `//`
+    truncates toward zero while Python floors, so shift the numerator
+    nonnegative (trunc == floor there) and shift back. HUGEINT casts
+    keep the 2^40 offset product exact at any corpus size (most
+    operands are SUM()s and already HUGEINT)."""
+    return (
+        f"((CAST({num} AS HUGEINT) + {_QC_OFF} * CAST({den} AS HUGEINT))"
+        f" // CAST({den} AS HUGEINT) - {_QC_OFF})"
+    )
+
+
+def _qc_round_sql(r: int) -> str:
+    """One unrolled centered-GD round: score agg, centered residuals,
+    gradient agg with the sparse-plus-scalar centering correction,
+    floor-div weight update at the exact-integer-trace step size
+    (see operators/lm.py on why centering and 1/trace are what make
+    3 rounds learn). MATERIALIZED: DuckDB inlines multi-referenced
+    CTEs exponentially otherwise (the BPE lesson)."""
+    prev = f"w{r - 1}"
+    kc = _qc_pdiv(
+        f"(SELECT COALESCE(SUM(w.w * c.c), 0) FROM {prev} w JOIN cntc c USING (b))",
+        "(SELECT n FROM prm)",
+    )
+    corr = _qc_pdiv(
+        f"COALESCE(c.c, 0) * (SELECT sr FROM sr{r})", "(SELECT n FROM prm)"
+    )
+    upd = _qc_pdiv(f"COALESCE(g.g, 0) - {corr}", "(SELECT t FROM tr)")
+    return f"""k{r} AS (SELECT {kc} AS kc),
+s{r} AS MATERIALIZED (
+  SELECT f.id, SUM(w.w) AS sw FROM f JOIN {prev} w USING (b) GROUP BY f.id
+),
+r{r} AS MATERIALIZED (
+  SELECT y.id,
+         s.sw - (SELECT kc FROM k{r})
+              - (y.y * {_QC_SCALE} - (SELECT ybar FROM yb)) AS resid
+  FROM y JOIN s{r} s USING (id)
+),
+sr{r} AS (SELECT SUM(resid) AS sr FROM r{r}),
+g{r} AS (
+  SELECT f.b, SUM(r.resid) AS g FROM f JOIN r{r} r USING (id) GROUP BY f.b
+),
+w{r} AS MATERIALIZED (
+  SELECT w.b, w.w - {upd} AS w
+  FROM {prev} w LEFT JOIN g{r} g USING (b) LEFT JOIN cntc c USING (b)
+),
+"""
+
+
+_QC_ORACLE = (
+    f"""WITH prm AS (
+  SELECT COUNT(*) AS n, SUM(CAST(lang = 'en' AS BIGINT)) AS npos FROM documents
+),
+y AS MATERIALIZED (
+  SELECT doc_id AS id, CAST(lang = 'en' AS BIGINT) AS y FROM documents
+),
+f AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id,
+         CAST({_hex4_sql("md5(token)", 1, _QC_B)} AS BIGINT) AS b
+  FROM (SELECT doc_id, unnest(string_split({_docs_norm_sql()}, ' ')) AS token
+        FROM documents)
+),
+cntc AS MATERIALIZED (SELECT b, COUNT(*) AS c FROM f GROUP BY b),
+tr AS (SELECT GREATEST(SUM(c - (c * c) // n), 1) AS t FROM cntc, prm),
+yb AS (SELECT ({_QC_SCALE} * npos) // n AS ybar FROM prm),
+w0 AS (SELECT unnest(range(0, {_QC_B})) AS b, CAST(0 AS BIGINT) AS w),
+"""
+    + "".join(_qc_round_sql(r) for r in (1, 2, 3))
+    + f"""kf AS (SELECT {_qc_pdiv(
+        "(SELECT COALESCE(SUM(w.w * c.c), 0) FROM w3 w JOIN cntc c USING (b))",
+        "(SELECT n FROM prm)",
+    )} AS kc),
+fin AS (
+  SELECT f.id, SUM(w.w) AS sw FROM f JOIN w3 w USING (b) GROUP BY f.id
+)
+SELECT y.id AS doc_id, CAST(y.y AS BIGINT) AS is_pos,
+       CAST(fin.sw - (SELECT kc FROM kf) AS BIGINT) AS score_fp
+FROM y JOIN fin USING (id)
+ORDER BY score_fp DESC, doc_id LIMIT 20"""
+)
+
+
+@register("quality_classifier", _QC_ORACLE)
+def q_quality_classifier(spark, sf_dir):
+    """fasttext-style curation classifier, trained BY the engine: a
+    centered least-squares linear probe over 256 hashed-unigram
+    presence buckets, 3 unrolled full-batch GD rounds in exact integer
+    arithmetic (labels scaled 1e6; step size 1/trace of the centered
+    Gram matrix, computed exactly from bucket counts — provably
+    monotone since trace >= lambda_max, yet corpus-adaptive), scoring
+    the corpus and keeping the top 20 with doc_id tiebreak. Positives
+    are the lang='en' slice — the GPT-3 recipe's "curated exemplars"
+    role (Brown et al. 2020 appendix A). The whole TRAINER is
+    hash-gated: every per-round gradient is an integer SUM the oracle
+    re-derives, the centering corrections are bounded scalars, and
+    each signed floor-div is offset-shifted so DuckDB's truncating
+    `//` agrees with Python's floor (operators/lm.py QC_PDIV_OFF).
+    Without centering the probe learns nothing in few rounds (measured
+    AUC 0.49 vs 0.63) — see operators/lm.py for the failure mode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.quality_probe_topk(docs, F.col("lang") == "en", k=20)
+
+
+def _kc_dist_sql(a: str, b: str) -> str:
+    """exact integer squared-L2 between two quantized DuckDB lists —
+    1-based indexing; integer adds commute so this equals Spark's
+    index-order fold bitwise."""
+    return (
+        f"CAST(list_sum(list_transform(range(len({a})), j -> "
+        f"({a}[j + 1] - {b}[j + 1]) * ({a}[j + 1] - {b}[j + 1]))) AS BIGINT)"
+    )
+
+
+def _kc_oracle(k: int) -> str:
+    d = _kc_dist_sql
+    parts = [
+        f"""WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c1 AS MATERIALIZED (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+d1 AS MATERIALIZED (
+  SELECT q.vec_id, q.qv, {d("q.qv", "c.qv")} AS dd FROM q, c1 c
+),
+"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT vec_id, qv, dd FROM d{r - 1} ORDER BY dd DESC, vec_id LIMIT 1
+),
+d{r} AS MATERIALIZED (
+  SELECT t.vec_id, t.qv, LEAST(t.dd, {d("t.qv", "c.qv")}) AS dd
+  FROM d{r - 1} t, c{r} c
+),
+"""
+        )
+    cent = "\n  UNION ALL ".join(
+        ["SELECT 1 AS sel_rank, vec_id, CAST(0 AS BIGINT) AS dist_fp, qv FROM c1"]
+        + [f"SELECT {r}, vec_id, dd, qv FROM c{r}" for r in range(2, k + 1)]
+    )
+    parts.append(
+        f"""cent AS MATERIALIZED ({cent}),
+asg AS (
+  SELECT q.vec_id, c.sel_rank,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {d("q.qv", "c.qv")}, c.sel_rank) AS rn
+  FROM q, cent c
+),
+cnt AS (SELECT sel_rank, COUNT(*) AS n FROM asg WHERE rn = 1 GROUP BY sel_rank)
+SELECT CAST(c.sel_rank AS BIGINT) AS sel_rank, c.vec_id, c.dist_fp,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_assigned
+FROM cent c LEFT JOIN cnt USING (sel_rank) ORDER BY sel_rank"""
+    )
+    return "".join(parts)
+
+
+@register("kcenter_coreset", _kc_oracle(8))
+def q_kcenter_coreset(spark, sf_dir):
+    """greedy k-center coreset (Gonzalez 1985 farthest-point
+    traversal) over the embedding corpus — diversity-based data
+    selection: 8 picks in selection order with the coverage radius at
+    pick time and each pick's final cell size. Coordinates FLOOR-
+    quantize at 1e6 once (bit-deterministic, the _portable_mean idea),
+    then every distance is an EXACT integer sum, so the k argmax
+    choices and the n argmin assignments — pure tie-bait under floats
+    — are engine-portable. Each round is a map-only scan with the
+    chosen centers as plan literals + a TakeOrdered top-1; the oracle
+    unrolls the traversal as LIMIT-1 CTE rounds."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kcenter_select(emb, "embedding", "vec_id", k=8)

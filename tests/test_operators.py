@@ -546,3 +546,106 @@ def test_filter_funnel_is_monotone(spark):
     assert (out.n_docs.diff().dropna() <= 0).all()
     assert (out.n_tokens.diff().dropna() <= 0).all()
     assert out.n_docs.iloc[0] > 0
+
+
+def test_quality_probe_separates_and_descends(spark):
+    """The centered integer-GD probe (a) scores vocabulary-disjoint
+    positive-class docs above negative-class docs, and (b) strictly
+    decreases the centered least-squares loss each round — the
+    1/trace step-size guarantee (trace >= lambda_max) holding through
+    the floor-division quantization."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.lm import (
+        QC_SCALE,
+        _qc_weight_expr,
+        train_quality_probe,
+    )
+
+    pos_text = "alpha beta gamma delta epsilon zeta common words here"
+    neg_text = "omega psi chi phi upsilon tau common words here"
+    rows = [(i, pos_text + f" extra{i % 3}", "en") for i in range(8)] + [
+        (100 + i, neg_text + f" extra{i % 3}", "xx") for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    is_pos = F.col("lang") == "en"
+
+    def loss(rounds):
+        w, kc, feats, ydf = train_quality_probe(docs, is_pos, rounds=rounds)
+        n = ydf.count()
+        npos = ydf.agg(F.sum("y")).collect()[0][0]
+        ybar = QC_SCALE * npos // n
+        sw = feats.groupBy("id").agg(
+            F.sum(_qc_weight_expr(w, 256)).alias("sw")
+        )
+        resid = [
+            r.r
+            for r in ydf.join(sw, "id")
+            .select(
+                (
+                    F.col("sw") - F.lit(kc)
+                    - (F.col("y") * QC_SCALE - F.lit(ybar))
+                ).alias("r")
+            )
+            .collect()
+        ]
+        return sum(v * v for v in resid), w, kc, feats, ydf
+
+    l0, *_ = loss(0)
+    l1, *_ = loss(1)
+    l3, w, kc, feats, ydf = loss(3)
+    assert l0 > l1 > l3  # monotone descent through quantization
+
+    sw = feats.groupBy("id").agg(
+        (F.sum(_qc_weight_expr(w, 256)) - F.lit(kc)).alias("s")
+    )
+    by_label = {
+        r.y: r.m
+        for r in ydf.join(sw, "id").groupBy("y").agg(F.avg("s").alias("m")).collect()
+    }
+    assert by_label[1] > by_label[0]  # positives score higher
+
+
+def test_kcenter_matches_numpy_reference(spark, sf_dir):
+    """The distributed greedy traversal (literal-matrix map-only
+    rounds + TakeOrdered argmax) reproduces a driver-side numpy
+    replica of Gonzalez's algorithm EXACTLY — picks, selection radii,
+    and final cell sizes — on the real embeddings table."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import kcenter_select
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    order = np.argsort(ids)
+    ids = ids[order]
+    V = np.floor(
+        np.array(t.column("embedding").to_pylist(), dtype=np.float64)[order] * 1e6
+    ).astype(np.int64)
+
+    k = 8
+    sel = [(1, int(ids[0]), 0)]
+    picked = [0]
+    d = ((V - V[0]) ** 2).sum(axis=1)
+    for r in range(2, k + 1):
+        i = int(np.argmax(d))  # ids sorted asc -> first max == min-id tiebreak
+        sel.append((r, int(ids[i]), int(d[i])))
+        picked.append(i)
+        d = np.minimum(d, ((V - V[i]) ** 2).sum(axis=1))
+    dist_to = np.stack([((V - V[i]) ** 2).sum(axis=1) for i in picked])
+    cells = np.argmin(dist_to, axis=0)  # first min == earlier-pick tiebreak
+    expect = [
+        (r, vid, dd, int((cells == j).sum())) for j, (r, vid, dd) in enumerate(sel)
+    ]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = [
+        (r.sel_rank, r.vec_id, r.dist_fp, r.n_assigned)
+        for r in kcenter_select(emb, "embedding", "vec_id", k=k).collect()
+    ]
+    assert got == expect
+    # greedy radii are non-increasing from the second pick on
+    radii = [dd for _, _, dd, _ in got[1:]]
+    assert radii == sorted(radii, reverse=True)
