@@ -67,6 +67,7 @@ _FRONT = [
     "token_budget_mixture",
     "quality_classifier",
     "kcenter_coreset",
+    "moore_lewis_select",
     # new r4 queries are appended here as they land; remaining gate
     # slots fall through to registry order (long-green r1 rows —
     # harmless repeat confirmations)

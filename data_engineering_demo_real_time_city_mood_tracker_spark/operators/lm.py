@@ -368,3 +368,83 @@ def quality_probe_topk(docs: DataFrame, is_positive, k: int = 20,
         .orderBy(F.col("score_fp").desc(), "doc_id")
         .limit(k)
     )
+
+
+def moore_lewis_scores(docs: DataFrame, is_target, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       scale: int = FP_SCALE) -> DataFrame:
+    """(doc_id, n_bigrams, delta_fp) — Moore-Lewis cross-entropy-
+    difference selection (Moore & Lewis 2010; the modern excess-loss /
+    RHO-1 framing scores with two LMs the same way): every document's
+    mean conditional bigram probability under the IN-DOMAIN model
+    (trained on the ``is_target`` exemplars) minus under the GENERAL
+    model (trained on the whole corpus), both Laplace-smoothed and
+    quantized (ln() isn't IEEE-pinned; integer floor-div is). High
+    delta = looks like the target domain AND not merely generic.
+
+    One tokenize pass: both models and the scoring derive from the
+    persisted per-doc bigram partials. Bigrams unseen by the target
+    model smooth to scale/(0 + V_t) via the LEFT joins — the
+    GREATEST(V_t, 1) guard only matters for an empty target slice and
+    is mirrored in the oracle. Both model tables are vocab²-bounded at
+    any corpus size; the scoring join is the AQE-skew-join shape
+    documented for bigram_lm_score. Docs with < 2 tokens carry no LM
+    evidence and are absent, as in score_bigram_lm."""
+    dbc = doc_bigram_counts(docs, text_col, id_col).persist()
+    tgt_ids = docs.filter(is_target).select(F.col(id_col).alias("id"))
+    sbg = dbc.groupBy("w1", "w2").agg(F.sum("c").alias("scb"))
+    slft = sbg.groupBy("w1").agg(F.sum("scb").alias("sc1")).persist()
+    sv = slft.agg(F.count(F.lit(1)).alias("sv"))
+    tdbc = dbc.join(tgt_ids, "id")
+    tbg = tdbc.groupBy("w1", "w2").agg(F.sum("c").alias("tcb"))
+    tlft = tbg.groupBy("w1").agg(F.sum("tcb").alias("tc1")).persist()
+    tv = tlft.agg(F.count(F.lit(1)).alias("tv"))
+    return (
+        dbc.join(sbg, ["w1", "w2"])
+        .join(slft, "w1")
+        .join(tbg, ["w1", "w2"], "left")
+        .join(tlft, "w1", "left")
+        .crossJoin(sv)
+        .crossJoin(tv)
+        .select(
+            "id",
+            "c",
+            F.expr(f"({scale} * (scb + 1)) div (sc1 + sv)").alias("conds"),
+            F.expr(
+                f"({scale} * (coalesce(tcb, CAST(0 AS BIGINT)) + 1))"
+                " div (coalesce(tc1, CAST(0 AS BIGINT)) + greatest(tv, 1))"
+            ).alias("condt"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("c") * F.col("condt")).alias("st"),
+            F.sum(F.col("c") * F.col("conds")).alias("ss"),
+            F.sum("c").alias("nb"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("nb").cast("long").alias("n_bigrams"),
+            (F.expr("st div nb") - F.expr("ss div nb"))
+            .cast("long")
+            .alias("delta_fp"),
+        )
+    )
+
+
+def moore_lewis_select(docs: DataFrame, is_target, keep_frac_denom: int = 4,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       scale: int = FP_SCALE) -> DataFrame:
+    """Top-(scored/keep_frac_denom) documents by cross-entropy
+    difference, doc_id tiebreak (total order — engine-independent
+    LIMIT boundary); the keep count is over SCORED docs (>= 2 tokens),
+    matching the oracle's COUNT(DISTINCT id) over the bigram
+    partials."""
+    scored = moore_lewis_scores(docs, is_target, text_col, id_col, scale)
+    n = (
+        doc_bigram_counts(docs, text_col, id_col)
+        .select("id")
+        .distinct()
+        .count()
+    )
+    m = max(1, n // keep_frac_denom)
+    return scored.orderBy(F.col("delta_fp").desc(), "doc_id").limit(m)

@@ -7691,3 +7691,49 @@ def q_kcenter_coreset(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.kcenter_select(emb, "embedding", "vec_id", k=8)
+
+
+@register(
+    "moore_lewis_select",
+    f"""WITH {_BIGRAM_PAIRS_CTE.format(norm=_docs_norm_sql())},
+tgt AS (SELECT doc_id AS id FROM documents WHERE lang = 'en'),
+sbg AS (SELECT w1, w2, SUM(c) AS scb FROM dbc GROUP BY w1, w2),
+slft AS (SELECT w1, SUM(scb) AS sc1 FROM sbg GROUP BY w1),
+sv AS (SELECT COUNT(*) AS sv FROM slft),
+tdbc AS (SELECT dbc.* FROM dbc JOIN tgt USING (id)),
+tbg AS (SELECT w1, w2, SUM(c) AS tcb FROM tdbc GROUP BY w1, w2),
+tlft AS (SELECT w1, SUM(tcb) AS tc1 FROM tbg GROUP BY w1),
+tv AS (SELECT COUNT(*) AS tv FROM tlft),
+ds AS (
+  SELECT dbc.id,
+         SUM(dbc.c * ((1000000000 * (COALESCE(tbg.tcb, 0) + 1))
+                      // (COALESCE(tlft.tc1, 0) + GREATEST(tv.tv, 1)))) AS st,
+         SUM(dbc.c * ((1000000000 * (sbg.scb + 1)) // (slft.sc1 + sv.sv))) AS ss,
+         SUM(dbc.c) AS nb
+  FROM dbc
+  JOIN sbg USING (w1, w2)
+  JOIN slft USING (w1)
+  LEFT JOIN tbg USING (w1, w2)
+  LEFT JOIN tlft USING (w1)
+  CROSS JOIN sv CROSS JOIN tv
+  GROUP BY dbc.id
+)
+SELECT id AS doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+       CAST(st // nb - ss // nb AS BIGINT) AS delta_fp
+FROM ds
+ORDER BY delta_fp DESC, doc_id
+LIMIT (SELECT GREATEST(1, COUNT(DISTINCT id) // 4) FROM dbc)""",
+)
+def q_moore_lewis_select(spark, sf_dir):
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010 — the classic domain-selection recipe; RHO-1-style
+    excess-loss scoring is the same two-model delta): score every doc
+    by mean conditional bigram probability under the IN-DOMAIN LM
+    (trained on the lang='en' exemplars) minus under the GENERAL LM
+    (whole corpus), keep the top quarter of scored docs with doc_id
+    tiebreak. One tokenize pass — both Laplace-smoothed models derive
+    from the persisted per-doc bigram partials; unseen-bigram smoothing
+    rides the LEFT joins. All integer fixed-point (operators/lm.py),
+    so the two-model delta is bitwise oracle-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.moore_lewis_select(docs, F.col("lang") == "en", keep_frac_denom=4)

@@ -649,3 +649,36 @@ def test_kcenter_matches_numpy_reference(spark, sf_dir):
     # greedy radii are non-increasing from the second pick on
     radii = [dd for _, _, dd, _ in got[1:]]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_moore_lewis_prefers_target_like_docs(spark):
+    """Docs written in the target exemplars' bigram distribution get a
+    higher cross-entropy-difference delta than generic/off-distribution
+    docs, and the keep set is exactly the top quarter of SCORED docs
+    by (delta desc, doc_id); a <2-token doc is never scored."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.lm import (
+        moore_lewis_scores,
+        moore_lewis_select,
+    )
+
+    tgt_text = "alpha beta gamma delta alpha beta gamma"
+    gen_text = "omega psi chi phi omega psi chi"
+    rows = (
+        [(i, tgt_text, "en") for i in range(4)]
+        + [(10 + i, tgt_text, "xx") for i in range(3)]  # target-LIKE, not exemplars
+        + [(20 + i, gen_text, "xx") for i in range(5)]
+        + [(30, "solo", "xx")]  # single token: no bigrams, never scored
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    is_tgt = F.col("lang") == "en"
+    scores = {r.doc_id: r.delta_fp for r in moore_lewis_scores(docs, is_tgt).collect()}
+    assert 30 not in scores
+    assert min(scores[d] for d in (10, 11, 12)) > max(
+        scores[d] for d in (20, 21, 22, 23, 24)
+    )
+    kept = moore_lewis_select(docs, is_tgt, keep_frac_denom=4).collect()
+    assert len(kept) == 3  # 12 scored docs // 4
+    expect = sorted(scores, key=lambda d: (-scores[d], d))[:3]
+    assert [r.doc_id for r in kept] == expect
