@@ -438,13 +438,10 @@ def moore_lewis_select(docs: DataFrame, is_target, keep_frac_denom: int = 4,
     difference, doc_id tiebreak (total order — engine-independent
     LIMIT boundary); the keep count is over SCORED docs (>= 2 tokens),
     matching the oracle's COUNT(DISTINCT id) over the bigram
-    partials."""
-    scored = moore_lewis_scores(docs, is_target, text_col, id_col, scale)
-    n = (
-        doc_bigram_counts(docs, text_col, id_col)
-        .select("id")
-        .distinct()
-        .count()
-    )
-    m = max(1, n // keep_frac_denom)
+    partials (one row per scored doc == one scored frame row). The
+    scored frame is persisted so the count and the TakeOrdered read
+    one materialization — a second doc_bigram_counts() here would be
+    a fresh lineage and re-tokenize the whole corpus."""
+    scored = moore_lewis_scores(docs, is_target, text_col, id_col, scale).persist()
+    m = max(1, scored.count() // keep_frac_denom)
     return scored.orderBy(F.col("delta_fp").desc(), "doc_id").limit(m)
