@@ -296,10 +296,19 @@ def train_quality_probe(docs: DataFrame, is_positive, text_col: str = "text",
     |resid| <= a few * scale, |grad| <= n * max|resid| — BIGINT-safe
     to n ~ 1e11 docs at the default scale; at 100 TB pass scale=1e4.
     """
+    # both frames are cached PRE-PARTITIONED on id: every round's
+    # score agg (groupBy id), label join and gradient join-back then
+    # reuse the cached HashPartitioning and the only per-round
+    # exchange left is the B-bounded groupBy(b) — 3 corpus shuffles
+    # per round down to 1 (measured 4.8 -> 3.4 s at sf0.1)
     ydf = docs.select(
         F.col(id_col).alias("id"), is_positive.cast("long").alias("y")
-    ).persist()
-    feats = hashed_presence_features(docs, text_col, id_col, n_buckets).persist()
+    ).repartition("id").persist()
+    feats = (
+        hashed_presence_features(docs, text_col, id_col, n_buckets)
+        .repartition("id")
+        .persist()
+    )
     n = ydf.count()
     npos = ydf.agg(F.sum("y")).collect()[0][0] or 0
     cnt = {
