@@ -371,3 +371,37 @@ def test_negative_sampling_pool_is_broadcast_nested_loop(spark, sf_dir):
     plan = plan_of(QUERIES["negative_sampling"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kcenter_round_scan_is_map_only(spark, sf_dir):
+    """Each greedy k-center round is a literal-matrix distance map over
+    the cached quantized frame feeding a TakeOrdered top-1 — zero
+    shuffle anywhere: the argmax is per-partition heaps merged on the
+    driver, so a round's cost is exactly one scan at any corpus
+    size."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
+        _kc_mindist_sql,
+        _kc_qvec,
+    )
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"), _kc_qvec("embedding").alias("q")
+    ).persist()
+    try:
+        base.count()
+        dim = len(base.first().q)
+        cents = [[0] * dim, [1000] * dim]
+        probe = (
+            base.select(
+                "id", F.expr(_kc_mindist_sql(cents)).alias("d")
+            )
+            .orderBy(F.desc("d"), F.asc("id"))
+            .limit(1)
+        )
+        plan = plan_of(probe)
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
+    finally:
+        base.unpersist()
