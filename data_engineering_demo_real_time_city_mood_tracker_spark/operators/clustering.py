@@ -431,7 +431,12 @@ def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8):
             .limit(1)
             .collect()
         )
-        if not far:
+        if not far or far[0].d == 0:
+            # max min-distance 0 = every point coincides with a chosen
+            # center: the corpus has < k distinct points and further
+            # picks would be duplicates. Greedy radii are
+            # non-increasing, so stopping at the first zero equals the
+            # oracle's dist_fp > 0 filter over the unrolled rounds.
             break
         row = far[0]
         chosen.append((r, row.id, row.d, list(row.q)))

@@ -7660,7 +7660,8 @@ d{r} AS MATERIALIZED (
         + [f"SELECT {r}, vec_id, dd, qv FROM c{r}" for r in range(2, k + 1)]
     )
     parts.append(
-        f"""cent AS MATERIALIZED ({cent}),
+        f"""cent AS MATERIALIZED (
+  SELECT * FROM ({cent}) u WHERE sel_rank = 1 OR dist_fp > 0),
 asg AS (
   SELECT q.vec_id, c.sel_rank,
          ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -7686,7 +7687,9 @@ def q_kcenter_coreset(spark, sf_dir):
     choices and the n argmin assignments — pure tie-bait under floats
     — are engine-portable. Each round is a map-only scan with the
     chosen centers as plan literals + a TakeOrdered top-1; the oracle
-    unrolls the traversal as LIMIT-1 CTE rounds."""
+    unrolls the traversal as LIMIT-1 CTE rounds. Fewer than k distinct
+    points ⇒ the traversal stops at the first zero radius (radii are
+    non-increasing), mirrored by the oracle's dist_fp > 0 filter."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators import clustering
 
     emb = load_table(spark, sf_dir, "embeddings")

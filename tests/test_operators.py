@@ -682,3 +682,21 @@ def test_moore_lewis_prefers_target_like_docs(spark):
     assert len(kept) == 3  # 12 scored docs // 4
     expect = sorted(scores, key=lambda d: (-scores[d], d))[:3]
     assert [r.doc_id for r in kept] == expect
+
+
+def test_kcenter_stops_at_distinct_point_count(spark):
+    """With fewer than k distinct points the traversal stops at the
+    first zero radius instead of emitting duplicate picks — duplicate
+    coordinates fold into the earlier pick's cell."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import kcenter_select
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 2.0]), (4, [0.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = [tuple(r) for r in kcenter_select(df, "embedding", "vec_id", k=8).collect()]
+    assert out == [
+        (1, 1, 0, 1),
+        (2, 3, 4_000_000_000_000, 2),  # farthest first; its duplicate joins its cell
+        (3, 2, 1_000_000_000_000, 1),
+    ]

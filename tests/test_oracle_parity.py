@@ -73,6 +73,15 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
     assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
     assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+    # Vacuity guard (the r3 priority_linestatus lesson: a date slice
+    # outside the testdata's range made both engines return 0 rows and
+    # the hash row proved nothing). A 0-row match is not evidence —
+    # every oracle-backed query must exercise its logic on the gate
+    # data. Whitelist additions need a written sparsity argument.
+    assert len(srows) > 0, (
+        f"{name}: 0 rows on BOTH sides — the gate row is vacuous; "
+        "widen the query's slice to the testdata's range"
+    )
     sset = _rowset(scols, [tuple(r) for r in srows])
     oset = _rowset(ocols, orows)
     mism = [i for i, (a, b) in enumerate(zip(sset, oset)) if a != b]
