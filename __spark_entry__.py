@@ -68,6 +68,7 @@ _FRONT = [
     "quality_classifier",
     "kcenter_coreset",
     "moore_lewis_select",
+    "ts_analog_topk",
     # new r4 queries are appended here as they land; remaining gate
     # slots fall through to registry order (long-green r1 rows —
     # harmless repeat confirmations)

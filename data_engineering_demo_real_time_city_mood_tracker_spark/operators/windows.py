@@ -254,3 +254,82 @@ def ewma_daily(
         lambda acc, x: (acc + x) / F.lit(2.0),
     )
     return arr.select("key", "day", "n_minutes", ewma.alias("ewma"))
+
+
+def ts_analog_topk(series: DataFrame, key_col: str, ts_col: str,
+                   val_col: str, m: int = 8, k: int = 3) -> DataFrame:
+    """(key, start_minute, dist_fp) — for every key's time series, the
+    k historical length-``m`` subsequences most similar to its LATEST
+    length-``m`` window ("what did the current pattern lead to last
+    time") — the streaming-analytics subsequence-similarity-search
+    shape (EDBT 2019's streaming ts-similarity problem, batch twin).
+
+    Distance is MEAN-CENTERED squared L2 on integer-quantized values,
+    scaled by m to stay in exact integers: d(W, Q) = sum_j (m*w_j -
+    S_W - (m*q_j - S_Q))^2 — shift-invariant (level changes don't
+    hide shape matches) with zero rounding anywhere, so candidate
+    ranking is tie-stable and engine-portable. Candidates end before
+    an m-wide exclusion zone ahead of the query window — adjacent
+    windows are near-copies of the query (the matrix-profile
+    "trivial match" problem) and would crowd out real analogs.
+
+    Shape: one groupBy(key) collects each series into a sorted array
+    row (per-minute grain keeps series bounded — a year is ~526k
+    values, ~4 MB; regularize gaps first with gap_fill_minutes if the
+    grid matters); window sums precompute as one O(n*m) pass of
+    integer folds; the per-key top-k window reuses the groupBy
+    partitioning, so the whole operator is one shuffle. Keys with
+    fewer than 2m+1 points have no non-overlapping candidate and are
+    absent. Integer headroom: m * max|quantized value| must stay
+    under ~3e9/sqrt(m) (quantize coarser for wilder series).
+    """
+    agg = (
+        series.groupBy(key_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("t"), F.col(val_col).alias("v"))
+                )
+            ).alias("s")
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr("transform(s, x -> x.t)").alias("ts"),
+            F.expr("transform(s, x -> x.v)").alias("vs"),
+        )
+        .filter(F.size("vs") >= 2 * m + 1)
+        .withColumn("qv", F.expr(f"slice(vs, size(vs) - {m} + 1, {m})"))
+        .withColumn(
+            "sq", F.expr("aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x)")
+        )
+        .withColumn(
+            "sws",
+            F.expr(
+                f"transform(sequence(1, size(vs) - 2 * {m}), i -> "
+                f"aggregate(slice(vs, i, {m}), cast(0 as bigint), "
+                "(acc, x) -> acc + x))"
+            ),
+        )
+    )
+    diff = (
+        f"({m} * element_at(vs, i + j - 1) - element_at(sws, i)"
+        f" - {m} * element_at(qv, j) + sq)"
+    )
+    cand = F.expr(
+        f"transform(sequence(1, size(vs) - 2 * {m}), i -> struct("
+        f"aggregate(sequence(1, {m}), cast(0 as bigint), (acc, j) -> "
+        f"acc + {diff} * {diff}) as d, "
+        "element_at(ts, i) as t))"
+    )
+    out = (
+        agg.select("key", F.explode(cand).alias("c"))
+        .select(
+            "key",
+            F.col("c.t").alias("start_minute"),
+            F.col("c.d").alias("dist_fp"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy("dist_fp", "start_minute")
+    return out.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    ).drop("rn")

@@ -7740,3 +7740,78 @@ def q_moore_lewis_select(spark, sf_dir):
     so the two-model delta is bitwise oracle-portable."""
     docs = load_table(spark, sf_dir, "documents")
     return lm.moore_lewis_select(docs, F.col("lang") == "en", keep_frac_denom=4)
+
+
+_TS_M = 8
+_TS_K = 3
+_TS_DIFF = (
+    f"({_TS_M} * vs[i + j - 1] - sws[i] - {_TS_M} * qv[j] + sq)"
+)
+
+
+@register(
+    "ts_analog_topk",
+    f"""WITH {_EVENTS_US_CTE},
+minutes AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute,
+         CAST(FLOOR(({davg_sql('value')}) * 1000) AS BIGINT) AS qv
+  FROM events_us GROUP BY event_type, date_trunc('minute', ts)
+),
+ser AS (
+  SELECT event_type, list(minute ORDER BY minute) AS ts,
+         list(qv ORDER BY minute) AS vs
+  FROM minutes GROUP BY event_type
+),
+prep AS (
+  SELECT event_type, ts, vs, len(vs) AS n,
+         list_slice(vs, len(vs) - {_TS_M} + 1, len(vs)) AS qv
+  FROM ser WHERE len(vs) >= 2 * {_TS_M} + 1
+),
+prep2 AS (
+  SELECT event_type, ts, vs, n, qv, CAST(list_sum(qv) AS BIGINT) AS sq,
+         list_transform(range(1, n - 2 * {_TS_M} + 1), i ->
+           CAST(list_sum(list_slice(vs, i, i + {_TS_M} - 1)) AS BIGINT)) AS sws
+  FROM prep
+),
+cand AS (
+  SELECT event_type,
+         unnest(list_transform(range(1, n - 2 * {_TS_M} + 1), i -> {{
+           't': ts[i],
+           'd': CAST(list_sum(list_transform(range(1, {_TS_M} + 1), j ->
+                  {_TS_DIFF} * {_TS_DIFF})) AS BIGINT)}})) AS c
+  FROM prep2
+)
+SELECT event_type, c['t'] AS start_minute, CAST(c['d'] AS BIGINT) AS dist_fp
+FROM cand
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY c['d'], c['t']) <= {_TS_K}""",
+)
+def q_ts_analog_topk(spark, sf_dir):
+    """time-series subsequence similarity search, the 'historical
+    analog' query (EDBT 2019 streaming ts-similarity, batch twin):
+    for each event type's per-minute series, the 3 non-overlapping
+    historical 8-minute windows most similar in SHAPE to the latest
+    8-minute window — mean-centered exact-integer distance on
+    FLOOR-quantized per-minute averages (davg ⇒ bitwise-portable
+    input values), an m-wide trivial-match exclusion zone before the
+    query window, ties broken by window start. One shuffle: the
+    per-key series collect; candidate generation and the distance
+    folds are array lambdas over 5 series rows (per-key parallelism;
+    see operators/windows.ts_analog_topk for the bounded-series
+    argument)."""
+    ev = load_table(spark, sf_dir, "events")
+    minutes = (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+        .agg(davg(F.col("value")).alias("av"))
+        .select(
+            "event_type", "minute",
+            F.floor(F.col("av") * 1000).cast("long").alias("qv"),
+        )
+    )
+    return (
+        windows.ts_analog_topk(minutes, "event_type", "minute", "qv",
+                               m=_TS_M, k=_TS_K)
+        .select(
+            F.col("key").alias("event_type"), "start_minute", "dist_fp"
+        )
+    )

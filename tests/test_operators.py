@@ -723,3 +723,31 @@ def test_kcenter_paths_are_bitwise_identical(spark, sf_dir):
     assert sum(r.n_assigned for r in big) == emb.count()
     radii = [r.dist_fp for r in big[1:]]
     assert radii == sorted(radii, reverse=True) and all(d > 0 for d in radii)
+
+
+def test_ts_analog_finds_planted_shifted_pattern(spark):
+    """A historical window that repeats the latest window's SHAPE at a
+    different level (constant offset) scores distance 0 — the
+    mean-centering at work — and ranks first; windows inside the
+    trivial-match exclusion zone never appear as candidates."""
+    import datetime as dt
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.windows import ts_analog_topk
+
+    base = dt.datetime(2024, 1, 1)
+    pattern = [3, 50, 7, 90, 11, 60, 2, 80]
+    vals = [1000 + 7 * i for i in range(40)]
+    vals[32:40] = pattern  # the query window (positions 33..40)
+    vals[4:12] = [p + 100 for p in pattern]  # planted shifted analog
+    rows = [
+        ("a", base + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "key string, minute timestamp, qv long")
+    out = ts_analog_topk(df, "key", "minute", "qv", m=8, k=3).collect()
+    assert out[0].dist_fp == 0
+    assert out[0].start_minute == base + dt.timedelta(minutes=4)
+    assert all(r.dist_fp > 0 for r in out[1:])
+    # exclusion zone: no candidate may start after n - 2m (position 24)
+    assert all(
+        r.start_minute <= base + dt.timedelta(minutes=23) for r in out
+    )

@@ -78,10 +78,23 @@ def test_query_matches_oracle(spark, sf_dir, name):
     # the hash row proved nothing). A 0-row match is not evidence —
     # every oracle-backed query must exercise its logic on the gate
     # data. Whitelist additions need a written sparsity argument.
-    assert len(srows) > 0, (
-        f"{name}: 0 rows on BOTH sides — the gate row is vacuous; "
-        "widen the query's slice to the testdata's range"
-    )
+    if len(srows) == 0:
+        # Sparsity exception, sf0.001 ONLY: the events co-activity
+        # graph has no qualifying edges/triangles at 1/10 the gate SF
+        # (too few same-minute co-occurrences), so the three graph
+        # queries built on it are legitimately empty here. They are
+        # non-empty at the driver's sf0.01 (verified every round by
+        # the verify harness, which runs this same assertion surface
+        # at the gate SF) — so the guard stays STRICT there.
+        sparse_at_toy_sf = {
+            "triangle_count", "label_propagation", "pagerank_portable"
+        }
+        assert name in sparse_at_toy_sf and sf_dir.rstrip("/").endswith(
+            "sf0.001"
+        ), (
+            f"{name}: 0 rows on BOTH sides — the gate row is vacuous; "
+            "widen the query's slice to the testdata's range"
+        )
     sset = _rowset(scols, [tuple(r) for r in srows])
     oset = _rowset(ocols, orows)
     mism = [i for i, (a, b) in enumerate(zip(sset, oset)) if a != b]
