@@ -1,0 +1,62 @@
+"""Streaming corpus scoring under a batch-trained selection model —
+the serve side of the train-daily / score-the-crawl loop: the quality
+probe (operators/lm.train_quality_probe) learns its B+1 integers
+offline, and every arriving document is scored by a STATELESS map —
+no shuffle, no state, no watermark — so append mode emits each score
+exactly once per input row and the operator runs at source
+throughput.
+
+The map-only formulation replaces the batch trainer's feature-table
+aggregation with array expressions per document: distinct hashed
+buckets via array_distinct(transform(...)), weight lookup via
+element_at on the literal weight vector (Catalyst constant-folds the
+257-literal array, so no per-row construction). Integer sums are
+order-independent, so the streamed score is BITWISE the batch score
+(asserted by the stream==batch parity test) — a float reformulation
+could not make that promise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens
+
+
+def quality_score_expr(w: dict[int, int], kc: int, text_col: str,
+                       n_buckets: int = 256):
+    """Column: the trained probe's centered integer score of
+    ``text_col`` — one stateless expression, usable identically in a
+    batch projection, a streaming select, or a keep/drop filter
+    predicate. ``w``/``kc`` come from train_quality_probe (the b = -1
+    sentinel stays 0; bucket b lives at literal index b + 2, matching
+    lm._qc_weight_expr)."""
+    arr = F.expr(
+        "array(" + ",".join(f"{w[b]}L" for b in range(-1, n_buckets)) + ")"
+    )
+    buckets = F.array_distinct(
+        F.transform(
+            tokens(F.col(text_col)),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+            % n_buckets,
+        )
+    )
+    score = F.aggregate(
+        buckets,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(arr, (b + F.lit(2)).cast("int")),
+    )
+    return score - F.lit(kc)
+
+
+def quality_score_stream(stream_docs: DataFrame, w: dict[int, int], kc: int,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n_buckets: int = 256) -> DataFrame:
+    """(doc_id, score_fp) over a document stream — map-only, append
+    mode, exactly-once per input row. Scores are bitwise equal to the
+    batch trainer's scoring of the same documents."""
+    return stream_docs.select(
+        F.col(id_col).alias("doc_id"),
+        quality_score_expr(w, kc, text_col, n_buckets).alias("score_fp"),
+    )

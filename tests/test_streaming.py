@@ -1603,3 +1603,44 @@ def test_snapshot_sink_stream_exactly_once_on_replay(spark, sf_dir, tmp_path):
     assert commit_snapshot_batch(ev.limit(5), last_bid + 1, base) is True
     assert read_snapshot(spark, base).count() == total + 5
     assert current_version(spark, base) == v_after + 1
+
+
+def test_quality_score_stream_matches_batch_bitwise(spark, sf_dir, tmp_path):
+    """Train the quality probe in batch, then score the same documents
+    as a file-source stream: every streamed score must be BITWISE the
+    batch score (integer arithmetic — the map-only serve path cannot
+    drift from the trainer's aggregation path)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.lm import (
+        _qc_weight_expr,
+        train_quality_probe,
+    )
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.scoring import quality_score_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, kc, feats, ydf = train_quality_probe(docs, F.col("lang") == "en")
+    batch = {
+        r.id: r.s
+        for r in feats.groupBy("id")
+        .agg((F.sum(_qc_weight_expr(w, 256)) - F.lit(kc)).alias("s"))
+        .collect()
+    }
+
+    d = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    q = (
+        quality_score_stream(stream, w, kc)
+        .writeStream.format("memory")
+        .queryName("qscore_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.score_fp
+        for r in spark.sql("SELECT * FROM qscore_stream").collect()
+    }
+    assert got == batch
