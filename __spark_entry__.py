@@ -69,6 +69,10 @@ _FRONT = [
     "kcenter_coreset",
     "moore_lewis_select",
     "ts_analog_topk",
+    "embedding_sq8_topk",
+    "paragraph_dedup",
+    "rp_rerank_topk",
+    "exact_substring_dedup",
     # new r4 queries are appended here as they land; remaining gate
     # slots fall through to registry order (long-green r1 rows —
     # harmless repeat confirmations)

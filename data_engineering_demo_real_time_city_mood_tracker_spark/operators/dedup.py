@@ -342,6 +342,148 @@ def remove_boilerplate_segments(
     )
 
 
+def dedup_paragraphs_keepfirst(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_words: int = 5,
+) -> DataFrame:
+    """Corpus-wide KEEP-FIRST paragraph dedup — the CCNet
+    deduplication step proper (Wenzek et al. 2020 §3.1: hash every
+    paragraph, drop all duplicate occurrences EXCEPT the first;
+    paragraphs here are fixed ``seg_words``-word segments since the
+    corpus is single-line). Different semantics from
+    :func:`remove_boilerplate_segments`, which cuts every occurrence
+    (including the first) of segments above a df threshold: keep-first
+    preserves exactly one copy of every distinct segment, so the
+    cleaned corpus loses no content, only repetition. Emits the
+    cleaned corpus itself: (doc_id, clean_text, n_removed,
+    n_segments).
+
+    Scale shape: non-overlapping segments (corpus tokens / seg_words
+    rows); the first occurrence per hash is ONE hash-keyed
+    min(struct(doc_id, pos)) agg — map-side combine makes hot
+    segments skew-safe (a window over the hash would funnel every
+    occurrence of a hot segment into one task); the keep test is an
+    equi-join back on the hash, left to AQE. Linear in corpus size,
+    no pair blowup."""
+    words = F.split(F.col(text_col), " ")
+    nseg = F.expr(f"(size(split({text_col}, ' ')) + {seg_words - 1}) div {seg_words}")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
+    )
+    seg_rows = (
+        df.select(F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("pos", "seg"))
+        .withColumn("h", F.md5("seg"))
+    )
+    firsts = seg_rows.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_at")
+    )
+    kept = seg_rows.join(firsts, "h").filter(
+        (F.col("doc_id") == F.col("first_at.doc_id"))
+        & (F.col("pos") == F.col("first_at.pos"))
+    )
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), nseg.cast("long").alias("n_segments"))
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        "n_segments",
+    )
+
+
+def dedup_exact_substrings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): any ``min_len``-token
+    substring occurring at two or more (doc, pos) sites corpus-wide
+    is a duplicate; every occurrence EXCEPT the (doc_id, pos)-first
+    is cut — at ARBITRARY alignment, which is what the fixed-segment
+    ops (paragraph_dedup, boilerplate) cannot see: a duplicated span
+    straddling a segment boundary hides from segment hashing but not
+    from sliding windows. Cut spans overlap-union per document;
+    survivors reassemble in position order. Emits (doc_id,
+    clean_text, n_cut_tokens, n_tokens).
+
+    The reference tool builds a suffix array; the engine-shaped
+    equivalent is sliding ``min_len``-gram hashing — same detection
+    set for spans of exactly min_len, and longer shared spans are
+    covered by their overlapping min_len-grams (their position
+    unions reconstruct the full span), so the CUT SET matches the
+    suffix-array method for every duplicated span >= min_len.
+
+    Scale shape: sliding grams are ~token_count rows (string hashes,
+    map-side-combining count+min agg — skew-safe on hot grams); only
+    DUPLICATED non-canonical occurrences explode into positions (L x
+    dup rows, output-volume bound); reassembly is doc-keyed. No pair
+    join anywhere — cost is linear in corpus + duplicated volume."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    # guard: sequence(0, n-L) DESCENDS when n < L — emit no grams
+    starts = F.when(
+        n >= min_len, F.sequence(F.lit(0), n - min_len)
+    ).otherwise(F.expr("array()"))
+    grams = F.transform(
+        starts,
+        lambda i: F.array_join(F.slice(words, i + 1, min_len), " "),
+    )
+    occ = (
+        df.select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "g"))
+        .withColumn("h", F.md5("g"))
+        .drop("g")
+    )
+    stats = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first_at"),
+    )
+    cut_occ = occ.join(stats.filter(F.col("n_occ") >= 2), "h").filter(
+        (F.col("doc_id") != F.col("first_at.doc_id"))
+        | (F.col("pos") != F.col("first_at.pos"))
+    )
+    cut_pos = cut_occ.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(min_len - 1))
+        ).alias("tpos"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(words).alias("tpos", "tok")
+    )
+    kept = toks.join(cut_pos, ["doc_id", "tpos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), n.cast("long").alias("n_tokens"))
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_cut_tokens"),
+        "n_tokens",
+    )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure at least defaultParallelism partitions before expensive
     per-row compute. A tiny scan (one small parquet split) otherwise

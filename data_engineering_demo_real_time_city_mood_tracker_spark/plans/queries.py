@@ -7815,3 +7815,235 @@ def q_ts_analog_topk(spark, sf_dir):
             F.col("key").alias("event_type"), "start_minute", "dist_fp"
         )
     )
+
+
+@register(
+    "embedding_sq8_topk",
+    """WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+dims AS (SELECT UNNEST(range(1, 65)) AS i),
+st AS (
+  SELECT d.i, MIN(v.vec[d.i]) AS mn, MAX(v.vec[d.i]) - MIN(v.vec[d.i]) AS rg
+  FROM v CROSS JOIN dims d GROUP BY d.i
+),
+cr AS (
+  SELECT v.vec_id, st.i,
+         CASE WHEN st.rg > 0 THEN LEAST(255, GREATEST(0,
+              CAST(FLOOR((v.vec[st.i] - st.mn) * 255.0 / st.rg) AS BIGINT)))
+              ELSE 0 END AS c
+  FROM v CROSS JOIN st
+),
+codes AS (SELECT vec_id, list(c ORDER BY i) AS code FROM cr GROUP BY vec_id),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_reduce(list_transform(range(1, 65),
+             i -> (q.code[i] - c.code[i]) * (q.code[i] - c.code[i])),
+             (acc, x) -> acc + x) AS dist_sq8
+  FROM codes q JOIN codes c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+)
+SELECT query_id, corpus_id, CAST(dist_sq8 AS BIGINT) AS dist_sq8, rnk FROM (
+  SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dist_sq8, corpus_id) AS rnk
+  FROM scored
+) t WHERE rnk <= 5""",
+)
+def q_embedding_sq8_topk(spark, sf_dir):
+    """scalar-quantized vector search (FAISS ScalarQuantizer QT_8bit
+    shape): per-dim min/max train -> one-byte-per-dim encode ->
+    symmetric integer squared-L2 top-k. The OTHER standard
+    compression path next to PQ — 4x memory cut at dim 64 with
+    trivially mergeable training state; at 100 TB the scan reads the
+    64 B codes table, never the float vectors, and composes with IVF
+    cells like the PQ codes table. The whole train -> encode -> rank
+    chain is exact IEEE-then-integer arithmetic, so the oracle
+    re-derives the quantizer itself (per-dim stats CTE) and the hash
+    gate covers training, encoding, and tie-stable ranking; recall@5
+    vs the exact float ranking is test-asserted
+    (operators/pq.sq8_topk)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq.sq8_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5
+    )
+
+
+@register(
+    "paragraph_dedup",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id, u['pos'] AS pos, u['seg'] AS seg, md5(u['seg']) AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, (len(words) + 4) // 5),
+             i -> {'pos': i, 'seg': array_to_string(list_slice(words, i * 5 + 1, i * 5 + 5), ' ')})) AS u
+    FROM d) t
+),
+kept AS (
+  SELECT doc_id, pos, seg FROM (
+    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM s
+  ) r WHERE rn = 1
+),
+cl AS (
+  SELECT doc_id, array_to_string(list(seg ORDER BY pos), ' ') AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST((len(string_split(text, ' ')) + 4) // 5 AS BIGINT) AS n_segments
+  FROM documents
+)
+SELECT base.doc_id, COALESCE(cl.clean_text, '') AS clean_text,
+       CAST(base.n_segments - COALESCE(cl.n_kept, 0) AS BIGINT) AS n_removed,
+       base.n_segments
+FROM base LEFT JOIN cl ON cl.doc_id = base.doc_id""",
+)
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet's paragraph-level dedup proper (Wenzek et al. 2020 §3.1):
+    hash every segment, KEEP THE FIRST occurrence corpus-wide and drop
+    all later ones — unlike boilerplate_removal (df≥3 cuts every
+    occurrence including the first), keep-first loses no content, only
+    repetition. The cleaned corpus is the hashed surface. First
+    occurrence per hash is one skew-safe min(struct(doc_id,pos)) agg
+    (map-side combine; a window over the hash would funnel hot
+    segments into one task) + an AQE equi-join back
+    (operators/dedup.dedup_paragraphs_keepfirst)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_paragraphs_keepfirst(docs, "text", "doc_id", seg_words=5)
+
+
+@register(
+    "rp_rerank_topk",
+    f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+rmat AS (
+  SELECT j, list_transform(range(0, 64), i ->
+           CASE WHEN substring(md5('rp_' || i || '_' || j), 1, 1)
+                     IN ('0','2','4','6','8','a','c','e')
+                THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS rrow
+  FROM (SELECT UNNEST(range(0, 16)) AS j)
+),
+vn AS (
+  SELECT vec_id,
+         list_transform(vec, x -> x / sqrt(list_reduce(
+             list_transform(vec, y -> y * y), (a, b) -> a + b))) AS nvec
+  FROM v
+),
+pr AS (
+  SELECT vn.vec_id, r.j,
+         list_reduce(list_transform(range(1, 65), i -> vn.nvec[i] * r.rrow[i]),
+                     (acc, x) -> acc + x) AS p
+  FROM vn CROSS JOIN rmat r
+),
+proj AS (SELECT vec_id, list(p ORDER BY j) AS proj FROM pr GROUP BY vec_id),
+sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_reduce(list_transform(range(1, 17),
+             i -> (q.proj[i] - c.proj[i]) * (q.proj[i] - c.proj[i])),
+             (acc, x) -> acc + x) AS dist_rp
+  FROM proj q JOIN proj c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+),
+cand AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dist_rp, corpus_id) AS crnk
+    FROM sc
+  ) t WHERE crnk <= 50
+),
+rr AS (
+  SELECT cand.query_id, cand.corpus_id, {_cos_sql('qv.vec', 'cv.vec')} AS cos_sim
+  FROM cand JOIN v qv ON qv.vec_id = cand.query_id
+            JOIN v cv ON cv.vec_id = cand.corpus_id
+)
+SELECT query_id, corpus_id, cos_sim, rnk FROM (
+  SELECT rr.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, corpus_id) AS rnk
+  FROM rr
+) t WHERE rnk <= 5""",
+)
+def q_rp_rerank_topk(spark, sf_dir):
+    """two-stage retrieval: Johnson-Lindenstrauss ±1 random projection
+    (Achlioptas 2003) 64→16 dims for the candidate scan, exact cosine
+    re-rank of the top 50 — the coarse-then-exact pattern every
+    production vector store runs. The candidate scan reads 1/4 of the
+    vector bytes; only 50×|queries| rows touch full vectors again.
+    Vectors normalize before projecting (unit-sphere L2 ranks by the
+    cosine objective stage 2 refines). ±1 multiplies are sign flips
+    (exact) and all folds run 0.0-seeded in index order, so the
+    oracle re-derives the projection MATRIX itself from md5 and
+    reproduces projections, candidate ranks, and the re-ranked cosine
+    bitwise (operators/similarity.rp_rerank_topk). Candidate recall
+    is perfect on clustered corpora and JL-error-bounded on the
+    near-isotropic test vectors — both regimes test-asserted (the PQ
+    recall note's regime argument applies verbatim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.rp_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id",
+        k=5, n_candidates=50,
+    )
+
+
+@register(
+    "exact_substring_dedup",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+o AS (
+  SELECT doc_id, u['pos'] AS pos, md5(u['g']) AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, GREATEST(len(words) - 7, 0)),
+             i -> {'pos': i, 'g': array_to_string(list_slice(words, i + 1, i + 8), ' ')})) AS u
+    FROM d) t
+),
+canon AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS n_occ
+  FROM o
+),
+cutpos AS (
+  SELECT DISTINCT doc_id, u AS tpos FROM (
+    SELECT doc_id, unnest(range(pos, pos + 8)) AS u
+    FROM canon WHERE n_occ >= 2 AND rn > 1) z
+),
+tok AS (
+  SELECT doc_id, u['tpos'] AS tpos, u['tok'] AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(words)),
+             i -> {'tpos': i, 'tok': words[i + 1]})) AS u
+    FROM d) t2
+),
+kept AS (SELECT tok.* FROM tok ANTI JOIN cutpos USING (doc_id, tpos)),
+cl AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY tpos), ' ') AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT base.doc_id, COALESCE(cl.clean_text, '') AS clean_text,
+       CAST(base.n_tokens - COALESCE(cl.n_kept, 0) AS BIGINT) AS n_cut_tokens,
+       base.n_tokens
+FROM base LEFT JOIN cl USING (doc_id)""",
+)
+def q_exact_substring_dedup(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022): every 8-token substring
+    occurring at >= 2 (doc, pos) sites corpus-wide is duplicated;
+    all occurrences except the (doc_id, pos)-first are cut, at
+    ARBITRARY alignment — spans straddling segment boundaries hide
+    from fixed-segment hashing (paragraph_dedup / boilerplate) but
+    not from sliding windows. The suffix-array tool's cut set is
+    reproduced by sliding 8-gram hashing: longer shared spans are
+    covered by their overlapping 8-grams, whose position unions
+    reconstruct the full span. Sliding grams ~ token_count rows
+    (skew-safe count+min agg); only duplicated non-canonical
+    occurrences explode into positions; no pair join anywhere
+    (operators/dedup.dedup_exact_substrings). The cleaned corpus
+    itself is the hashed surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact_substrings(docs, "text", "doc_id", min_len=8)

@@ -60,3 +60,42 @@ def quality_score_stream(stream_docs: DataFrame, w: dict[int, int], kc: int,
         F.col(id_col).alias("doc_id"),
         quality_score_expr(w, kc, text_col, n_buckets).alias("score_fp"),
     )
+
+
+def contamination_expr(bench_shingles: list[str], text_col: str,
+                       n: int = 5):
+    """Column: how many of ``bench_shingles`` (distinct n-gram
+    shingles of a held-out eval set) occur in ``text_col`` — the
+    decontamination signal, as ONE stateless expression. The bench
+    set rides as a literal array (eval benchmarks are small by
+    construction — KBs to MBs — so this is the honest production
+    shape; a corpus-sized reference set would use the stream-static
+    broadcast join in streaming/joins.py instead). Catalyst
+    constant-folds the literal, array_intersect hashes it once per
+    batch, and integer counts make the streamed signal BITWISE the
+    batch contamination_check's n_overlap."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens, tokens
+
+    doc_sh = F.array_distinct(shingles_from_tokens(tokens(F.col(text_col)), n))
+    bench = F.array(*[F.lit(s) for s in bench_shingles])
+    return F.size(F.array_intersect(doc_sh, bench)).cast("long")
+
+
+def contamination_filter_stream(stream_docs: DataFrame,
+                                bench_shingles: list[str],
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                max_overlap: int = 2,
+                                n: int = 5) -> DataFrame:
+    """Decontamination at INGEST: documents overlapping the eval set
+    in more than ``max_overlap`` distinct n-gram shingles are dropped
+    before they ever land in the training corpus — map-only, no
+    state, no watermark, append mode exactly-once per surviving row.
+    Emits (doc_id, n_overlap) for the keepers; the same expression
+    works as a batch filter, and the streamed n_overlap is bitwise
+    the batch contamination_check's (stream==batch parity test)."""
+    ov = contamination_expr(bench_shingles, text_col, n)
+    return (
+        stream_docs.select(F.col(id_col).alias("doc_id"), ov.alias("n_overlap"))
+        .filter(F.col("n_overlap") <= max_overlap)
+    )

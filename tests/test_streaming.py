@@ -1644,3 +1644,65 @@ def test_quality_score_stream_matches_batch_bitwise(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM qscore_stream").collect()
     }
     assert got == batch
+
+
+def test_contamination_filter_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Decontamination at ingest: the streamed n_overlap is bitwise
+    the batch contamination_check's, and exactly the over-threshold
+    docs are dropped — stateless, append mode, exactly-once."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.scoring import (
+        contamination_filter_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = [
+        r.shingle
+        for r in docs.filter(F.col("doc_id") < 25)
+        .select(
+            F.explode(
+                F.array_distinct(shingles_from_tokens(tokens(F.col("text")), 5))
+            ).alias("shingle")
+        )
+        .distinct()
+        .collect()
+    ]
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    bench_lit = F.array(*[F.lit(s) for s in bench])
+    batch = {
+        r.doc_id: r.n_overlap
+        for r in corpus.select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(shingles_from_tokens(tokens(F.col("text")), 5)),
+                    bench_lit,
+                )
+            ).cast("long").alias("n_overlap"),
+        ).collect()
+    }
+    keep_want = {d: o for d, o in batch.items() if o <= 2}
+    assert keep_want and len(keep_want) < len(batch), "fixture must drop some"
+
+    d = str(tmp_path / "decontam_stream")
+    corpus.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(corpus.schema).parquet(d)
+    q = (
+        contamination_filter_stream(stream, bench, max_overlap=2)
+        .writeStream.format("memory")
+        .queryName("decontam_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.n_overlap
+        for r in spark.sql("SELECT * FROM decontam_stream").collect()
+    }
+    assert got == keep_want
