@@ -373,33 +373,63 @@ def dedup_paragraphs_keepfirst(
         F.sequence(F.lit(0), nseg - 1),
         lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
     )
+    # seg_rows feeds BOTH the first-occurrence agg and the join back —
+    # persist so the corpus is segmented+hashed once; _spread so a
+    # single parquet split doesn't pin the explode to one core.
     seg_rows = (
-        df.select(F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("pos", "seg"))
+        _spread(df)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("pos", "seg"))
         .withColumn("h", F.md5("seg"))
+        .drop("seg")
+        .persist()
     )
     firsts = seg_rows.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("first_at")
     )
-    kept = seg_rows.join(firsts, "h").filter(
-        (F.col("doc_id") == F.col("first_at.doc_id"))
-        & (F.col("pos") == F.col("first_at.pos"))
+    # ship each doc only its DROPPED segment positions (rows ∝
+    # duplicated volume), then reassembly is a map-side index-lambda
+    # filter — segments are non-overlapping, so a segment's position
+    # IS its index (the exact_substring_dedup reassembly pattern; the
+    # collect_list re-sort of every kept segment was this op's only
+    # corpus-sized shuffle).
+    cutlists = (
+        seg_rows.join(firsts, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first_at.doc_id"))
+            | (F.col("pos") != F.col("first_at.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cut_pos"))
     )
-    clean = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
-                lambda s: s["seg"],
+    segs_again = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.expr(f"(size(split(_t, ' ')) + {seg_words - 1}) div {seg_words}") - 1,
+        ),
+        lambda i: F.array_join(
+            F.slice(F.split(F.col("_t"), " "), i * seg_words + 1, seg_words), " "
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .join(cutlists, "doc_id", "left")
+        .withColumn(
+            "cut_pos", F.coalesce("cut_pos", F.expr("array()").cast("array<int>"))
+        )
+        .withColumn(
+            "_kept",
+            F.filter(
+                segs_again, lambda seg, i: ~F.array_contains(F.col("cut_pos"), i)
             ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    base = df.select(F.col(id_col).alias("doc_id"), nseg.cast("long").alias("n_segments"))
-    return base.join(clean, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
-        "n_segments",
+        )
+        .select(
+            "doc_id",
+            F.array_join("_kept", " ").alias("clean_text"),
+            F.size("cut_pos").cast("long").alias("n_removed"),
+            F.expr(
+                f"CAST((size(split(_t, ' ')) + {seg_words - 1}) div {seg_words} AS BIGINT)"
+            ).alias("n_segments"),
+        )
     )
 
 
@@ -442,10 +472,16 @@ def dedup_exact_substrings(
         starts,
         lambda i: F.array_join(F.slice(words, i + 1, min_len), " "),
     )
+    # occ feeds BOTH the stats agg and the join back — persist it so
+    # the corpus is sliding-gram-hashed once, not twice, and _spread
+    # first so a single parquet split doesn't pin the explode+md5 to
+    # one core (the repo-wide single-file-input pattern).
     occ = (
-        df.select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "g"))
+        _spread(df)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "g"))
         .withColumn("h", F.md5("g"))
         .drop("g")
+        .persist()
     )
     stats = occ.groupBy("h").agg(
         F.count(F.lit(1)).alias("n_occ"),
@@ -455,32 +491,40 @@ def dedup_exact_substrings(
         (F.col("doc_id") != F.col("first_at.doc_id"))
         | (F.col("pos") != F.col("first_at.pos"))
     )
-    cut_pos = cut_occ.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(min_len - 1))
-        ).alias("tpos"),
-    ).distinct()
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(words).alias("tpos", "tok")
+    # reassembly stays MAP-SIDE: ship each doc its cut-span starts
+    # (rows ∝ duplicated volume only) and drop covered tokens with an
+    # index lambda — exploding every corpus token into a row and
+    # anti-joining cost 54.7 s at sf1 vs this shape's (the
+    # whole-corpus token shuffle + collect_list re-sort was the op's
+    # entire super-linear term).
+    cutlists = cut_occ.groupBy("doc_id").agg(
+        F.collect_set("pos").alias("cut_starts")
     )
-    kept = toks.join(cut_pos, ["doc_id", "tpos"], "left_anti")
-    clean = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
-                lambda s: s["tok"],
+    def _kept(words_col):
+        return F.filter(
+            words_col,
+            lambda tok, i: ~F.exists(
+                F.col("cut_starts"),
+                lambda st: (i >= st) & (i < st + F.lit(min_len)),
             ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    base = df.select(F.col(id_col).alias("doc_id"), n.cast("long").alias("n_tokens"))
-    return base.join(clean, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_cut_tokens"),
-        "n_tokens",
+        )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .join(cutlists, "doc_id", "left")
+        .withColumn(
+            "cut_starts",
+            F.coalesce("cut_starts", F.expr("array()").cast("array<int>")),
+        )
+        .withColumn("_kept", _kept(F.split(F.col("_t"), " ")))
+        .select(
+            "doc_id",
+            F.array_join("_kept", " ").alias("clean_text"),
+            (
+                F.size(F.split(F.col("_t"), " ")).cast("long")
+                - F.size("_kept").cast("long")
+            ).alias("n_cut_tokens"),
+            F.size(F.split(F.col("_t"), " ")).cast("long").alias("n_tokens"),
+        )
     )
 
 

@@ -7928,17 +7928,13 @@ rmat AS (
                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS rrow
   FROM (SELECT UNNEST(range(0, 16)) AS j)
 ),
-vn AS (
-  SELECT vec_id,
-         list_transform(vec, x -> x / sqrt(list_reduce(
-             list_transform(vec, y -> y * y), (a, b) -> a + b))) AS nvec
-  FROM v
-),
 pr AS (
-  SELECT vn.vec_id, r.j,
-         list_reduce(list_transform(range(1, 65), i -> vn.nvec[i] * r.rrow[i]),
-                     (acc, x) -> acc + x) AS p
-  FROM vn CROSS JOIN rmat r
+  SELECT v.vec_id, r.j,
+         list_reduce(list_transform(range(1, 65), i -> v.vec[i] * r.rrow[i]),
+                     (acc, x) -> acc + x)
+         / sqrt(list_reduce(list_transform(v.vec, y -> y * y),
+                            (a, b) -> a + b)) AS p
+  FROM v CROSS JOIN rmat r
 ),
 proj AS (SELECT vec_id, list(p ORDER BY j) AS proj FROM pr GROUP BY vec_id),
 sc AS (
