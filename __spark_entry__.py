@@ -73,6 +73,8 @@ _FRONT = [
     "paragraph_dedup",
     "rp_rerank_topk",
     "exact_substring_dedup",
+    "tokenizer_fertility",
+    "gopher_rules",
     # new r4 queries are appended here as they land; remaining gate
     # slots fall through to registry order (long-green r1 rows —
     # harmless repeat confirmations)

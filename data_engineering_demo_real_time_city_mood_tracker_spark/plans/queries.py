@@ -8043,3 +8043,112 @@ def q_exact_substring_dedup(spark, sf_dir):
     itself is the hashed surface."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dedup_exact_substrings(docs, "text", "doc_id", min_len=8)
+
+
+@register(
+    "tokenizer_fertility",
+    f"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+       CAST((1000000 * SUM(n_subwords)) // SUM(n_words) AS BIGINT) AS fertility_fp
+FROM ({_bpe_encode_oracle_sql()}) enc
+JOIN (SELECT doc_id, lang FROM documents) dl USING (doc_id)
+GROUP BY lang""",
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    """tokenizer-quality evaluation: per-language FERTILITY (subwords
+    per word, fixed-point ppm) of the engine-trained BPE tokenizer
+    over the full corpus — the eval every tokenizer team runs before
+    committing a vocab (high fertility on a language = that language
+    pays more sequence length per word). Composes the registry's own
+    train -> encode chain (train on the deterministic corpus quarter,
+    map-only encode of every doc), then one lang-keyed agg; integer
+    fixed-point ratio keeps the whole chain — trainer, segmentation,
+    and the eval arithmetic — bitwise oracle-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges_df = bpe.train_bpe(docs.filter(F.col("doc_id") % 4 == 0), "text", 8)
+    merges = [
+        (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
+    ]
+    enc = bpe.encode_bpe(docs, "text", "doc_id", merges)
+    return (
+        enc.select(F.col("id").alias("doc_id"), "n_words", "n_subwords")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_subwords").cast("long").alias("total_subwords"),
+            F.expr(
+                "CAST((1000000 * SUM(n_subwords)) div SUM(n_words) AS BIGINT)"
+            ).alias("fertility_fp"),
+        )
+    )
+
+
+_GOPHER_STOPS = "'the','a','of','to','and','in','is','it','that','for'"
+
+
+@register(
+    "gopher_rules",
+    f"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         CAST((1000000 * list_reduce(list_transform(w, x -> length(x)),
+                                     (a, b) -> a + b)) // len(w) AS BIGINT)
+           AS mean_word_len_ppm,
+         CAST(len(list_filter(w, x -> x IN ({_GOPHER_STOPS}))) AS BIGINT)
+           AS stop_hits,
+         CAST((1000000 * len(list_distinct(w))) // len(w) AS BIGINT)
+           AS distinct_ppm
+  FROM d)
+SELECT doc_id, n_words, mean_word_len_ppm, stop_hits, distinct_ppm,
+       (n_words BETWEEN 15 AND 1000
+        AND mean_word_len_ppm BETWEEN 3000000 AND 10000000
+        AND stop_hits >= 2
+        AND distinct_ppm >= 300000) AS keep
+FROM m""",
+)
+def q_gopher_rules(spark, sf_dir):
+    """the Gopher quality-filter rule set (Rae et al. 2021 appx A1.1,
+    the published heuristic gate most open-data pipelines start
+    from), as one map-only pass: word-count bounds, mean-word-length
+    band [3,10] chars, >=2 stop-word hits, and a distinct-token
+    floor standing in for the repetition rules (repetition_ratio
+    covers the n-gram versions). Word-count bounds are scaled to this
+    corpus's 10-99-word docs (Gopher's 50..100k assumes web pages) —
+    parameters, not semantics. Integer ppm arithmetic end-to-end ⇒
+    every metric AND the keep verdict are bitwise oracle-portable;
+    emits the metrics alongside the verdict so threshold tuning reads
+    one frame (377/500 keep at sf0.01 — every rule exercised)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    stops = F.array(*[F.lit(s) for s in
+                      ["the", "a", "of", "to", "and", "in", "is", "it",
+                       "that", "for"]])
+    n_words = F.size(w).cast("long")
+    mwl = F.expr(
+        "CAST((1000000 * aggregate(transform(split(text, ' '), x -> length(x)),"
+        " 0, (a, b) -> a + b)) div size(split(text, ' ')) AS BIGINT)"
+    )
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(stops, x))).cast("long")
+    distinct_ppm = F.expr(
+        "CAST((1000000 * size(array_distinct(split(text, ' ')))) "
+        "div size(split(text, ' ')) AS BIGINT)"
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len_ppm"),
+        stop_hits.alias("stop_hits"),
+        distinct_ppm.alias("distinct_ppm"),
+    )
+    return out.select(
+        "*",
+        (
+            F.col("n_words").between(15, 1000)
+            & F.col("mean_word_len_ppm").between(3000000, 10000000)
+            & (F.col("stop_hits") >= 2)
+            & (F.col("distinct_ppm") >= 300000)
+        ).alias("keep"),
+    )

@@ -300,3 +300,52 @@ def test_hll_registers_match_python_model(spark, keys):
     got = sorted((r.idx, r.rnk) for r in rows.collect())
     want = sorted(py_reg(k) for k in keys)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=4,
+        max_size=4,
+    ),
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=4,
+        max_size=4,
+    ),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sq8_codes_match_python_model(spark, vec_a, vec_b):
+    """pq.sq8_code_expr == the pure-Python IEEE model
+    (clamp(floor((x - mn) * 255 / rg))) on arbitrary finite doubles —
+    the portability contract that lets the DuckDB oracle re-derive
+    the quantizer; degenerate zero-range dims code to 0."""
+    import math
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
+
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in vec_a]), (1, [float(x) for x in vec_b])],
+        "vec_id long, embedding array<double>",
+    )
+    mins, ranges = pq.train_sq8(df, "embedding", dim=4)
+
+    def model(x, mn, rg):
+        if rg <= 0:
+            return 0
+        return min(255, max(0, math.floor((x - mn) * 255.0 / rg)))
+
+    got = {
+        r.vec_id: list(r.c)
+        for r in df.select(
+            "vec_id",
+            pq.sq8_code_expr(F.col("embedding"), mins, ranges).alias("c"),
+        ).collect()
+    }
+    for vid, vec in ((0, vec_a), (1, vec_b)):
+        want = [model(x, mn, rg) for x, mn, rg in zip(vec, mins, ranges)]
+        assert got[vid] == want
