@@ -405,3 +405,43 @@ def test_kcenter_round_scan_is_map_only(spark, sf_dir):
         assert "Exchange" not in plan
     finally:
         base.unpersist()
+
+
+def test_gopher_rules_map_only(spark, sf_dir):
+    """the heuristic gate is one pass over the scan — no shuffle, no
+    join, no aggregation."""
+    plan = plan_of(QUERIES["gopher_rules"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_sq8_topk_broadcasts_queries_no_smj(spark, sf_dir):
+    """SQ8 ranking keeps the brute_force_topk shape: the (tiny) query
+    code set broadcasts into the corpus scan — never a sort-merge join
+    of the corpus against itself."""
+    plan = plan_of(QUERIES["embedding_sq8_topk"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_rp_rerank_broadcasts_both_stages(spark, sf_dir):
+    """stage 1 broadcasts the projected query set; stage 2 broadcasts
+    the k-bounded candidate list and the query vectors into the
+    vector-fetch scan — no shuffle join anywhere."""
+    plan = plan_of(QUERIES["rp_rerank_topk"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_exact_substring_dedup_single_generate(spark, sf_dir):
+    """reassembly is map-side: the only generator in the plan is the
+    sliding-gram posexplode — the cleaned text must NOT come from a
+    second explode of every corpus token (that shuffle was the op's
+    super-linear term)."""
+    plan = plan_of(QUERIES["exact_substring_dedup"](spark, sf_dir))
+    # the persisted occurrence frame is un-materialized at plan time,
+    # so its gram explode prints once per consuming branch (+ repeats
+    # in the formatted details); the pre-fix shape (token explode +
+    # cut-position explode on top) printed 8+.
+    n_gen = plan.count("Generate")
+    assert n_gen <= 4, f"expected only the gram explode, saw {n_gen} Generates"
