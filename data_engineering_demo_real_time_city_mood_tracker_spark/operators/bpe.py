@@ -174,3 +174,57 @@ def encode_bpe(
         F.size(F.coalesce("subwords", empty)).alias("n_subwords"),
         F.coalesce("subwords", empty).alias("subwords"),
     )
+
+
+def subword_counts(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+    group_col: str,
+) -> DataFrame:
+    """Per-``group_col`` tokenizer statistics — (grp, n_docs,
+    total_words, total_subwords) — WITHOUT materializing subword
+    sequences: fertility-style evals only need counts, so the
+    segmentation fold runs once per DISTINCT word producing just
+    size(segmentation), the instance join carries one small int, and
+    there is no per-doc reassembly groupBy and no corpus-sized join
+    back to the docs table (the group column rides through the
+    explode). Shuffles: vocab distinct, the word-keyed count join,
+    and a group-keyed agg with map-side combine — none carries
+    subword arrays."""
+
+    def seg(word):
+        syms = F.split(word, "")
+        for left, right in merges:
+            syms = _merge_pair(syms, left, right)
+        return syms
+
+    inst = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(T.tokens(F.col(text_col)), lambda w: F.length(w) > 0)
+        ).alias("word"),
+    )
+    segd = (
+        inst.select("word")
+        .distinct()
+        .select("word", F.size(seg(F.col("word"))).alias("n_subs"))
+    )
+    per_grp = (
+        inst.join(segd, "word")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_words"),
+            F.sum("n_subs").cast("long").alias("total_subwords"),
+        )
+    )
+    base = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return base.join(per_grp, "grp", "left").select(
+        "grp",
+        "n_docs",
+        F.coalesce("total_words", F.lit(0)).alias("total_words"),
+        F.coalesce("total_subwords", F.lit(0)).alias("total_subwords"),
+    )

@@ -8070,19 +8070,14 @@ def q_tokenizer_fertility(spark, sf_dir):
     merges = [
         (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
     ]
-    enc = bpe.encode_bpe(docs, "text", "doc_id", merges)
-    return (
-        enc.select(F.col("id").alias("doc_id"), "n_words", "n_subwords")
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_words").cast("long").alias("total_words"),
-            F.sum("n_subwords").cast("long").alias("total_subwords"),
-            F.expr(
-                "CAST((1000000 * SUM(n_subwords)) div SUM(n_words) AS BIGINT)"
-            ).alias("fertility_fp"),
-        )
+    return bpe.subword_counts(docs, "text", "doc_id", merges, "lang").select(
+        F.col("grp").alias("lang"),
+        "n_docs",
+        "total_words",
+        "total_subwords",
+        F.expr(
+            "CAST((1000000 * total_subwords) div total_words AS BIGINT)"
+        ).alias("fertility_fp"),
     )
 
 
