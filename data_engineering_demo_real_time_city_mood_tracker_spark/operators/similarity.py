@@ -460,8 +460,8 @@ def rp_rerank_topk(
     — the coarse-then-exact pattern every production vector store
     runs. The projection is map-only (the ±1 matrix rides as a
     literal, one fused multiply-add fold per output dim in codegen);
-    the candidate scan reads dprime/dim of the vector bytes; only
-    k × |queries| candidates ever touch the full vectors again.
+    the candidate scan touches dprime/dim of the vector width; only
+    n_candidates × |queries| rows ever touch the full vectors again.
 
     Vectors are L2-NORMALIZED before projection: the re-rank metric
     is cosine, and on the unit sphere squared L2 is 2 - 2cos — the

@@ -7966,8 +7966,9 @@ def q_rp_rerank_topk(spark, sf_dir):
     """two-stage retrieval: Johnson-Lindenstrauss ±1 random projection
     (Achlioptas 2003) 64→16 dims for the candidate scan, exact cosine
     re-rank of the top 50 — the coarse-then-exact pattern every
-    production vector store runs. The candidate scan reads 1/4 of the
-    vector bytes; only 50×|queries| rows touch full vectors again.
+    production vector store runs. The candidate scan touches a quarter
+    of the vector width (16 of 64 dims); only 50×|queries| rows
+    touch full vectors again.
     Vectors normalize before projecting (unit-sphere L2 ranks by the
     cosine objective stage 2 refines). ±1 multiplies are sign flips
     (exact) and all folds run 0.0-seeded in index order, so the
