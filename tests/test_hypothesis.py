@@ -349,3 +349,61 @@ def test_sq8_codes_match_python_model(spark, vec_a, vec_b):
     for vid, vec in ((0, vec_a), (1, vec_b)):
         want = [model(x, mn, rg) for x, mn, rg in zip(vec, mins, ranges)]
         assert got[vid] == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_substring_dedup_matches_python_model(spark, texts):
+    """dedup_exact_substrings == a pure-Python replica (sliding
+    min_len-gram hashing, keep the (doc_id, pos)-first occurrence,
+    overlap-union the cut spans) on adversarial tiny-alphabet corpora
+    where nearly every gram is duplicated — the regime that stresses
+    the canonical-occurrence and span-union logic hardest."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import (
+        dedup_exact_substrings,
+    )
+
+    L = 3
+    occ: dict[str, tuple[int, int]] = {}
+    docs = list(enumerate(texts))
+    for did, t in docs:
+        w = t.split(" ")
+        for p in range(len(w) - L + 1):
+            g = " ".join(w[p : p + L])
+            if g not in occ:
+                occ[g] = (did, p)
+    counts: dict[str, int] = {}
+    for did, t in docs:
+        w = t.split(" ")
+        for p in range(len(w) - L + 1):
+            g = " ".join(w[p : p + L])
+            counts[g] = counts.get(g, 0) + 1
+    want = {}
+    for did, t in docs:
+        w = t.split(" ")
+        cut = set()
+        for p in range(len(w) - L + 1):
+            g = " ".join(w[p : p + L])
+            if counts[g] >= 2 and occ[g] != (did, p):
+                cut.update(range(p, p + L))
+        kept = [tok for i, tok in enumerate(w) if i not in cut]
+        want[did] = (" ".join(kept), len(w) - len(kept), len(w))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_cut_tokens, r.n_tokens)
+        for r in dedup_exact_substrings(df, "text", "doc_id", min_len=L).collect()
+    }
+    assert got == want
