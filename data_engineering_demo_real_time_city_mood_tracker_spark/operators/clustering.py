@@ -366,8 +366,14 @@ def kmeans(
 # on any engine (no rounding rule, see _portable_mean), and all
 # distances thereafter are EXACT integer sums, so the argmax/argmin
 # choices — the part ties would corrupt — are engine-portable.
-# BIGINT bound: dim * (2 * scale * max|x|)^2 < 2^63 holds to
-# max|x| ~ 1.5e3 at dim 64; unit-norm-ish embeddings are ~1e9 inside.
+# BIGINT bound: dim * (2 * scale * max|x|)^2 < 2^63 requires
+# max|x| <= sqrt(2^63 / dim) / (2 * scale) — at dim 64, scale 1e6
+# that is ~1.9e2, NOT 1.5e3 (r4 ADVICE fixed the arithmetic here);
+# unit-norm-ish embeddings (max|x| <= 1) still sit ~2 orders inside.
+# Past the bound the integer distance wraps SILENTLY (the numpy int64
+# matmul in _kc_counts_np too), so kcenter_select checks the actual
+# max quantized coordinate and fails loudly instead of corrupting
+# picks — see the guard right after the seed collect.
 KC_SCALE = 10**6
 
 
@@ -465,13 +471,44 @@ def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
       integer arithmetic makes the matmul expansion bitwise-equal,
       unlike the float case).
     """
+    import math
+
+    from pyspark.sql import Observation
+
     spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("id"), _kc_qvec(vec_col).alias("q")
     ).persist()
     if incremental is None:
         incremental = k > _LITERAL_K_MAX
-    seed = base.orderBy("id").limit(1).collect()[0]
+    # Overflow guard (r4 ADVICE): rides the seed's TakeOrdered job as an
+    # Observation (every row passes the metrics node before the local
+    # top-1, and MAX is retry/speculation-safe, unlike counts), so it
+    # costs no extra scan. Past the bound the BIGINT fold AND the numpy
+    # int64 matmul wrap silently — fail loudly instead.
+    obs = Observation()
+    seed_rows = (
+        base.observe(
+            obs,
+            F.max(
+                F.expr("array_max(transform(q, x -> abs(x)))")
+            ).alias("qmax"),
+        )
+        .orderBy("id")
+        .limit(1)
+        .collect()
+    )
+    seed = seed_rows[0]
+    dim = len(seed.q)
+    qmax = int(obs.get["qmax"] or 0)
+    qbound = math.isqrt((2**63 - 1) // max(dim, 1)) // 2
+    if qmax > qbound:
+        raise ValueError(
+            f"kcenter_select: max |quantized coordinate| {qmax} exceeds the "
+            f"BIGINT-safe bound {qbound} at dim {dim} (KC_SCALE={KC_SCALE}); "
+            "integer distances would wrap silently — rescale the input or "
+            "lower KC_SCALE"
+        )
     # (rank, id, dist-at-selection, quantized vector)
     chosen = [(1, seed.id, 0, list(seed.q))]
     dframe = None
@@ -528,7 +565,9 @@ def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
         [(int(r), int(i), int(d)) for r, i, d, _ in chosen],
         "sel_rank long, vec_id long, dist_fp long",
     )
-    return (
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import release_after
+
+    out = (
         meta.join(counts, "sel_rank", "left")
         .select(
             "sel_rank", "vec_id", "dist_fp",
@@ -536,3 +575,6 @@ def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
         )
         .orderBy("sel_rank")
     )
+    # k rows: checkpoint eagerly and release the quantized-vector cache
+    # (CacheManager holds persisted frames until explicit unpersist)
+    return release_after(out, base)

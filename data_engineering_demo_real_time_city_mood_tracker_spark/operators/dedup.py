@@ -528,6 +528,24 @@ def dedup_exact_substrings(
     )
 
 
+def release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize a BOUNDED result frame once (eager localCheckpoint)
+    and unpersist the cached intermediates that fed it, returning the
+    checkpointed frame. Closes the r4-ADVICE cache leak: DataFrame
+    ``persist`` registers in the session CacheManager and is NEVER
+    reclaimed by the ContextCleaner (that only collects unreferenced
+    RDDs/broadcasts), so a long registry run accumulates every
+    trainer's feature cache until explicit unpersist. Only use where
+    ``result`` is strictly bounded (top-k frames, k-row metadata) —
+    the checkpoint stores the rows in executor storage, so a
+    corpus-sized result would trade a cache leak for a full
+    materialization."""
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure at least defaultParallelism partitions before expensive
     per-row compute. A tiny scan (one small parquet split) otherwise

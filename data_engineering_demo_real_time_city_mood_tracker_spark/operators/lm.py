@@ -91,8 +91,14 @@ def bigram_model(dbc: DataFrame, scale: int = FP_SCALE) -> DataFrame:
     the bigram partials (vocab²-sized) instead of re-scanning the
     corpus; V rides a 1-row cross join, never a driver action.
     """
+    # No persist (r4 ADVICE): lft is an aggregation, so each of its
+    # references sits above the SAME Exchange subtree and ReuseExchange
+    # dedups the work within the consumer's one action — measured at
+    # parity with a persist at sf0.1, and a persist would sit in the
+    # CacheManager forever (the ContextCleaner never reclaims SQL
+    # caches, only unreferenced RDDs/broadcasts).
     bg = dbc.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
-    lft = bg.groupBy("w1").agg(F.sum("cb").alias("c1")).persist()
+    lft = bg.groupBy("w1").agg(F.sum("cb").alias("c1"))
     vcnt = lft.agg(F.count(F.lit(1)).alias("v"))
     return (
         bg.join(lft, "w1")
@@ -112,10 +118,18 @@ def score_bigram_lm(docs: DataFrame, text_col: str = "text",
 
     Documents with < 2 tokens have no bigrams and are absent from the
     output (they carry no LM evidence either way).
+
+    Cache discipline (r4 ADVICE): NOTHING persists. dbc is an
+    aggregation, so its three references (the model's counts, the
+    left-context totals, the scoring join) all reuse one Exchange
+    subtree within the consumer's single action — measured at parity
+    with the persist this replaces, which would have sat in the
+    CacheManager until explicit unpersist (the ContextCleaner never
+    reclaims SQL caches).
     """
-    dbc = doc_bigram_counts(docs, text_col, id_col).persist()
+    dbc = doc_bigram_counts(docs, text_col, id_col)
     model = bigram_model(dbc, scale)
-    out = (
+    return (
         dbc.join(model, ["w1", "w2"])
         .groupBy("id")
         .agg(
@@ -128,7 +142,6 @@ def score_bigram_lm(docs: DataFrame, text_col: str = "text",
             F.expr("s div nb").cast("long").alias("score_fp"),
         )
     )
-    return out
 
 
 def dsir_scores(docs: DataFrame, is_target, text_col: str = "text",
@@ -141,8 +154,9 @@ def dsir_scores(docs: DataFrame, is_target, text_col: str = "text",
     ``b = md5-bucket(token) mod n_buckets``. ``is_target`` is a boolean
     Column over ``docs`` marking the target-distribution exemplars.
 
-    One tokenize pass: per-doc bucket counts are the persisted
-    partials; target and source bucket totals both derive from them.
+    One tokenize pass: per-doc bucket counts are shared partials
+    (Exchange reuse); target and source bucket totals both derive
+    from them.
     The ratio table is exactly ``n_buckets`` rows no matter the corpus
     — it is force-broadcast deliberately (bounded by construction,
     unlike the unbounded stats frame the r3 advice flagged in
@@ -158,11 +172,14 @@ def dsir_scores(docs: DataFrame, is_target, text_col: str = "text",
         .select("id", "_tgt", F.explode("_toks").alias("token"))
     )
     b = F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long") % n_buckets
+    # No persist (r4 ADVICE): tb is an aggregation — its three
+    # references (source totals, target totals, the scoring join)
+    # reuse one Exchange subtree within the single consumer action;
+    # see score_bigram_lm's cache-discipline note.
     tb = (
         tok.select("id", "_tgt", b.alias("b"))
         .groupBy("id", "_tgt", "b")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
     src = tb.groupBy("b").agg(F.sum("c").alias("sc"))
     tgt = tb.filter("_tgt").groupBy("b").agg(F.sum("c").alias("tc"))
@@ -280,6 +297,10 @@ def train_quality_probe(docs: DataFrame, is_positive, text_col: str = "text",
     ``(weights, kc, feats, ydf)``: ``weights`` a {-1..B-1} -> BIGINT
     dict (sentinel -1 pinned 0), ``kc`` the final centering scalar
     (``score_i = sum_{b in i} w_b - kc``), and the persisted frames.
+    The CALLER owns releasing ``feats``/``ydf`` (unpersist them after
+    the last downstream action — quality_probe_topk does it via
+    release_after): persisted frames sit in the CacheManager until
+    explicitly unpersisted, never reclaimed by the ContextCleaner.
 
     Per round, over the persisted sparse feature table: one score
     aggregation (weights as plan literals), one gradient aggregation
@@ -360,6 +381,8 @@ def quality_probe_topk(docs: DataFrame, is_positive, k: int = 20,
     doc_id tiebreak (total order). The closing step of the GPT-3-style
     curation recipe: train on labeled exemplars, score the whole
     corpus, keep the head."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import release_after
+
     w, kc, feats, ydf = train_quality_probe(
         docs, is_positive, text_col, id_col, n_buckets, rounds, scale
     )
@@ -367,7 +390,7 @@ def quality_probe_topk(docs: DataFrame, is_positive, k: int = 20,
         feats.groupBy("id")
         .agg((F.sum(_qc_weight_expr(w, n_buckets)) - F.lit(kc)).alias("score_fp"))
     )
-    return (
+    out = (
         ydf.join(sw, "id")
         .select(
             F.col("id").alias("doc_id"),
@@ -377,6 +400,9 @@ def quality_probe_topk(docs: DataFrame, is_positive, k: int = 20,
         .orderBy(F.col("score_fp").desc(), "doc_id")
         .limit(k)
     )
+    # k rows: checkpoint the result eagerly and release the trainer's
+    # feature/label caches — CacheManager never reclaims them otherwise
+    return release_after(out, feats, ydf)
 
 
 def moore_lewis_scores(docs: DataFrame, is_target, text_col: str = "text",
@@ -392,13 +418,19 @@ def moore_lewis_scores(docs: DataFrame, is_target, text_col: str = "text",
     delta = looks like the target domain AND not merely generic.
 
     One tokenize pass: both models and the scoring derive from the
-    persisted per-doc bigram partials. Bigrams unseen by the target
+    shared per-doc bigram partials. Bigrams unseen by the target
     model smooth to scale/(0 + V_t) via the LEFT joins — the
     GREATEST(V_t, 1) guard only matters for an empty target slice and
     is mirrored in the oracle. Both model tables are vocab²-bounded at
     any corpus size; the scoring join is the AQE-skew-join shape
     documented for bigram_lm_score. Docs with < 2 tokens carry no LM
     evidence and are absent, as in score_bigram_lm."""
+    # The persists live for exactly ONE materialization — the eager
+    # checkpoint below — then release (r4 ADVICE: SQL caches leak in
+    # the CacheManager until explicit unpersist). Dropping them for
+    # Exchange reuse was measured +30% here (five dbc references across
+    # two model derivations defeat reuse in this shape), unlike
+    # score_bigram_lm/dsir where reuse is at parity.
     dbc = doc_bigram_counts(docs, text_col, id_col).persist()
     tgt_ids = docs.filter(is_target).select(F.col(id_col).alias("id"))
     sbg = dbc.groupBy("w1", "w2").agg(F.sum("c").alias("scb"))
@@ -408,7 +440,7 @@ def moore_lewis_scores(docs: DataFrame, is_target, text_col: str = "text",
     tbg = tdbc.groupBy("w1", "w2").agg(F.sum("c").alias("tcb"))
     tlft = tbg.groupBy("w1").agg(F.sum("tcb").alias("tc1")).persist()
     tv = tlft.agg(F.count(F.lit(1)).alias("tv"))
-    return (
+    out = (
         dbc.join(sbg, ["w1", "w2"])
         .join(slft, "w1")
         .join(tbg, ["w1", "w2"], "left")
@@ -437,7 +469,15 @@ def moore_lewis_scores(docs: DataFrame, is_target, text_col: str = "text",
             .cast("long")
             .alias("delta_fp"),
         )
+        # eager checkpoint (3 longs/doc, RDD storage the ContextCleaner
+        # CAN reclaim) — moore_lewis_select runs TWO actions (the LIMIT
+        # count, then the TakeOrdered) and both read this one
+        # materialization; a persist here would leak in the CacheManager
+        .localCheckpoint(eager=True)
     )
+    for c in (dbc, slft, tlft):
+        c.unpersist()
+    return out
 
 
 def moore_lewis_select(docs: DataFrame, is_target, keep_frac_denom: int = 4,
@@ -448,9 +488,10 @@ def moore_lewis_select(docs: DataFrame, is_target, keep_frac_denom: int = 4,
     LIMIT boundary); the keep count is over SCORED docs (>= 2 tokens),
     matching the oracle's COUNT(DISTINCT id) over the bigram
     partials (one row per scored doc == one scored frame row). The
-    scored frame is persisted so the count and the TakeOrdered read
-    one materialization — a second doc_bigram_counts() here would be
-    a fresh lineage and re-tokenize the whole corpus."""
-    scored = moore_lewis_scores(docs, is_target, text_col, id_col, scale).persist()
+    scored frame arrives eagerly checkpointed from moore_lewis_scores,
+    so the count and the TakeOrdered read one materialization — a
+    second doc_bigram_counts() here would be a fresh lineage and
+    re-tokenize the whole corpus — and no cache outlives the call."""
+    scored = moore_lewis_scores(docs, is_target, text_col, id_col, scale)
     m = max(1, scored.count() // keep_frac_denom)
     return scored.orderBy(F.col("delta_fp").desc(), "doc_id").limit(m)

@@ -216,7 +216,10 @@ def build_text_index(
     on the pre-explode (doc, tokens) node of the SAME job that writes
     the postings — exact integer count/sum, no second tokenize pass —
     and land as the segment's JSON sidecar only after the write
-    action succeeded, so the commit record is still last.
+    action succeeded, so the commit record is still last. Because
+    ``observe`` counts re-executed/speculative tasks twice, the
+    numbers are cross-checked (and recomputed exactly on mismatch or
+    under speculation) before they commit — see ``_committed_stats``.
     """
     from pyspark.sql import Observation
 
@@ -265,11 +268,60 @@ def build_text_index(
         ["seg", "bucket"],
     )
     got = obs.get
+    n_docs, total_dl = _committed_stats(
+        docs, text_col, int(got["n_docs"]), int(got["total_dl"])
+    )
     write_json_meta(
         spark,
         _stats_path(path, segment),
-        {"n_docs": int(got["n_docs"]), "total_dl": int(got["total_dl"])},
+        {"n_docs": n_docs, "total_dl": total_dl},
     )
+
+
+def _committed_stats(
+    docs: DataFrame,
+    text_col: str,
+    obs_n_docs: int,
+    obs_total_dl: int,
+    speculative: bool | None = None,
+) -> tuple[int, int]:
+    """Validate the Observation-derived stats before they become the
+    segment's commit record. ``observe`` is accumulator-based: a
+    re-executed map stage (fetch failure, executor loss) or a
+    speculative duplicate task counts its rows AGAIN, silently
+    inflating n_docs/total_dl — and those feed BM25 idf/avgdl. The
+    dedicated agg this fusion replaced was exactly-once, so guard the
+    fused path: an exactly-once driver-side ``docs.count()`` is cheap
+    (no tokenize, no explode), and any disagreement — or speculation
+    being enabled at all, where a matching count can still hide a
+    duplicated total_dl — falls back to the exactly-once stats
+    aggregation. The extra tokenize pass is paid only on the retry /
+    speculation path, never in the common case."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens
+
+    spark = docs.sparkSession
+    if speculative is None:
+        # spark.speculation is a core (launch-time) conf — read it from
+        # the context, where it actually lives, not the SQL runtime conf
+        speculative = (
+            str(
+                spark.sparkContext.getConf().get("spark.speculation", "false")
+            ).lower()
+            == "true"
+        )
+    if not speculative and obs_n_docs == docs.count():
+        return obs_n_docs, obs_total_dl
+    row = (
+        docs.select(tokens(F.col(text_col)).alias("_toks"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.size("_toks").cast("long")), F.lit(0).cast("long")
+            ).alias("total_dl"),
+        )
+        .first()
+    )
+    return int(row["n_docs"]), int(row["total_dl"])
 
 
 def append_text_index(

@@ -1834,10 +1834,17 @@ def q_exact_quantiles(spark, sf_dir):
 @register("quantile_sketch")  # KLL/GK sketch internals engine-specific → rows-only
 def q_quantile_sketch(spark, sf_dir):
     """approximate quantiles via Spark's Greenwald-Khanna sketch —
-    mergeable across partitions, no global sort. rows-only check."""
+    mergeable across partitions, no global sort. rows-only check
+    (sketch error bounds are engine-specific, so no value oracle).
+    Emits one SCALAR column per percentile: the driver's pandas
+    canonicalizer cannot sort array cells (the r4 gate crash), and the
+    contract test now bans complex-typed outputs registry-wide."""
     ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles")
+        F.element_at(q, 1).alias("p50"),
+        F.element_at(q, 2).alias("p95"),
+        F.element_at(q, 3).alias("p99"),
     )
 
 
@@ -7379,7 +7386,9 @@ def q_filter_funnel_report(spark, sf_dir):
         .unionAll(stage_agg(s3, 3, "dedup_exact"))
         .unionAll(stage_agg(s4, 4, "decontaminated"))
     )
-    return out
+    # 5-row report: checkpoint eagerly and release the two stage caches
+    # (CacheManager never reclaims persisted frames — r4 ADVICE)
+    return dedup.release_after(out, s0, s3)
 
 
 @register(
@@ -7445,12 +7454,19 @@ def q_token_budget_mixture(spark, sf_dir):
     temperature_sample's scale caveat (swap for a two-level scan at
     extreme per-key cardinality)."""
     docs = load_table(spark, sf_dir, "documents")
-    # persisted: both the source totals AND the rank/cumsum pass read
-    # this doc-sized 3-column frame — without the cache the corpus
-    # would tokenize twice (the docstring's one-pass claim)
-    nt = dedup._spread(docs).select(
-        "doc_id", "source", F.size(T.tokens(F.col("text"))).alias("nt")
-    ).persist()
+    # One tokenize pass WITHOUT a persist (r4 ADVICE — SQL caches leak
+    # in the CacheManager): the token counts are computed BELOW a
+    # source-keyed Exchange, so both readers of this doc-sized
+    # 3-column frame — the source totals and the rank/cumsum window —
+    # reuse the same shuffle output (ReuseExchange), and the window's
+    # required distribution is satisfied by the same exchange. The
+    # tokenize itself still runs in the _spread-parallelized stage
+    # below the shuffle.
+    nt = (
+        dedup._spread(docs)
+        .select("doc_id", "source", F.size(T.tokens(F.col("text"))).alias("nt"))
+        .repartition("source")
+    )
     sc = nt.groupBy("source").agg(F.sum("nt").alias("n"))
     wo = Window.orderBy("n", "source")
     ordered = sc.select(
@@ -7462,7 +7478,7 @@ def q_token_budget_mixture(spark, sf_dir):
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias("m"),
-    ).persist()
+    )  # source-count-sized (~tens of rows) — recompute beats caching
     b = ordered.agg(F.expr("sum(n) div 2").alias("b"))  # exact integer halving, == DuckDB //
     # the waterline: k = max index still fully satisfiable, L = the
     # integer fair share of what remains — 20ish rows, all integer
@@ -8123,13 +8139,20 @@ def q_gopher_rules(spark, sf_dir):
                       ["the", "a", "of", "to", "and", "in", "is", "it",
                        "that", "for"]])
     n_words = F.size(w).cast("long")
+    # Fold seed and ppm scaling are BIGINT end-to-end: a 0 seed makes the
+    # aggregate IntegerType, and 1000000 * int32 silently wraps (ANSI off)
+    # past ~2147 total word chars / distinct words — real web-document
+    # lengths. The DuckDB oracle already evaluates in wider integers, so
+    # a 32-bit Spark side would hash-diverge exactly where it matters.
     mwl = F.expr(
-        "CAST((1000000 * aggregate(transform(split(text, ' '), x -> length(x)),"
-        " 0, (a, b) -> a + b)) div size(split(text, ' ')) AS BIGINT)"
+        "CAST((CAST(1000000 AS BIGINT) *"
+        " aggregate(transform(split(text, ' '), x -> length(x)),"
+        " CAST(0 AS BIGINT), (a, b) -> a + b))"
+        " div size(split(text, ' ')) AS BIGINT)"
     )
     stop_hits = F.size(F.filter(w, lambda x: F.array_contains(stops, x))).cast("long")
     distinct_ppm = F.expr(
-        "CAST((1000000 * size(array_distinct(split(text, ' ')))) "
+        "CAST((CAST(1000000 AS BIGINT) * size(array_distinct(split(text, ' ')))) "
         "div size(split(text, ' ')) AS BIGINT)"
     )
     out = docs.select(

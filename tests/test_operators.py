@@ -702,6 +702,31 @@ def test_kcenter_stops_at_distinct_point_count(spark):
     ]
 
 
+def test_kcenter_rejects_overflow_coordinates(spark):
+    """r4 ADVICE: past the BIGINT bound the quantized distance (and the
+    numpy int64 matmul) wraps SILENTLY — kcenter_select must fail
+    loudly instead of corrupting picks. At dim 2 the safe bound on the
+    quantized coordinate is isqrt((2^63-1)/2)//2 ~= 1.07e9, i.e. raw
+    max|x| ~ 1073 at KC_SCALE 1e6; coordinates just inside pass."""
+    import pytest
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import kcenter_select
+
+    bad = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [2.0e3, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="BIGINT-safe bound"):
+        kcenter_select(bad, "embedding", "vec_id", k=2)
+
+    ok = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0e3, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = kcenter_select(ok, "embedding", "vec_id", k=2).collect()
+    assert [r.sel_rank for r in out] == [1, 2]
+
+
 def test_kcenter_paths_are_bitwise_identical(spark, sf_dir):
     """The incremental (localCheckpoint LEAST-maintenance) traversal
     equals the literal-matrix recompute traversal row-for-row on the

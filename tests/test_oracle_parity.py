@@ -109,3 +109,47 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0
+
+
+def test_selection_queries_release_their_caches(spark, sf_dir):
+    """r4 ADVICE: DataFrame.persist registers in the session
+    CacheManager and is NEVER reclaimed by the ContextCleaner, so the
+    r4 selection block's trainer caches (bigram partials, DSIR bucket
+    counts, probe features, funnel stages, waterfilling token counts)
+    accumulated across a 169-query registry run. Every one of those
+    operators now checkpoints its result and unpersists before
+    returning — a full materialization of each must leave the
+    CacheManager exactly as it found it."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    for name in (
+        "bigram_lm_score", "dsir_sample", "moore_lewis_select",
+        "quality_classifier", "kcenter_coreset", "filter_funnel_report",
+        "token_budget_mixture",
+    ):
+        QUERIES[name](spark, sf_dir).collect()
+        assert cm.isEmpty(), f"{name} left persisted frames behind"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_complex_output_columns(spark, sf_dir, name):
+    """Registry-wide complex-type ban (r4 verdict item 1). The driver's
+    pandas canonicalizer sort_values raises "unhashable type" on
+    array/map/struct cells, so EVERY registered query — oracle-backed
+    OR rows-only — must emit scalar columns. The r4 version of this
+    check lived inside test_query_matches_oracle and therefore only
+    covered ORACLES, which is exactly how the rows-only quantile_sketch
+    re-walked into the r3 bpe_encode failure class (array<double>
+    output → spark_rows null in CORRECTNESS_r04)."""
+    sdf = QUERIES[name](spark, sf_dir)
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if any(t in f.dataType.simpleString() for t in ("array", "map", "struct"))
+    ]
+    assert not complex_cols, (
+        f"{name}: complex-typed output columns {complex_cols} would crash "
+        "the driver's pandas canonicalizer — serialize them "
+        "(concat_ws / element_at scalars) before returning"
+    )

@@ -415,6 +415,25 @@ def test_gopher_rules_map_only(spark, sf_dir):
     assert "Join" not in plan
 
 
+def test_gopher_rules_wide_doc_no_overflow(spark, tmp_path):
+    """r4 ADVICE: a 0-seeded fold is IntegerType, so 1000000 * sum
+    wrapped (ANSI off) past ~2147 total word chars — real web-document
+    lengths, never exercised by the 10-99-word bench corpus. The fold
+    and ppm scaling are BIGINT now; a 50k-char doc must produce the
+    exact positive ppm values, not 32-bit garbage."""
+    n, wlen = 5000, 10  # 50_000 word chars: 1e6 * 50_000 >> 2^31
+    words = [f"w{i % 97:0{wlen - 1}d}" for i in range(n)]
+    doc_dir = tmp_path / "docs"
+    spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    ).write.parquet(str(doc_dir / "documents.parquet"))
+    row = QUERIES["gopher_rules"](spark, str(doc_dir)).collect()[0]
+    assert row["n_words"] == n
+    assert row["mean_word_len_ppm"] == wlen * 1_000_000
+    assert row["distinct_ppm"] == (97 * 1_000_000) // n
+    assert row["stop_hits"] == 0 and row["keep"] is False
+
+
 def test_sq8_topk_broadcasts_queries_no_smj(spark, sf_dir):
     """SQ8 ranking keeps the brute_force_topk shape: the (tiny) query
     code set broadcasts into the corpus scan — never a sort-merge join

@@ -972,6 +972,31 @@ def test_text_index_stats_count_zero_token_docs(spark, tmp_path):
         retrieval.query_text_index(spark, path, q)
 
 
+def test_text_index_stats_guard_repairs_overcount(spark):
+    """r4 ADVICE: the Observation feeding the segment's commit record
+    is accumulator-based, so a re-executed/speculative map stage
+    over-counts n_docs/total_dl. The guard must (a) trust matching
+    numbers without a second tokenize pass, (b) recompute exactly when
+    the obs count disagrees with the exactly-once docs.count(), and
+    (c) recompute under spark.speculation even on a matching count
+    (total_dl can be inflated while n_docs matches)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.retrieval import _committed_stats
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma"), (3, None)],
+        "doc_id long, text string",
+    )
+    exact = (3, 5)
+    # (a) clean run: obs numbers pass through untouched
+    assert _committed_stats(docs, "text", 3, 5) == exact
+    # (b) a retried stage double-counted: repaired to the exact values
+    assert _committed_stats(docs, "text", 6, 10) == exact
+    # total_dl inflated while n_docs happens to match → undetectable
+    # without speculation on; with it on, always recomputed
+    assert _committed_stats(docs, "text", 3, 10) == (3, 10)
+    assert _committed_stats(docs, "text", 3, 10, speculative=True) == exact
+
+
 def test_pq_adc_quality(spark, sf_dir):
     """PQ/ADC quality bounds that hold even on near-isotropic test
     vectors (where exact-NN recall is information-theoretically out of

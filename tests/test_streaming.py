@@ -1627,6 +1627,8 @@ def test_quality_score_stream_matches_batch_bitwise(spark, sf_dir, tmp_path):
         .agg((F.sum(_qc_weight_expr(w, 256)) - F.lit(kc)).alias("s"))
         .collect()
     }
+    feats.unpersist()  # caller owns releasing the trainer's caches
+    ydf.unpersist()
 
     d = str(tmp_path / "docs_stream")
     docs.write.mode("overwrite").parquet(d)
