@@ -23,61 +23,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["mood_pipeline"](spark, "/root/testdata/sf0.001")
 
 
-# The driver's CORRECTNESS gate caps at ~50 rows per round. Rounds
-# 1+2 hard-graded 99 distinct queries; _FRONT holds the never-graded
-# entries (VERDICT r2 "Next round" item 1) plus every round-3
-# addition. Oracle-backed entries sort first within this list (see
-# _ordered), then the rows-only tail — exactly 50 entries, 47 of them
-# hard-signal after the late-r3 oracle conversions. Previously-green
-# rows stay out of the front block on purpose; the rows-only ops whose
-# signal is carried elsewhere yield their slots (see the tail comment).
+# The driver's CORRECTNESS gate caps at ~50 rows per round. _FRONT
+# holds this round's must-grade set. Oracle-backed entries sort first
+# within this list (see _ordered), then the rows-only tail.
+# Previously-green rows whose plans did NOT change stay out on
+# purpose; ~50 slots rotate each round (VERDICT r4 item 5: re-grade
+# the stalest cohort).
 _FRONT = [
-    # --- r3 driver reds, fixed this round; need a green r4 row ---
-    "pagerank_portable",  # oracle rank_fp now CAST AS BIGINT (HUGEINT artifact)
-    "bpe_encode",  # sample column stringified (driver canon can't hash lists)
-    "priority_linestatus",  # shipdate slice moved into 1995 data (was vacuous 0-row)
-    # --- the 6 queries never driver-graded in any round (VERDICT r3
-    # item 4) — rows-only by design; their hash signal rides in-gate
-    # twins (simhash_portable / hll_portable_rollup / exact_quantiles /
-    # kcore_portable / multimodal_meta), this rotation closes the
-    # "every registry query has >=1 driver row ever" loop ---
-    "audio_dedup_energy",
-    "dedup_simhash",
-    "hll_merge_rollup",
-    "kcore_decomposition",
-    "multimodal_frames",
+    # --- the r4 driver red: quantile_sketch crashed the canonicalizer
+    # on its array<double> column (its ONLY-ever gate appearance);
+    # now emits p50/p95/p99 scalars — needs its first spark_rows row ---
     "quantile_sketch",
-    # --- perf-guard re-grades: queries whose plans change this round
-    # (trainer-round fusion, broadcast removal) — the oracle row is the
-    # bitwise guard that the optimization changed nothing ---
-    "ivfpq_index_probe",
-    "bm25_index_probe",
-    "embedding_ann_ivf_trained",
-    "exact_quantiles",
-    "kmeans_embeddings",
-    "pq_ann_topk",
-    # --- newly oracle-backed in r4: the binary-decode stretch item —
-    # needs its first HASH row (r3's row was rows-only) ---
-    "image_dedup_dhash",
-    # --- new r4 queries: corpus LM scoring / importance resampling /
-    # curation observability ---
+    # --- r5 changed-plan guards: every query whose physical plan
+    # changed this round (BIGINT gopher fold, cache-release refactor,
+    # linear dedup reassembly, fold-exact numpy Lloyd rounds, text-index
+    # stats guard) — the oracle row is the bitwise proof the
+    # optimization changed nothing ---
+    "gopher_rules",
     "bigram_lm_score",
     "dsir_sample",
-    "filter_funnel_report",
-    "token_budget_mixture",
+    "moore_lewis_select",
     "quality_classifier",
     "kcenter_coreset",
-    "moore_lewis_select",
-    "ts_analog_topk",
-    "embedding_sq8_topk",
-    "paragraph_dedup",
-    "rp_rerank_topk",
+    "filter_funnel_report",
+    "token_budget_mixture",
+    "bm25_index_probe",
     "exact_substring_dedup",
-    "tokenizer_fertility",
-    "gopher_rules",
-    # new r4 queries are appended here as they land; remaining gate
-    # slots fall through to registry order (long-green r1 rows —
-    # harmless repeat confirmations)
+    "paragraph_dedup",
+    "boilerplate_removal",
+    "ivfpq_index_probe",
+    "kmeans_embeddings",
+    "pq_ann_topk",
+    "embedding_ann_ivf_trained",
+    "semantic_dedup",
+    "embedding_ann_ivf",
+    "ann_recall_eval",
+    # --- stale-cohort rotation (VERDICT r4 item 5): r1-era greens not
+    # re-graded since round 1 — oldest first ---
+    "events_cube",
+    "grouping_sets_mixed",
+    "events_unpivot",
+    "above_avg_orders",
+    "percentile_stats",
+    "set_ops_users",
+    "full_outer_minutes",
+    "skew_salted_join",
+    "dim_upsert",
+    "json_ingest",
+    "min_cost_supplier",
+    "promo_revenue_share",
+    "top_supplier",
+    "disjunctive_filter",
+    "idle_rich_customers",
+    "supplier_nation_profit",
+    "asof_join",
+    "interval_join",
+    "sessionization",
+    "weather_transition",
+    "scd2_intervals",
+    "value_histogram",
+    "user_running_total",
+    "moving_avg_range",
+    "ts_pattern_topk",
+    "event_type_pivot",
+    "window_distribution",
+    "distinct_counts",
+    "approx_distinct_hll",  # rows-only; r1-era, re-confirm it runs
+    # new r5 queries are appended here as they land; remaining gate
+    # slots fall through to registry order
 ]
 
 

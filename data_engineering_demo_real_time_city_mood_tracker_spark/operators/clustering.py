@@ -288,6 +288,66 @@ def py_assign(vec: list[float], centroids: list[list[float]]) -> int:
     return best
 
 
+def _round_partials_np(base: DataFrame, centroids: list[list[float]]):
+    """One Lloyd round's (cluster, pos) → (quantized sum, count)
+    partials via a FOLD-EXACT numpy pass — bitwise-identical to the
+    assignment fold + posexplode + _portable_mean aggregation it
+    replaces, at a fraction of the cost (no interpreted HOF lambdas,
+    no dim-wide explode shuffle: the shuffle moves ≤ tasks × k × dim
+    partial rows instead of corpus_rows × dim exploded rows).
+
+    Why bitwise: distances accumulate SEQUENTIALLY over dimensions —
+    ``acc = acc + diff*diff`` per dim is the same two correctly-rounded
+    IEEE ops in the same order as the zip_with/aggregate fold (numpy
+    elementwise ufuncs never fuse into FMA), unlike the BLAS
+    ``||v||²−2vc+||c||²`` expansion in _assign_clusters_np which can
+    argmin differently on near-ties. np.argmin takes the FIRST minimum
+    == array_position(array_min). The mean partials floor-quantize at
+    1e10 exactly like _portable_mean (multiply then floor, both
+    correctly rounded) and sum as exact int64; the caller finishes
+    with the same double divisions. Parity is test-asserted on the
+    real embeddings and every downstream oracle hash re-checks it."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = [list(map(float, c)) for c in centroids]
+    k = len(cmat)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray(list(pdf["vec"]), dtype=np.float64)
+            n, dim = v.shape
+            d = np.empty((n, k), dtype=np.float64)
+            for ci in range(k):
+                c = cmat[ci]
+                acc = np.zeros(n, dtype=np.float64)
+                for t in range(dim):
+                    diff = v[:, t] - c[t]
+                    acc = acc + diff * diff
+                d[:, ci] = acc
+            cl = np.argmin(d, axis=1)
+            q = np.floor(v * 1e10).astype(np.int64)
+            out = {"cluster": [], "pos": [], "s": [], "n": []}
+            for ci in np.unique(cl):
+                sel = q[cl == ci]
+                sums = sel.sum(axis=0)
+                out["cluster"].extend([int(ci)] * dim)
+                out["pos"].extend(range(dim))
+                out["s"].extend(int(x) for x in sums)
+                out["n"].extend([int(sel.shape[0])] * dim)
+            yield pd.DataFrame(out)
+
+    return (
+        base.select("vec")
+        .mapInPandas(gen, schema="cluster int, pos int, s long, n long")
+        .groupBy("cluster", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+
+
 def kmeans(
     df: DataFrame,
     vec_col: str,
@@ -296,6 +356,7 @@ def kmeans(
     max_iter: int = 5,
     dim: int | None = None,
     initial_centroids: list[list[float]] | None = None,
+    np_rounds: bool = True,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's iterations; returns (assignments df, final centroids).
 
@@ -309,7 +370,11 @@ def kmeans(
     holds the k smallest-md5(id) seed vectors (build_ivfpq_index
     collects coarse + PQ seeds in ONE TakeOrdered job); passing
     anything else changes the result, so callers must preserve the
-    md5-order contract.
+    md5-order contract. ``np_rounds`` (default) runs each Lloyd round
+    through the fold-exact numpy partials pass (_round_partials_np —
+    bitwise-identical centroids, test-asserted); False keeps the pure
+    Column-expression rounds for the parity test and as the
+    no-Arrow-dependency fallback.
     """
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
 
@@ -329,22 +394,31 @@ def kmeans(
         else:
             centroids = init_centroids(base, "vec", "id", k)
         for _ in range(max_iter):
-            assigned = assign_clusters(base, "vec", "id", centroids)
-            # per-dimension exact quantized-integer sums →
-            # partition-order-independent, engine-portable means (see
-            # _portable_mean). The update is keyed on (cluster, pos) —
-            # a narrow 3-column agg instead of a dim-wide one, so
-            # codegen stays in one small method and the shuffle payload
-            # is still k × dim partials per map task.
-            new_rows = (
-                assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
-                .groupBy("cluster", "pos")
-                .agg(_portable_mean(F.col("x")).alias("c"))
-                .collect()
-            )
             new_centroids = [list(c) for c in centroids]
-            for r in new_rows:
-                new_centroids[r.cluster][r.pos] = r.c
+            if np_rounds:
+                # fold-exact numpy partials; the final mean is the same
+                # double(sum)/count/1e10 _portable_mean computes (Python
+                # float division IS IEEE double division)
+                for r in _round_partials_np(base, centroids):
+                    new_centroids[r.cluster][r.pos] = float(r.s) / r.n / 1e10
+            else:
+                assigned = assign_clusters(base, "vec", "id", centroids)
+                # per-dimension exact quantized-integer sums →
+                # partition-order-independent, engine-portable means (see
+                # _portable_mean). The update is keyed on (cluster, pos) —
+                # a narrow 3-column agg instead of a dim-wide one, so
+                # codegen stays in one small method and the shuffle payload
+                # is still k × dim partials per map task.
+                new_rows = (
+                    assigned.select(
+                        "cluster", F.posexplode("vec").alias("pos", "x")
+                    )
+                    .groupBy("cluster", "pos")
+                    .agg(_portable_mean(F.col("x")).alias("c"))
+                    .collect()
+                )
+                for r in new_rows:
+                    new_centroids[r.cluster][r.pos] = r.c
             if new_centroids == centroids:
                 break
             centroids = new_centroids

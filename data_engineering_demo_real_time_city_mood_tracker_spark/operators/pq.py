@@ -80,6 +80,7 @@ def train_pq(
     ksub: int = 16,
     max_iter: int = 3,
     seed_vecs: list[list[float]] | None = None,
+    np_rounds: bool = True,
 ) -> list[list[list[float]]]:
     """codebooks[m][ksub][dsub]: k-means per subspace slice, with all
     ``m`` subspaces trained in the SAME jobs.
@@ -127,11 +128,63 @@ def train_pq(
                 .limit(ksub)
                 .collect()
             )
-        books, dim = _lloyd_rounds(base, seeds, m, ksub, max_iter)
+        books, dim = _lloyd_rounds(base, seeds, m, ksub, max_iter, np_rounds)
     return books
 
 
-def _lloyd_rounds(base, seeds, m, ksub, max_iter):
+def _pq_round_partials_np(base, books, m, dsub):
+    """One fused PQ Lloyd round's (subspace, cluster, pos) →
+    (quantized sum, count) partials as a fold-exact numpy pass — the
+    product-quantizer twin of clustering._round_partials_np (see its
+    docstring for the bitwise argument: sequential-dim accumulation ==
+    the zip_with/aggregate fold, first-min argmin == array_position,
+    floor-quantized int64 sums == _portable_mean's BIGINT partials).
+    Replaces the m-struct explode + posexplode + groupBy round: the
+    shuffle moves ≤ tasks × m × ksub × dsub partial rows instead of
+    corpus_rows × dim exploded rows, and no interpreted HOF runs."""
+    import numpy as np
+    import pandas as pd
+
+    bks = [[list(map(float, c)) for c in book] for book in books]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray(list(pdf["_v"]), dtype=np.float64)
+            n = v.shape[0]
+            out = {"j": [], "cluster": [], "pos": [], "s": [], "n": []}
+            for j, book in enumerate(bks):
+                sub = v[:, j * dsub : (j + 1) * dsub]
+                d = np.empty((n, len(book)), dtype=np.float64)
+                for ci, c in enumerate(book):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for t in range(dsub):
+                        diff = sub[:, t] - c[t]
+                        acc = acc + diff * diff
+                    d[:, ci] = acc
+                cl = np.argmin(d, axis=1)
+                q = np.floor(sub * 1e10).astype(np.int64)
+                for ci in np.unique(cl):
+                    sel = q[cl == ci]
+                    sums = sel.sum(axis=0)
+                    out["j"].extend([int(j)] * dsub)
+                    out["cluster"].extend([int(ci)] * dsub)
+                    out["pos"].extend(range(dsub))
+                    out["s"].extend(int(x) for x in sums)
+                    out["n"].extend([int(sel.shape[0])] * dsub)
+            yield pd.DataFrame(out)
+
+    return (
+        base.select("_v")
+        .mapInPandas(gen, schema="j int, cluster int, pos int, s long, n long")
+        .groupBy("j", "cluster", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+
+
+def _lloyd_rounds(base, seeds, m, ksub, max_iter, np_rounds: bool = True):
     dim = len(seeds[0]["_v"])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     dsub = dim // m
@@ -139,28 +192,38 @@ def _lloyd_rounds(base, seeds, m, ksub, max_iter):
         [list(r["_v"])[j * dsub : (j + 1) * dsub] for r in seeds] for j in range(m)
     ]
     for _ in range(max_iter):
-        per_sub = []
-        for j, book in enumerate(books):
-            sub = F.slice(F.col("_v"), j * dsub + 1, dsub)
-            # one parsed SQL string per subspace instead of the py4j
-            # lambda tree — same fold, leaner plan (clustering._dists_sql)
-            dists = F.expr(_dists_sql(f"slice(_v, {j * dsub + 1}, {dsub})", book))
-            cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-            per_sub.append(
-                F.struct(
-                    F.lit(j).alias("j"), cluster.alias("cluster"), sub.alias("sub")
-                )
-            )
-        new_rows = (
-            base.select(F.explode(F.array(*per_sub)).alias("s"))
-            .select("s.j", "s.cluster", F.posexplode("s.sub").alias("pos", "x"))
-            .groupBy("j", "cluster", "pos")
-            .agg(_portable_mean(F.col("x")).alias("c"))
-            .collect()
-        )
         new_books = [[list(c) for c in book] for book in books]
-        for r in new_rows:
-            new_books[r.j][r.cluster][r.pos] = r.c
+        if np_rounds:
+            # fold-exact numpy partials; same final double divisions as
+            # _portable_mean (Python float division is IEEE double)
+            for r in _pq_round_partials_np(base, books, m, dsub):
+                new_books[r.j][r.cluster][r.pos] = float(r.s) / r.n / 1e10
+        else:
+            per_sub = []
+            for j, book in enumerate(books):
+                sub = F.slice(F.col("_v"), j * dsub + 1, dsub)
+                # one parsed SQL string per subspace instead of the py4j
+                # lambda tree — same fold, leaner plan (clustering._dists_sql)
+                dists = F.expr(
+                    _dists_sql(f"slice(_v, {j * dsub + 1}, {dsub})", book)
+                )
+                cluster = (
+                    F.array_position(dists, F.array_min(dists)) - 1
+                ).cast("int")
+                per_sub.append(
+                    F.struct(
+                        F.lit(j).alias("j"), cluster.alias("cluster"), sub.alias("sub")
+                    )
+                )
+            new_rows = (
+                base.select(F.explode(F.array(*per_sub)).alias("s"))
+                .select("s.j", "s.cluster", F.posexplode("s.sub").alias("pos", "x"))
+                .groupBy("j", "cluster", "pos")
+                .agg(_portable_mean(F.col("x")).alias("c"))
+                .collect()
+            )
+            for r in new_rows:
+                new_books[r.j][r.cluster][r.pos] = r.c
         if new_books == books:
             break
         books = new_books

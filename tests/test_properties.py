@@ -96,6 +96,31 @@ def test_embedding_near_dup_symmetric_threshold(spark):
     assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
 
 
+def test_lloyd_np_rounds_bitwise_equal_fold_rounds(spark, sf_dir):
+    """The numpy Lloyd rounds (r5: _round_partials_np /
+    _pq_round_partials_np) must produce BITWISE-identical centroids
+    and codebooks to the Column-expression rounds on the real
+    embeddings — sequential-dim accumulation is the same IEEE op
+    sequence as the zip_with/aggregate fold, np.argmin's first-min is
+    array_position(array_min), and the floor-quantized int64 partial
+    sums are _portable_mean's BIGINT partials. Any divergence here
+    would break every trainer's oracle hash downstream."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import kmeans
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, c_np = kmeans(emb, "embedding", "vec_id", k=5, max_iter=3, np_rounds=True)
+    _, c_fold = kmeans(emb, "embedding", "vec_id", k=5, max_iter=3, np_rounds=False)
+    assert c_np == c_fold  # exact float equality, not approx
+
+    b_np = pq.train_pq(emb, "embedding", "vec_id", m=4, ksub=8, max_iter=3,
+                       np_rounds=True)
+    b_fold = pq.train_pq(emb, "embedding", "vec_id", m=4, ksub=8, max_iter=3,
+                         np_rounds=False)
+    assert b_np == b_fold
+
+
 def test_kmeans_deterministic_and_converging(spark, sf_dir):
     """k-means invariants: identical reruns (hash init, no RNG),
     every vector assigned to exactly one of ≤ k clusters, and total
