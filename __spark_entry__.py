@@ -34,6 +34,14 @@ _FRONT = [
     # on its array<double> column (its ONLY-ever gate appearance);
     # now emits p50/p95/p99 scalars — needs its first spark_rows row ---
     "quantile_sketch",
+    # --- new r5 queries: domain capping, leakage-safe group split,
+    # vocab sizing, CCNet perplexity terciles, LESS-style
+    # gradient-matching selection — first driver rows ---
+    "domain_cap_sample",
+    "group_holdout_split",
+    "vocab_coverage",
+    "ccnet_buckets",
+    "grad_match_select",
     # --- r5 changed-plan guards: every query whose physical plan
     # changed this round (BIGINT gopher fold, cache-release refactor,
     # linear dedup reassembly, fold-exact numpy Lloyd rounds, text-index
@@ -85,10 +93,9 @@ _FRONT = [
     "user_running_total",
     "moving_avg_range",
     "ts_pattern_topk",
-    "event_type_pivot",
-    "window_distribution",
-    "distinct_counts",
-    "approx_distinct_hll",  # rows-only; r1-era, re-confirm it runs
+    # (event_type_pivot / window_distribution / distinct_counts /
+    # approx_distinct_hll yielded their slots to the five new r5
+    # queries — next round's stale rotation leads with them)
     # new r5 queries are appended here as they land; remaining gate
     # slots fall through to registry order
 ]

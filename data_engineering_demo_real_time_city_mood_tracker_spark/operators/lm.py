@@ -405,6 +405,114 @@ def quality_probe_topk(docs: DataFrame, is_positive, k: int = 20,
     return release_after(out, feats, ydf)
 
 
+def grad_match_select(docs: DataFrame, is_positive, is_val, k: int = 20,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_buckets: int = 256, rounds: int = 3,
+                      scale: int = QC_SCALE, g_shift: int = 20,
+                      s_shift: int = 20) -> DataFrame:
+    """(doc_id, score_gm) — LESS-style gradient-matching selection
+    (Xia et al. 2024 "LESS: Selecting Influential Data for Targeted
+    Instruction Tuning"; the TracIn/influence-function family): after
+    training the quality probe, keep the k documents whose per-example
+    gradient best ALIGNS with the validation slice's aggregate
+    gradient — one GD step on such a doc reduces validation loss the
+    most (Δval_loss ≈ −η⟨g_i, g_val⟩).
+
+    Entirely exact integer arithmetic, so the whole chain — trainer,
+    residuals, validation gradient, per-doc alignment — is
+    oracle-portable. For the centered probe, g_i = resid_i·(x_i − μ)
+    and the n²-scaled alignment factorizes to
+
+        n²·⟨g_i, g_val⟩ = resid_i · (n·Σ_{b∈x_i} G_b − Σ_b cnt_b·G_b),
+        G_b = n·V_b − cnt_b·SV,
+
+    with V_b = Σ_{j∈val} resid_j·x_jb and SV = Σ_{j∈val} resid_j —
+    every term an exact integer from bounded aggregations (V is
+    B-rows, SV a scalar). Two floor-div rescales keep BIGINT headroom
+    (G_b >> g_shift driver-side in Python — floor, matching the
+    oracle's offset-shifted //; the per-doc factor >> s_shift as an
+    offset-shifted Spark `div`, trunc == floor on the shifted
+    nonnegative numerator). Headroom: |score| ≲ n²·B·scale² /
+    2^(g_shift+s_shift) — BIGINT-safe to n ~ 1e6 docs at the
+    defaults; raise the shifts at larger corpora (resolution loss is
+    irrelevant to a top-k rank).
+
+    Scale shape: everything after the trainer is one id-keyed join of
+    B-bounded literals plus one ≤(B+1)-row collect; no corpus
+    self-join, no new tokenize pass (the trainer's cached feature
+    table feeds every aggregate). All caches released on return."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import release_after
+
+    w, kc, feats, ydf = train_quality_probe(
+        docs, is_positive, text_col, id_col, n_buckets, rounds, scale
+    )
+    n = ydf.count()
+    npos = ydf.agg(F.sum("y")).collect()[0][0] or 0
+    ybar = (scale * npos) // n
+    sw = feats.groupBy("id").agg(
+        F.sum(_qc_weight_expr(w, n_buckets)).alias("sw")
+    )
+    resid = (
+        ydf.join(sw, "id")
+        .select(
+            "id",
+            (
+                F.col("sw") - F.lit(kc)
+                - (F.col("y") * F.lit(scale) - F.lit(ybar))
+            ).alias("resid"),
+        )
+        .persist()
+    )
+    vres = resid.join(
+        docs.filter(is_val).select(F.col(id_col).alias("id")), "id"
+    )
+    sv = vres.agg(F.sum("resid")).collect()[0][0] or 0
+    vb = {
+        r.b: r.v
+        for r in feats.filter("b >= 0")
+        .join(vres, "id")
+        .groupBy("b")
+        .agg(F.sum("resid").alias("v"))
+        .collect()
+    }
+    cnt = {
+        r.b: r.c
+        for r in feats.filter("b >= 0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    # Python // floors — identical to the oracle's offset-shifted //
+    # (exact big-int arithmetic on both sides, any magnitude)
+    g = {
+        b: (n * vb.get(b, 0) - cnt.get(b, 0) * sv) // (1 << g_shift)
+        for b in range(n_buckets)
+    }
+    g[-1] = 0  # sentinel never scores
+    cc = sum(cnt.get(b, 0) * g[b] for b in range(n_buckets))
+    ai = (
+        feats.filter("b >= 0")
+        .groupBy("id")
+        .agg(F.sum(_qc_weight_expr(g, n_buckets)).alias("a"))
+    )
+    off = 1 << 40
+    factor = F.expr(
+        f"((CAST({n} AS BIGINT) * a - CAST({cc} AS BIGINT)"
+        f" + CAST({off} AS BIGINT) * CAST({1 << s_shift} AS BIGINT))"
+        f" div CAST({1 << s_shift} AS BIGINT)) - CAST({off} AS BIGINT)"
+    )
+    out = (
+        resid.join(ai, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("resid") * factor).cast("long").alias("score_gm"),
+        )
+        .orderBy(F.col("score_gm").desc(), "doc_id")
+        .limit(k)
+    )
+    return release_after(out, feats, ydf, resid)
+
+
 def moore_lewis_scores(docs: DataFrame, is_target, text_col: str = "text",
                        id_col: str = "doc_id",
                        scale: int = FP_SCALE) -> DataFrame:

@@ -7581,7 +7581,10 @@ w{r} AS MATERIALIZED (
 """
 
 
-_QC_ORACLE = (
+# the trained-probe CTE chain (params → features → 3 GD rounds →
+# final weights/centering/scores) — shared by quality_classifier and
+# grad_match_select
+_QC_CTES = (
     f"""WITH prm AS (
   SELECT COUNT(*) AS n, SUM(CAST(lang = 'en' AS BIGINT)) AS npos FROM documents
 ),
@@ -7604,9 +7607,14 @@ w0 AS (SELECT unnest(range(0, {_QC_B})) AS b, CAST(0 AS BIGINT) AS w),
         "(SELECT COALESCE(SUM(w.w * c.c), 0) FROM w3 w JOIN cntc c USING (b))",
         "(SELECT n FROM prm)",
     )} AS kc),
-fin AS (
+fin AS MATERIALIZED (
   SELECT f.id, SUM(w.w) AS sw FROM f JOIN w3 w USING (b) GROUP BY f.id
+)"""
 )
+
+_QC_ORACLE = (
+    _QC_CTES
+    + """
 SELECT y.id AS doc_id, CAST(y.y AS BIGINT) AS is_pos,
        CAST(fin.sw - (SELECT kc FROM kf) AS BIGINT) AS score_fp
 FROM y JOIN fin USING (id)
@@ -8170,4 +8178,243 @@ def q_gopher_rules(spark, sf_dir):
             & (F.col("stop_hits") >= 2)
             & (F.col("distinct_ppm") >= 300000)
         ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# round-5 additions: domain capping, leakage-safe splits, tokenizer
+# sizing, CCNet perplexity buckets, and gradient-matching selection —
+# the remaining classic stages of a pretraining data pipeline
+
+
+@register(
+    "domain_cap_sample",
+    f"""WITH prm AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT source) AS ns FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS src_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, CAST(r.src_rank AS BIGINT) AS src_rank,
+       (r.src_rank <= GREATEST(1, p.n // (2 * p.ns))) AS kept
+FROM ranked r CROSS JOIN prm p""",
+)
+def q_domain_cap_sample(spark, sf_dir):
+    """per-domain frequency capping (the RefinedWeb / C4 anti-spam
+    rule: no single site may dominate the corpus — Penedo et al. 2023
+    cap URL frequency before dedup): each source keeps at most
+    ``cap`` documents, filled deterministically in md5(doc_id) rank
+    order (no RNG, byte-identical re-runs — the temperature_sample
+    discipline). The cap DERIVES from the corpus — n_docs div
+    (2 × n_sources), i.e. twice the mean source share, floor 1 —
+    never a fixed constant (the r3 adaptive-width rule), and rides
+    the plan as a literal from a 1-row agg. Corpus pays one
+    source-keyed rank window; the per-key window inherits
+    temperature_sample's extreme-cardinality caveat."""
+    docs = load_table(spark, sf_dir, "documents")
+    n, ns = docs.agg(
+        F.count(F.lit(1)), F.countDistinct("source")
+    ).collect()[0]
+    cap = max(1, n // (2 * ns))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("src_rank"),
+    ).select("*", (F.col("src_rank") <= F.lit(cap)).alias("kept"))
+
+
+@register(
+    "group_holdout_split",
+    f"""SELECT doc_id, source,
+       CASE WHEN {_hex4_sql("md5(source)", 1, 10)} < 8
+            THEN 'train' ELSE 'heldout' END AS split
+FROM documents""",
+)
+def q_group_holdout_split(spark, sf_dir):
+    """leakage-safe GROUP holdout: the 80/20 split is keyed on
+    md5(SOURCE), not the document — every document of a source lands
+    in the same split, so near-duplicate boilerplate within a domain
+    can never leak from train into heldout (the GroupShuffleSplit
+    semantics train_test_split's per-doc hash cannot give). Map-only,
+    no shuffle; deterministic across engines and re-runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 4), 16, 10).cast("long")
+        % 10
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 8, "train").otherwise("heldout").alias("split"),
+    )
+
+
+@register(
+    "vocab_coverage",
+    f"""WITH tf AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split({_docs_norm_sql()}, ' ')) AS token
+        FROM documents)
+  GROUP BY token
+),
+tot AS (SELECT SUM(cnt) AS t FROM tf),
+ranked AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, token
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tf
+)
+SELECT CAST(rank AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+       CAST((1000000 * cum) // (SELECT t FROM tot) AS BIGINT) AS cum_ppm
+FROM ranked WHERE rank <= 200 ORDER BY rank""",
+)
+def q_vocab_coverage(spark, sf_dir):
+    """tokenizer-sizing coverage curve: token frequency ranks with
+    cumulative corpus mass (ppm) — the table that answers "how big a
+    vocabulary covers X% of tokens" before committing to a BPE size
+    (bpe_merges trains the merges; this sizes them). One tokenize
+    pass into a map-side-combining count; the rank/cumsum window runs
+    over the VOCAB-bounded frequency table, never the corpus, and the
+    output is capped at the top 200 rows. Integer ppm arithmetic
+    end-to-end (the gopher_rules discipline) ⇒ bitwise-portable."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        dedup._spread(docs)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wr = Window.orderBy(F.col("cnt").desc(), "token")
+    tot = tf.agg(F.sum("cnt").alias("t"))
+    return (
+        tf.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(wr).cast("long").alias("rank"),
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr(
+                "CAST((CAST(1000000 AS BIGINT) * sum(cnt) OVER "
+                "(ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING))"
+                " div t AS BIGINT)"
+            ).alias("cum_ppm"),
+        )
+        .filter(F.col("rank") <= 200)
+        .orderBy("rank")
+    )
+
+
+@register(
+    "ccnet_buckets",
+    f"""WITH {_BIGRAM_PAIRS_CTE.format(norm=_docs_norm_sql())},
+bg AS (SELECT w1, w2, SUM(c) AS cb FROM dbc GROUP BY w1, w2),
+lft AS (SELECT w1, SUM(cb) AS c1 FROM bg GROUP BY w1),
+vcnt AS (SELECT COUNT(*) AS v FROM lft),
+model AS (
+  SELECT bg.w1, bg.w2, (1000000000 * (bg.cb + 1)) // (lft.c1 + vcnt.v) AS cond_fp
+  FROM bg JOIN lft ON bg.w1 = lft.w1 CROSS JOIN vcnt
+),
+ds AS (
+  SELECT id, CAST(SUM(c * cond_fp) // SUM(c) AS BIGINT) AS score_fp
+  FROM dbc JOIN model USING (w1, w2) GROUP BY id
+)
+SELECT d.doc_id, d.lang, ds.score_fp,
+       CASE NTILE(3) OVER (PARTITION BY d.lang
+                           ORDER BY ds.score_fp DESC, d.doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM documents d JOIN ds ON d.doc_id = ds.id""",
+)
+def q_ccnet_buckets(spark, sf_dir):
+    """the CCNet head/middle/tail split proper (Wenzek et al. 2020
+    §3.2: bucket every document into perplexity terciles WITHIN its
+    language; downstream pipelines train on head+middle and drop
+    tail): per-language NTILE(3) over the corpus bigram-LM fluency
+    score (higher score = more fluent = head). NTILE's earlier-
+    buckets-get-the-remainder rule is ANSI and identical across
+    engines given the total order (score desc, doc_id). Costs one
+    LM scoring pass (see bigram_lm_score) plus one lang-keyed window;
+    per-language windows inherit temperature_sample's extreme-
+    cardinality caveat."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = lm.score_bigram_lm(docs, "text", "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score_fp").desc(), "doc_id"
+    )
+    nt = F.ntile(3).over(w)
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored.select("doc_id", "score_fp"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "score_fp",
+            F.when(nt == 1, "head")
+            .when(nt == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+_GM_ORACLE = (
+    _QC_CTES
+    + f""",
+rf AS MATERIALIZED (
+  SELECT y.id,
+         fin.sw - (SELECT kc FROM kf)
+                - (y.y * {_QC_SCALE} - (SELECT ybar FROM yb)) AS resid
+  FROM y JOIN fin USING (id)
+),
+val AS (SELECT id, resid FROM rf WHERE id % 7 = 0),
+sv AS (SELECT COALESCE(SUM(resid), 0) AS sv FROM val),
+vb AS (SELECT f.b, SUM(v.resid) AS vb FROM f JOIN val v USING (id) GROUP BY f.b),
+gb AS MATERIALIZED (
+  SELECT c.b, {_qc_pdiv(
+      "(SELECT n FROM prm) * COALESCE(vb.vb, 0) - c.c * (SELECT sv FROM sv)",
+      str(1 << 20),
+  )} AS g
+  FROM cntc c LEFT JOIN vb USING (b)
+),
+cc AS (SELECT COALESCE(SUM(c.c * g.g), 0) AS cc FROM cntc c JOIN gb g USING (b)),
+ai AS (SELECT f.id, SUM(g.g) AS a FROM f JOIN gb g USING (b) GROUP BY f.id),
+sc AS (
+  SELECT rf.id,
+         rf.resid * {_qc_pdiv(
+      "(SELECT n FROM prm) * ai.a - (SELECT cc FROM cc)", str(1 << 20)
+  )} AS score_gm
+  FROM rf JOIN ai USING (id)
+)
+SELECT id AS doc_id, CAST(score_gm AS BIGINT) AS score_gm
+FROM sc ORDER BY score_gm DESC, id LIMIT 20"""
+)
+
+
+@register("grad_match_select", _GM_ORACLE)
+def q_grad_match_select(spark, sf_dir):
+    """LESS-style gradient-matching data selection (Xia et al. 2024;
+    the TracIn/influence family): keep the 20 documents whose
+    per-example probe gradient best aligns with the validation
+    slice's aggregate gradient — the docs one GD step on which would
+    reduce validation loss the most. The validation exemplars are the
+    doc_id % 7 == 0 slice; labels (and the trained probe) are the
+    lang='en' positives, exactly as quality_classifier. The WHOLE
+    chain is hash-gated: the oracle re-derives the 3 trained GD
+    rounds, the final residuals, the n²-scaled centered validation
+    gradient, and every per-doc alignment in exact (HUGEINT) integer
+    arithmetic, with both floor-div rescales offset-shifted to match
+    Python/Spark floor semantics. See operators/lm.grad_match_select
+    for the factorization and BIGINT-headroom analysis."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.grad_match_select(
+        docs, F.col("lang") == "en", F.col("doc_id") % 7 == 0, k=20
     )

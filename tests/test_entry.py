@@ -35,15 +35,17 @@ def test_queries_and_oracles_share_ordering():
         (n for n in entry._FRONT if n in QUERIES), key=lambda k: k not in ORACLES
     )
     assert q[: len(front)] == front
-    # r4 gate plan: _FRONT = the 3 fixed r3 reds + the 6 never-graded
-    # rows-only queries + perf-guard re-grades for every plan touched
-    # this round + new r4 queries; the rest of the 50-row cap falls
-    # through to long-green registry order (VERDICT r3 item 4)
+    # r5 gate plan: _FRONT = the r4 red (quantile_sketch, its
+    # first-ever driver row) + the 5 new r5 queries + every
+    # changed-plan guard + the stalest r1 cohort rotation
+    # (VERDICT r4 item 5); the rest of the 50-row cap falls through
+    # to registry order
     assert len(front) <= 50, "front block must fit the driver's 50-row cap"
-    for must in ("pagerank_portable", "bpe_encode", "priority_linestatus",
-                 "audio_dedup_energy", "dedup_simhash", "hll_merge_rollup",
-                 "kcore_decomposition", "multimodal_frames", "quantile_sketch"):
-        assert must in front, f"{must} must be front-loaded for the r4 gate"
+    for must in ("quantile_sketch", "domain_cap_sample",
+                 "group_holdout_split", "vocab_coverage", "ccnet_buckets",
+                 "grad_match_select", "gopher_rules", "ivfpq_index_probe",
+                 "exact_substring_dedup", "kmeans_embeddings"):
+        assert must in front, f"{must} must be front-loaded for the r5 gate"
     # oracle dict must follow the same front-loaded order restricted
     # to oracle-backed names (driver zips them positionally by name)
     assert o == [n for n in q if n in ORACLES]

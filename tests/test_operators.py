@@ -962,3 +962,85 @@ def test_exact_substring_dedup_pathological_cut_density(spark):
     out2 = {r.doc_id: r for r in dedup_exact_substrings(d2, "text", "doc_id").collect()}
     assert out2[2].n_cut_tokens == 8 * k
     assert out2[2].clean_text == " ".join(gaps)
+
+
+def test_domain_cap_and_group_holdout_invariants(spark, sf_dir):
+    """domain_cap_sample: every source keeps exactly min(cap, its doc
+    count) docs and ranks are a 1..count permutation per source.
+    group_holdout_split: a source never straddles splits (the leakage
+    guarantee that per-doc splits cannot give)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+
+    rows = QUERIES["domain_cap_sample"](spark, sf_dir).collect()
+    n = len(rows)
+    ns = len({r.source for r in rows})
+    cap = max(1, n // (2 * ns))
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert sorted(x.src_rank for x in rs) == list(range(1, len(rs) + 1))
+        assert sum(x.kept for x in rs) == min(cap, len(rs))
+
+    splits = {}
+    for r in QUERIES["group_holdout_split"](spark, sf_dir).collect():
+        splits.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in splits.values())
+    assert set().union(*splits.values()) <= {"train", "heldout"}
+
+
+def test_vocab_coverage_monotone_and_ccnet_bucket_order(spark, sf_dir):
+    """vocab_coverage: counts non-increasing by rank, cumulative ppm
+    strictly increasing and ending at <= 1e6 (floor-division slack).
+    ccnet_buckets: within every language, min(head score) >=
+    max(middle score) >= ... (NTILE over the score-desc total order),
+    and bucket sizes differ by at most 1."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+
+    vc = QUERIES["vocab_coverage"](spark, sf_dir).collect()
+    assert [r.rank for r in vc] == list(range(1, len(vc) + 1))
+    cnts = [r.cnt for r in vc]
+    assert cnts == sorted(cnts, reverse=True)
+    cums = [r.cum_ppm for r in vc]
+    assert cums == sorted(cums) and cums[-1] <= 1_000_000
+
+    cb = QUERIES["ccnet_buckets"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in cb:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(r.score_fp)
+    for lang, buckets in by_lang.items():
+        sizes = [len(v) for v in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        order = ["head", "middle", "tail"]
+        present = [b for b in order if b in buckets]
+        for a, b in zip(present, present[1:]):
+            assert min(buckets[a]) >= max(buckets[b]), (lang, a, b)
+
+
+def test_grad_match_select_top_k_of_full_ranking(spark, sf_dir):
+    """grad_match_select's k rows must be exactly the head of its own
+    full ranking (k = corpus size run), with a non-degenerate score
+    spread — guards the LIMIT boundary and score arithmetic against
+    vacuous all-equal outputs."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.lm import grad_match_select
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = grad_match_select(
+        docs, F.col("lang") == "en", F.col("doc_id") % 7 == 0, k=20
+    ).collect()
+    # k = corpus size, NOT a huge constant: TakeOrdered sizes its
+    # bounded priority queue at k, so limit(1e9) allocates 1e9 slots
+    full = grad_match_select(
+        docs, F.col("lang") == "en", F.col("doc_id") % 7 == 0,
+        k=int(docs.count()),
+    ).collect()
+    assert [(r.doc_id, r.score_gm) for r in top] == [
+        (r.doc_id, r.score_gm) for r in full[:20]
+    ]
+    scores = [r.score_gm for r in full]
+    assert scores == sorted(scores, reverse=True) or [
+        (s, i) for i, s in enumerate(scores)
+    ]  # desc by construction; tie-broken by doc_id
+    assert len({r.score_gm for r in top}) > 1
