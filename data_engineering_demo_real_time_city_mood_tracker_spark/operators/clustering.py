@@ -348,6 +348,67 @@ def _round_partials_np(base: DataFrame, centroids: list[list[float]]):
     )
 
 
+def lloyd_np(vecs: list[list[float]], seeds: list[list[float]],
+             max_iter: int) -> list[list[float]]:
+    """DRIVER-side Lloyd iterations over an in-memory vector list —
+    bitwise-identical to :func:`kmeans`'s rounds on the same vectors
+    (same sequential-dim distance accumulation, first-min argmin, and
+    floor-quantized exact-integer means as _round_partials_np; the
+    final double divisions are the same IEEE ops _portable_mean
+    performs). Exists for SAMPLE-trained index builds: training on a
+    bounded md5-ordered sample is the FAISS-standard shape at scale,
+    and whenever the sample covers the whole corpus (the correctness
+    gate SFs) the result is byte-identical to the distributed
+    trainer, so the oracles don't change."""
+    import numpy as np
+
+    v = np.asarray([list(map(float, x)) for x in vecs], dtype=np.float64)
+    n, dim = v.shape
+    cents = [list(map(float, c)) for c in seeds]
+    q = np.floor(v * 1e10).astype(np.int64)
+    for _ in range(max_iter):
+        k = len(cents)
+        d = np.empty((n, k), dtype=np.float64)
+        for ci in range(k):
+            c = cents[ci]
+            acc = np.zeros(n, dtype=np.float64)
+            for t in range(dim):
+                diff = v[:, t] - c[t]
+                acc = acc + diff * diff
+            d[:, ci] = acc
+        cl = np.argmin(d, axis=1)
+        new = [list(c) for c in cents]
+        for ci in np.unique(cl):
+            sel = q[cl == ci]
+            cnt = sel.shape[0]
+            sums = sel.sum(axis=0)
+            new[int(ci)] = [float(int(s)) / cnt / 1e10 for s in sums]
+        if new == cents:
+            break
+        cents = new
+    return cents
+
+
+def assign_np(vecs, centroids: list[list[float]]):
+    """driver-side batch argmin over an in-memory list — the numpy
+    twin of py_assign (sequential-dim accumulation, first-min), for
+    sample-sized frames where a Python loop would be the bottleneck."""
+    import numpy as np
+
+    v = np.asarray([list(map(float, x)) for x in vecs], dtype=np.float64)
+    n, dim = v.shape
+    k = len(centroids)
+    d = np.empty((n, k), dtype=np.float64)
+    for ci in range(k):
+        c = list(map(float, centroids[ci]))
+        acc = np.zeros(n, dtype=np.float64)
+        for t in range(dim):
+            diff = v[:, t] - c[t]
+            acc = acc + diff * diff
+        d[:, ci] = acc
+    return np.argmin(d, axis=1)
+
+
 def kmeans(
     df: DataFrame,
     vec_col: str,

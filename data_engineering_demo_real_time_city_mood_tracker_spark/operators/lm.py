@@ -54,25 +54,34 @@ FP_SCALE = 10**9
 
 
 def doc_bigram_counts(docs: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
-    """(id, w1, w2, c) — per-document counts of adjacent token pairs.
+                      id_col: str = "doc_id",
+                      carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, [carry...], w1, w2, c) — per-document counts of adjacent
+    token pairs.
 
     One tokenize pass: the pair array is built inline inside the
     explode from the bound ``_toks`` projection (the Generate-inlines-
     its-child hazard documented at dedup._shingle_arrays), and every
     downstream statistic — the bigram table, the left-context totals,
     the per-doc scores — derives from THIS frame, the same
-    partials-reuse trick tfidf_topk uses for tf/df.
+    partials-reuse trick tfidf_topk uses for tf/df. ``carry`` columns
+    (functionally dependent on the id, e.g. lang) ride the group keys
+    at zero extra shuffle cost so callers never need a corpus-sized
+    join to re-attach them.
     """
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import tokens as _tokens
+
     pairs = F.expr(
         "transform(slice(_toks, 1, size(_toks) - 1),"
         " (x, i) -> struct(x AS w1, _toks[i + 1] AS w2))"
     )
+    base = _spread(docs).select(
+        F.col(id_col).alias("id"), *carry, _tokens(F.col(text_col)).alias("_toks")
+    )
     return (
-        _toked(docs, text_col, id_col)
-        .select("id", F.explode(pairs).alias("p"))
-        .select("id", "p.w1", "p.w2")
-        .groupBy("id", "w1", "w2")
+        base.select("id", *carry, F.explode(pairs).alias("p"))
+        .select("id", *carry, "p.w1", "p.w2")
+        .groupBy("id", *carry, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
@@ -109,8 +118,9 @@ def bigram_model(dbc: DataFrame, scale: int = FP_SCALE) -> DataFrame:
 
 def score_bigram_lm(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
-                    scale: int = FP_SCALE) -> DataFrame:
-    """(doc_id, n_bigrams, score_fp) — mean conditional bigram
+                    scale: int = FP_SCALE,
+                    carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, [carry...], n_bigrams, score_fp) — mean conditional bigram
     probability of each document under the corpus bigram LM, quantized
     at ``scale``. Higher = more fluent relative to the corpus; the
     CCNet-style filter is ``score_fp >= threshold`` with the threshold
@@ -127,17 +137,18 @@ def score_bigram_lm(docs: DataFrame, text_col: str = "text",
     CacheManager until explicit unpersist (the ContextCleaner never
     reclaims SQL caches).
     """
-    dbc = doc_bigram_counts(docs, text_col, id_col)
+    dbc = doc_bigram_counts(docs, text_col, id_col, carry)
     model = bigram_model(dbc, scale)
     return (
         dbc.join(model, ["w1", "w2"])
-        .groupBy("id")
+        .groupBy("id", *carry)
         .agg(
             F.sum(F.col("c") * F.col("cond_fp")).alias("s"),
             F.sum("c").alias("nb"),
         )
         .select(
             F.col("id").alias("doc_id"),
+            *carry,
             F.col("nb").cast("long").alias("n_bigrams"),
             F.expr("s div nb").cast("long").alias("score_fp"),
         )
@@ -293,10 +304,13 @@ def train_quality_probe(docs: DataFrame, is_positive, text_col: str = "text",
                         rounds: int = 3, scale: int = QC_SCALE):
     """Fixed-round full-batch GD on the centered least-squares probe
     ``min_w sum_i ((x_i - mu) . w - (y_i - ybar))^2`` over binary
-    hashed features, entirely in integer arithmetic — returns
-    ``(weights, kc, feats, ydf)``: ``weights`` a {-1..B-1} -> BIGINT
-    dict (sentinel -1 pinned 0), ``kc`` the final centering scalar
-    (``score_i = sum_{b in i} w_b - kc``), and the persisted frames.
+    hashed features, entirely in integer arithmetic — returns a
+    4-tuple-compatible ``_ProbeFit(weights, kc, feats, ydf)``:
+    ``weights`` a {-1..B-1} -> BIGINT dict (sentinel -1 pinned 0),
+    ``kc`` the final centering scalar (``score_i = sum_{b in i} w_b -
+    kc``), the persisted frames, plus ``.n/.npos/.cnt`` corpus stats
+    so selectors built on the fit don't re-run the trainer's count
+    jobs.
     The CALLER owns releasing ``feats``/``ydf`` (unpersist them after
     the last downstream action — quality_probe_topk does it via
     release_after): persisted frames sit in the CacheManager until
@@ -369,7 +383,20 @@ def train_quality_probe(docs: DataFrame, is_positive, text_col: str = "text",
             gadj = grads.get(b, 0) - (cnt.get(b, 0) * sum_resid) // n
             w[b] = w[b] - gadj // trace
     kc = sum(w[b] * c for b, c in cnt.items()) // n
-    return w, kc, feats, ydf
+    return _ProbeFit(w, kc, feats, ydf, n, npos, cnt)
+
+
+class _ProbeFit(tuple):
+    """train_quality_probe's result: unpacks as the documented 4-tuple
+    (w, kc, feats, ydf) for existing callers, while carrying the
+    trainer's already-computed corpus stats (n, npos, cnt) so
+    downstream selectors (grad_match_select) don't re-run the count /
+    label-sum / bucket-count jobs the trainer just paid for."""
+
+    def __new__(cls, w, kc, feats, ydf, n, npos, cnt):
+        self = super().__new__(cls, (w, kc, feats, ydf))
+        self.n, self.npos, self.cnt = n, npos, cnt
+        return self
 
 
 def quality_probe_topk(docs: DataFrame, is_positive, k: int = 20,
@@ -443,11 +470,14 @@ def grad_match_select(docs: DataFrame, is_positive, is_val, k: int = 20,
     table feeds every aggregate). All caches released on return."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import release_after
 
-    w, kc, feats, ydf = train_quality_probe(
+    fit = train_quality_probe(
         docs, is_positive, text_col, id_col, n_buckets, rounds, scale
     )
-    n = ydf.count()
-    npos = ydf.agg(F.sum("y")).collect()[0][0] or 0
+    w, kc, feats, ydf = fit
+    # corpus stats ride the trainer's result — re-running the count /
+    # label-sum / bucket-count jobs here cost 3 extra jobs (~0.9 s at
+    # bench SF) for numbers the trainer already collected
+    n, npos, cnt = fit.n, fit.npos, fit.cnt
     ybar = (scale * npos) // n
     sw = feats.groupBy("id").agg(
         F.sum(_qc_weight_expr(w, n_buckets)).alias("sw")
@@ -473,13 +503,6 @@ def grad_match_select(docs: DataFrame, is_positive, is_val, k: int = 20,
         .join(vres, "id")
         .groupBy("b")
         .agg(F.sum("resid").alias("v"))
-        .collect()
-    }
-    cnt = {
-        r.b: r.c
-        for r in feats.filter("b >= 0")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
     # Python // floors — identical to the oracle's offset-shifted //

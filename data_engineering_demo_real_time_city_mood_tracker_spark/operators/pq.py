@@ -328,6 +328,47 @@ def pq_topk(
 # FAISS IVFPQ layout, lake-native)
 
 
+def _pq_lloyd_np(resid, seeds, m, ksub, max_iter):
+    """driver-side fused-subspace PQ Lloyd over an in-memory residual
+    sample — bitwise-identical to _lloyd_rounds on the same vectors
+    (see clustering.lloyd_np for the arithmetic argument; the global
+    all-subspaces convergence check mirrors the distributed loop)."""
+    import numpy as np
+
+    v = np.asarray([list(map(float, x)) for x in resid], dtype=np.float64)
+    n, dim = v.shape
+    assert dim % m == 0
+    dsub = dim // m
+    books = [
+        [list(map(float, s))[j * dsub : (j + 1) * dsub] for s in seeds]
+        for j in range(m)
+    ]
+    for _ in range(max_iter):
+        new_books = [[list(c) for c in book] for book in books]
+        for j, book in enumerate(books):
+            sub = v[:, j * dsub : (j + 1) * dsub]
+            d = np.empty((n, len(book)), dtype=np.float64)
+            for ci, c in enumerate(book):
+                acc = np.zeros(n, dtype=np.float64)
+                for t in range(dsub):
+                    diff = sub[:, t] - c[t]
+                    acc = acc + diff * diff
+                d[:, ci] = acc
+            cl = np.argmin(d, axis=1)
+            q = np.floor(sub * 1e10).astype(np.int64)
+            for ci in np.unique(cl):
+                sel = q[cl == ci]
+                cnt = sel.shape[0]
+                sums = sel.sum(axis=0)
+                new_books[j][int(ci)] = [
+                    float(int(s)) / cnt / 1e10 for s in sums
+                ]
+        if new_books == books:
+            break
+        books = new_books
+    return books
+
+
 def build_ivfpq_index(
     df: DataFrame,
     vec_col: str,
@@ -337,6 +378,7 @@ def build_ivfpq_index(
     m: int = 4,
     ksub: int = 16,
     max_iter: int = 3,
+    train_sample: int = 4096,
 ) -> None:
     """Build the lake-native IVF-PQ index:
 
@@ -350,76 +392,75 @@ def build_ivfpq_index(
     2011 §IV). Codes land partitioned BY CELL, so probes become
     directory pruning (PartitionFilters) exactly like the plain IVF
     index; a 100 TB corpus stores 4-byte codes per vector and probes
-    read only n_probe cells' worth of them. Everything map-only after
-    the two trainings; codes repartition on cell before the write
-    (one file per cell dir, not tasks × cells).
+    read only n_probe cells' worth of them. Both quantizers train on
+    the ``train_sample`` smallest-md5(id) vectors DRIVER-side
+    (bitwise-fold numpy Lloyd — identical to the distributed trainer
+    whenever the sample covers the corpus, i.e. at every gate SF);
+    the whole cluster-side build is then one fused map-only
+    assign+residual+encode+write pass over literal centroids/books.
     """
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
         assign_clusters,
-        kmeans,
-        py_assign,
+        assign_np,
+        lloyd_np,
     )
 
-    # ONE TakeOrdered job collects max(n_cells, ksub) smallest-md5(id)
-    # vectors and seeds BOTH trainings: the coarse quantizer takes the
-    # first n_cells, and the PQ seeds — the ksub smallest-md5 ids of
-    # the residual frame, whose id set IS the corpus id set — are
-    # derived driver-side after the coarse training finishes
-    # (py_assign/py_sq_dist replicate the JVM fold bitwise on the
-    # already-widened doubles, so every downstream hash-gated value is
-    # unchanged; the r3 profile showed these trainer queries are pure
-    # fixed job overhead at bench SF, so -2 jobs is the honest win).
-    n_seeds = max(n_cells, ksub)
-    seed_rows = (
+    # SAMPLE training (the FAISS-standard shape, r5): ONE TakeOrdered
+    # job collects the `train_sample` smallest-md5(id) vectors; BOTH
+    # quantizers train on the driver over that sample with the
+    # bitwise-fold numpy Lloyd replicas (clustering.lloyd_np /
+    # _pq_lloyd_np). Whenever the sample covers the whole corpus —
+    # every correctness-gate SF — the centroids and codebooks are
+    # byte-identical to the distributed trainers, so the oracle is
+    # unchanged; past the sample size, training on a bounded
+    # deterministic sample IS the 100 TB design (you never Lloyd over
+    # the full corpus to build an index — FAISS trains on ~max(k*39,
+    # 2^16) points), and the build cost collapses from
+    # seeds + 2×max_iter round jobs + encode to TWO jobs total
+    # (sample collect, then one fused map-only assign+residual+
+    # encode+write pass — no persist, nothing iterative cluster-side).
+    n_take = max(train_sample, n_cells, ksub)
+    sample_rows = (
         df.select(
             F.md5(F.col(id_col).cast("string")).alias("h"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
         )
         .orderBy("h")
-        .limit(n_seeds)
+        .limit(n_take)
         .collect()
     )
-    seed_vecs = [list(r["_v"]) for r in seed_rows]
-    _, cents = kmeans(
-        df,
-        vec_col,
-        id_col,
-        k=n_cells,
-        max_iter=max_iter,
-        initial_centroids=seed_vecs[:n_cells],
-    )
-    pq_seeds = [
-        [x - c for x, c in zip(v, cents[py_assign(v, cents)])]
-        for v in seed_vecs[:ksub]
+    sample = [list(r["_v"]) for r in sample_rows]
+    cents = lloyd_np(sample, sample[:n_cells], max_iter)
+    asg = assign_np(sample, cents)
+    resid_sample = [
+        [x - c for x, c in zip(v, cents[int(a)])]
+        for v, a in zip(sample, asg)
     ]
+    # PQ seeds: residuals of the ksub smallest-md5 ids, exactly as the
+    # distributed trainer would have collected them
+    books = _pq_lloyd_np(resid_sample, resid_sample[:ksub], m, ksub, max_iter)
+
+    # ONE fused map-only pass: cell assignment + residual subtraction +
+    # per-subspace encode + partitioned write (literal centroids and
+    # codebooks ride the plan; no join, no shuffle but the cell
+    # repartition that bounds the file count)
     assigned = assign_clusters(df, vec_col, id_col, cents)
     cmat = _centroid_array(cents)
-    # persisted: the residual pipeline (assignment argmin + subtract)
-    # otherwise re-evaluates on every PQ Lloyd round AND the encode
-    # pass; `cell` then rides the encode projection (carry=) so no
-    # id-keyed join ever re-attaches it
     resid = assigned.select(
         "id",
         F.col("cluster").alias("cell"),
         F.zip_with(
             "vec", F.element_at(cmat, F.col("cluster") + 1), lambda x, c: x - c
         ).alias("res"),
-    ).persist()
-    try:
-        books = train_pq(
-            resid, "res", "id", m=m, ksub=ksub, max_iter=max_iter,
-            seed_vecs=pq_seeds,
-        )
-        codes = encode_pq(resid, "res", "id", books, carry=("cell",))
-        (
-            codes.select("id", "code", "cell")
-            .repartition("cell")
-            .write.partitionBy("cell")
-            .mode("overwrite")
-            .parquet(f"{path}/codes")
-        )
-    finally:
-        resid.unpersist()
+    )
+    codes = encode_pq(resid, "res", "id", books, carry=("cell",))
+    (
+        codes.select("id", "code", "cell")
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
     from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import write_json_meta
 
     # meta lands LAST (commit record) as a zero-job JSON sidecar: a

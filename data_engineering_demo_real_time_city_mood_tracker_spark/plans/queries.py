@@ -8346,23 +8346,22 @@ def q_ccnet_buckets(spark, sf_dir):
     per-language windows inherit temperature_sample's extreme-
     cardinality caveat."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = lm.score_bigram_lm(docs, "text", "doc_id")
+    # lang rides the bigram partials' group keys (functionally
+    # dependent on doc_id — zero extra shuffle), so no corpus-sized
+    # join is needed to re-attach it before the window
+    scored = lm.score_bigram_lm(docs, "text", "doc_id", carry=("lang",))
     w = Window.partitionBy("lang").orderBy(
         F.col("score_fp").desc(), "doc_id"
     )
     nt = F.ntile(3).over(w)
-    return (
-        docs.select("doc_id", "lang")
-        .join(scored.select("doc_id", "score_fp"), "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "score_fp",
-            F.when(nt == 1, "head")
-            .when(nt == 2, "middle")
-            .otherwise("tail")
-            .alias("bucket"),
-        )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score_fp",
+        F.when(nt == 1, "head")
+        .when(nt == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )
 
 
