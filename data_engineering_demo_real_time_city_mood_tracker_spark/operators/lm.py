@@ -213,6 +213,43 @@ def dsir_scores(docs: DataFrame, is_target, text_col: str = "text",
     )
 
 
+def dsir_weight_table(docs: DataFrame, is_target, text_col: str = "text",
+                      id_col: str = "doc_id", n_buckets: int = 4096,
+                      scale: int = FP_SCALE) -> dict[int, int]:
+    """{bucket -> quantized importance weight} — the TRAINED state of
+    the DSIR scorer as a driver-side dict (exactly ``n_buckets``
+    bounded rows at any corpus size), for the serve side of the
+    train-daily / score-the-crawl loop: streaming/scoring.py's
+    dsir_score_expr ships it as one literal array and scores arriving
+    documents statelessly, bitwise-equal to dsir_scores on the same
+    docs. Unseen buckets smooth to (scale * 1) div (0 + 1) = scale,
+    matching the batch LEFT-join smoothing for a bucket with no source
+    occurrences."""
+    toked = (
+        docs.withColumn("_tgt", is_target)
+        .select(F.col(id_col).alias("id"), "_tgt", F.col(text_col).alias("_txt"))
+    )
+    tok = (
+        _spread(toked)
+        .select("id", "_tgt", tokens(F.col("_txt")).alias("_toks"))
+        .select("id", "_tgt", F.explode("_toks").alias("token"))
+    )
+    b = F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long") % n_buckets
+    tb = tok.select("_tgt", b.alias("b"))
+    agg = (
+        tb.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("sc"),
+            F.sum(F.col("_tgt").cast("long")).alias("tc"),
+        )
+        .collect()
+    )
+    w = {int(r.b): (scale * ((r.tc or 0) + 1)) // (r.sc + 1) for r in agg}
+    for bb in range(n_buckets):
+        w.setdefault(bb, scale)  # never-seen bucket: (0+1)/(0+1)
+    return w
+
+
 def dsir_sample(docs: DataFrame, is_target, keep_frac_denom: int = 4,
                 text_col: str = "text", id_col: str = "doc_id",
                 n_buckets: int = 4096, scale: int = FP_SCALE) -> DataFrame:

@@ -62,6 +62,59 @@ def quality_score_stream(stream_docs: DataFrame, w: dict[int, int], kc: int,
     )
 
 
+def dsir_score_expr(w: dict[int, int], text_col: str,
+                    n_buckets: int = 4096):
+    """Column: the DSIR importance score of ``text_col`` under a
+    batch-trained bucket-ratio table (operators/lm.dsir_weight_table)
+    — mean over token OCCURRENCES (not distinct buckets: DSIR weighs
+    frequency) of the quantized target/source ratio. One stateless
+    integer expression; the literal weight array is constant-folded
+    once per plan. Integer sums are order-independent, so the
+    streamed score is BITWISE the batch dsir_scores value for the
+    same document (parity test). Returns the (sum, n_tokens) column
+    pair so callers divide once and can drop zero-token docs (absent
+    from the batch frame too)."""
+    arr = F.expr(
+        "array(" + ",".join(f"{w[b]}L" for b in range(n_buckets)) + ")"
+    )
+    buckets = F.transform(
+        tokens(F.col(text_col)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+        % n_buckets,
+    )
+    s = F.aggregate(
+        buckets,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(arr, (b + F.lit(1)).cast("int")),
+    )
+    nt = F.size(buckets)
+    return s, nt
+
+
+def dsir_score_stream(stream_docs: DataFrame, w: dict[int, int],
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_buckets: int = 4096) -> DataFrame:
+    """(doc_id, n_tokens, score_fp) over a document stream — the serve
+    side of DSIR importance resampling: map-only, append mode,
+    exactly-once per input row, scores bitwise equal to the batch
+    dsir_scores of the same documents. Zero-token docs are dropped,
+    matching their absence from the batch frame."""
+    s_col, nt_col = dsir_score_expr(w, text_col, n_buckets)
+    return (
+        stream_docs.select(
+            F.col(id_col).alias("doc_id"),
+            nt_col.cast("long").alias("n_tokens"),
+            s_col.alias("_s"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("_s div n_tokens").cast("long").alias("score_fp"),
+        )
+    )
+
+
 def contamination_expr(bench_shingles: list[str], text_col: str,
                        n: int = 5):
     """Column: how many of ``bench_shingles`` (distinct n-gram

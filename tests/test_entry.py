@@ -77,6 +77,7 @@ def test_survey_checklist_matches_registry():
         "dedup_ingest_stream", "read_orc", "simhash_portable",
         "observed_write",
         "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dsir_score_stream", "citymood",  # streaming serve / data source API
     }
     # registered under a different name than the SURVEY label
     ALIASES = {

@@ -1605,6 +1605,45 @@ def test_snapshot_sink_stream_exactly_once_on_replay(spark, sf_dir, tmp_path):
     assert current_version(spark, base) == v_after + 1
 
 
+def test_dsir_score_stream_matches_batch_bitwise(spark, sf_dir, tmp_path):
+    """Train the DSIR bucket-ratio table in batch, then score the same
+    documents as a file-source stream: every streamed (n_tokens,
+    score_fp) must be BITWISE the batch dsir_scores row — the
+    occurrence-sum reformulation cannot drift from the batch
+    (id, bucket)-count aggregation because integer sums are
+    order-independent."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.lm import dsir_scores, dsir_weight_table
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.scoring import dsir_score_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_tgt = F.col("lang") == "en"
+    w = dsir_weight_table(docs, is_tgt)
+    batch = {
+        r.doc_id: (r.n_tokens, r.score_fp)
+        for r in dsir_scores(docs, is_tgt).collect()
+    }
+
+    d = str(tmp_path / "docs_dsir_stream")
+    docs.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    q = (
+        dsir_score_stream(stream, w)
+        .writeStream.format("memory")
+        .queryName("dsir_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_tokens, r.score_fp)
+        for r in spark.sql("SELECT * FROM dsir_stream").collect()
+    }
+    assert got == batch
+
+
 def test_quality_score_stream_matches_batch_bitwise(spark, sf_dir, tmp_path):
     """Train the quality probe in batch, then score the same documents
     as a file-source stream: every streamed score must be BITWISE the
