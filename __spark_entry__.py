@@ -42,6 +42,7 @@ _FRONT = [
     "vocab_coverage",
     "ccnet_buckets",
     "grad_match_select",
+    "corpus_diff",
     # --- r5 changed-plan guards: every query whose physical plan
     # changed this round (BIGINT gopher fold, cache-release refactor,
     # linear dedup reassembly, fold-exact numpy Lloyd rounds, text-index
@@ -92,8 +93,7 @@ _FRONT = [
     "value_histogram",
     "user_running_total",
     "moving_avg_range",
-    "ts_pattern_topk",
-    # (event_type_pivot / window_distribution / distinct_counts /
+    # (ts_pattern_topk / event_type_pivot / window_distribution / distinct_counts /
     # approx_distinct_hll yielded their slots to the five new r5
     # queries — next round's stale rotation leads with them)
     # new r5 queries are appended here as they land; remaining gate

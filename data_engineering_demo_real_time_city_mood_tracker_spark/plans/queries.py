@@ -8417,3 +8417,61 @@ def q_grad_match_select(spark, sf_dir):
     return lm.grad_match_select(
         docs, F.col("lang") == "en", F.col("doc_id") % 7 == 0, k=20
     )
+
+
+@register(
+    "corpus_diff",
+    f"""WITH v1 AS (
+  SELECT doc_id, md5({_docs_norm_sql()}) AS fp FROM documents
+  WHERE doc_id % 5 != 0
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN md5({_docs_norm_sql()} || ' v2')
+              ELSE md5({_docs_norm_sql()}) END AS fp
+  FROM documents WHERE doc_id % 5 != 1
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.fp != v2.fp THEN 'changed'
+            ELSE 'unchanged' END AS kind
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""",
+)
+def q_corpus_diff(spark, sf_dir):
+    """snapshot-to-snapshot corpus diff — the report an incremental
+    crawl pipeline produces before deciding what to re-process:
+    added / removed / changed / unchanged per doc_id, with "changed"
+    detected by content fingerprint (md5 of the normalized text — the
+    dedup_exact discipline), never a text comparison. The two
+    versions here are deterministic slices of the documents table
+    (v1 drops doc_id%5==0, v2 drops %5==1 and rewrites %7==0), so the
+    diff exercises all four kinds at the gate SF. ONE full-outer join
+    keyed on doc_id — fingerprints are computed map-side, the join
+    ships 16-byte hashes not documents, and AQE handles the
+    co-partitioning; linear at any corpus size."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(normalize(F.col("text")))
+    v1 = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", fp.alias("fp")
+    )
+    v2 = docs.filter(F.col("doc_id") % 5 != 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.md5(F.concat(normalize(F.col("text")), F.lit(" v2"))),
+        ).otherwise(fp).alias("fp"),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("kind"),
+    )
