@@ -417,7 +417,7 @@ def kmeans(
     max_iter: int = 5,
     dim: int | None = None,
     initial_centroids: list[list[float]] | None = None,
-    np_rounds: bool = True,
+    np_rounds: bool | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's iterations; returns (assignments df, final centroids).
 
@@ -431,11 +431,15 @@ def kmeans(
     holds the k smallest-md5(id) seed vectors (build_ivfpq_index
     collects coarse + PQ seeds in ONE TakeOrdered job); passing
     anything else changes the result, so callers must preserve the
-    md5-order contract. ``np_rounds`` (default) runs each Lloyd round
-    through the fold-exact numpy partials pass (_round_partials_np —
-    bitwise-identical centroids, test-asserted); False keeps the pure
-    Column-expression rounds for the parity test and as the
-    no-Arrow-dependency fallback.
+    md5-order contract. ``np_rounds`` switches each Lloyd round to the
+    fold-exact numpy partials pass (_round_partials_np —
+    bitwise-identical centroids, test-asserted). Default ``None``
+    applies the measured crossover: numpy above _LITERAL_K_MAX (where
+    the interpreted fold is catastrophic — 30 s/round at k=156, and
+    numpy already wins 16-19% at k=32/sf1), Column rounds at small k
+    (the per-round mapInPandas overhead regressed the k=8 bench
+    trainers 1.2-1.9× at sf0.1 when numpy was unconditional — caught
+    and reverted in r5).
     """
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
 
@@ -449,6 +453,8 @@ def kmeans(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
+    if np_rounds is None:
+        np_rounds = k > _LITERAL_K_MAX
     with _no_aqe(df.sparkSession):
         if initial_centroids is not None:
             centroids = [list(c) for c in initial_centroids]

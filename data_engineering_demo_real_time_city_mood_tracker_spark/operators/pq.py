@@ -80,7 +80,7 @@ def train_pq(
     ksub: int = 16,
     max_iter: int = 3,
     seed_vecs: list[list[float]] | None = None,
-    np_rounds: bool = True,
+    np_rounds: bool | None = None,
 ) -> list[list[list[float]]]:
     """codebooks[m][ksub][dsub]: k-means per subspace slice, with all
     ``m`` subspaces trained in the SAME jobs.
@@ -184,7 +184,15 @@ def _pq_round_partials_np(base, books, m, dsub):
     )
 
 
-def _lloyd_rounds(base, seeds, m, ksub, max_iter, np_rounds: bool = True):
+def _lloyd_rounds(base, seeds, m, ksub, max_iter,
+                  np_rounds: bool | None = None):
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import _LITERAL_K_MAX
+
+    if np_rounds is None:
+        # same measured crossover as kmeans: numpy only past the
+        # codegen-budget k (small-ksub numpy rounds regressed the
+        # bench trainers ~15% at sf0.1 — per-round Arrow overhead)
+        np_rounds = ksub > _LITERAL_K_MAX
     dim = len(seeds[0]["_v"])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     dsub = dim // m
