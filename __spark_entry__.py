@@ -43,6 +43,7 @@ _FRONT = [
     "ccnet_buckets",
     "grad_match_select",
     "corpus_diff",
+    "embedding_dim_stats",
     # --- r5 changed-plan guards: every query whose physical plan
     # changed this round (BIGINT gopher fold, cache-release refactor,
     # linear dedup reassembly, fold-exact numpy Lloyd rounds, text-index
@@ -92,8 +93,7 @@ _FRONT = [
     "scd2_intervals",
     "value_histogram",
     "user_running_total",
-    "moving_avg_range",
-    # (ts_pattern_topk / event_type_pivot / window_distribution / distinct_counts /
+    # (moving_avg_range / ts_pattern_topk / event_type_pivot / window_distribution / distinct_counts /
     # approx_distinct_hll yielded their slots to the five new r5
     # queries — next round's stale rotation leads with them)
     # new r5 queries are appended here as they land; remaining gate

@@ -533,15 +533,18 @@ def grad_match_select(docs: DataFrame, is_positive, is_val, k: int = 20,
     vres = resid.join(
         docs.filter(is_val).select(F.col(id_col).alias("id")), "id"
     )
-    sv = vres.agg(F.sum("resid")).collect()[0][0] or 0
+    # ONE ≤(B+1)-row collect: the b = -1 sentinel (present on every
+    # doc's feature rows) sums to SV = Σ_{j∈val} resid_j in the same
+    # aggregation that produces the per-bucket V_b — the trainer's own
+    # sentinel trick, saving the separate SV job
     vb = {
         r.b: r.v
-        for r in feats.filter("b >= 0")
-        .join(vres, "id")
+        for r in feats.join(vres, "id")
         .groupBy("b")
         .agg(F.sum("resid").alias("v"))
         .collect()
     }
+    sv = vb.pop(-1, 0) or 0
     # Python // floors — identical to the oracle's offset-shifted //
     # (exact big-int arithmetic on both sides, any magnitude)
     g = {

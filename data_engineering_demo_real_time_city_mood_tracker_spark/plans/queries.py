@@ -8475,3 +8475,57 @@ def q_corpus_diff(spark, sf_dir):
         .otherwise("unchanged")
         .alias("kind"),
     )
+
+
+@register(
+    "embedding_dim_stats",
+    """WITH e AS (
+  SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+),
+q AS (
+  SELECT pos, x, CAST(FLOOR(x * 1000000) AS BIGINT) AS qx FROM e
+)
+SELECT pos, COUNT(*) AS n,
+       CAST(SUM(qx) AS DOUBLE) / COUNT(*) / 1000000 AS mean_fp,
+       CAST(SUM(CAST(qx * qx AS HUGEINT)) AS DOUBLE) / COUNT(*) / 1000000000000
+         AS msq_fp,
+       (CAST(SUM(CAST(qx * qx AS HUGEINT)) AS DOUBLE) / COUNT(*) / 1000000000000)
+         - (CAST(SUM(qx) AS DOUBLE) / COUNT(*) / 1000000)
+           * (CAST(SUM(qx) AS DOUBLE) / COUNT(*) / 1000000) AS var_fp,
+       MIN(x) AS min_x, MAX(x) AS max_x
+FROM q GROUP BY pos""",
+)
+def q_embedding_dim_stats(spark, sf_dir):
+    """per-DIMENSION diagnostics of the embedding corpus — the
+    pre-indexing health check every ANN deployment runs: a collapsed
+    dimension (var ~ 0) wastes PQ subspace budget, a runaway one
+    dominates L2, and min/max bounds feed the SQ8 quantizer range and
+    the kcenter overflow guard. One posexplode + (pos)-keyed agg with
+    map-side combine (dim rows per task reach the shuffle, corpus
+    size irrelevant); output is exactly dim rows. Portability: means
+    ride floor-quantized exact-integer sums (the _portable_mean
+    discipline; q² sums are exact DECIMAL(38,0) == HUGEINT), min/max
+    of doubles are exact, and var = msq − mean² is the same two
+    correctly-rounded IEEE ops on identical doubles in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        dedup._spread(emb)
+        .select(F.posexplode("embedding").alias("pos", "_xf"))
+        .select("pos", F.col("_xf").cast("double").alias("x"))
+        .withColumn("qx", F.floor(F.col("x") * F.lit(1e6)))
+    )
+    mean_fp = F.sum("qx").cast("double") / F.count(F.lit(1)) / F.lit(1e6)
+    msq_fp = (
+        F.sum((F.col("qx") * F.col("qx")).cast("decimal(38,0)")).cast("double")
+        / F.count(F.lit(1))
+        / F.lit(1e12)
+    )
+    return q.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        mean_fp.alias("mean_fp"),
+        msq_fp.alias("msq_fp"),
+        (msq_fp - mean_fp * mean_fp).alias("var_fp"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )
