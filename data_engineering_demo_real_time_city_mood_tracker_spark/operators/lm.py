@@ -367,6 +367,17 @@ def train_quality_probe(docs: DataFrame, is_positive, text_col: str = "text",
     offset-shifted ``//`` (QC_PDIV_OFF). Integer headroom:
     |resid| <= a few * scale, |grad| <= n * max|resid| — BIGINT-safe
     to n ~ 1e11 docs at the default scale; at 100 TB pass scale=1e4.
+
+    Known oracle boundary (r5 review): documents that tokenize to
+    NOTHING still train here (their feature row set is just the
+    sentinel: x = the zero vector is a legitimate centered-LS
+    example, resid = -kc - (y*scale - ybar)), but the SQL oracle's
+    feature CTE has no rows for them, so its residual/gradient sums
+    would omit them. The registered corpora contain no zero-token
+    documents (every `documents` row tokenizes), so the hash gates
+    are exact; a corpus with empty docs should filter them before
+    training — or extend the oracle's `f` CTE with per-doc sentinel
+    rows — rather than assume the two paths agree there.
     """
     # both frames are cached PRE-PARTITIONED on id: every round's
     # score agg (groupBy id), label join and gradient join-back then
