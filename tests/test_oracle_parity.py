@@ -126,7 +126,7 @@ def test_selection_queries_release_their_caches(spark, sf_dir):
     for name in (
         "bigram_lm_score", "dsir_sample", "moore_lewis_select",
         "quality_classifier", "kcenter_coreset", "filter_funnel_report",
-        "token_budget_mixture",
+        "token_budget_mixture", "grad_match_select", "ccnet_buckets",
     ):
         QUERIES[name](spark, sf_dir).collect()
         assert cm.isEmpty(), f"{name} left persisted frames behind"
