@@ -644,6 +644,9 @@ def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
     qmax = int(obs.get["qmax"] or 0)
     qbound = math.isqrt((2**63 - 1) // max(dim, 1)) // 2
     if qmax > qbound:
+        # Loud-failure path must not leak the persisted frame in the
+        # CacheManager (r5 ADVICE).
+        base.unpersist()
         raise ValueError(
             f"kcenter_select: max |quantized coordinate| {qmax} exceeds the "
             f"BIGINT-safe bound {qbound} at dim {dim} (KC_SCALE={KC_SCALE}); "

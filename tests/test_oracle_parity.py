@@ -127,6 +127,10 @@ def test_selection_queries_release_their_caches(spark, sf_dir):
         "bigram_lm_score", "dsir_sample", "moore_lewis_select",
         "quality_classifier", "kcenter_coreset", "filter_funnel_report",
         "token_budget_mixture", "grad_match_select", "ccnet_buckets",
+        # r5 ADVICE: the corpus-rewrite dedup ops persisted their
+        # token-level frames with no release — they now checkpoint the
+        # dup-volume-bound cut lists and unpersist.
+        "paragraph_dedup", "exact_substring_dedup",
     ):
         QUERIES[name](spark, sf_dir).collect()
         assert cm.isEmpty(), f"{name} left persisted frames behind"
