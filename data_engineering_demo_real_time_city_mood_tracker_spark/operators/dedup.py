@@ -910,10 +910,16 @@ def embedding_near_dup_pairs(
     job, negligible next to the pair join it bounds."""
     if nbits is None:
         nbits = adaptive_nbits(df.count(), target_bucket_size)
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    ).withColumn("bucket", vectors.sign_bucket(F.col("vec"), nbits))
+    # per-vector norm hoisted below the self-join — one fold per pair
+    # instead of three, bitwise identical (see similarity.lsh_ann_topk)
+    v = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        )
+        .withColumn("bucket", vectors.sign_bucket(F.col("vec"), nbits))
+        .withColumn("nrm", vectors.norm(F.col("vec")))
+    )
     a = v.alias("a")
     b = v.alias("b")
     return (
@@ -921,7 +927,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            vectors.cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+            (
+                vectors.dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -995,15 +1004,26 @@ def embedding_banded_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    va = v.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        vectors.norm(F.col("vec")).alias("na"),
+    )
+    vb = v.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        vectors.norm(F.col("vec")).alias("nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            vectors.cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+            (
+                vectors.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

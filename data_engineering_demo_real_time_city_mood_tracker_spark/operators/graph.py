@@ -206,6 +206,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     dangling_free: bool = False,
+    converge_quantum: float | None = None,
 ) -> DataFrame:
     """(id, rank) PageRank over a DIRECTED edge list (symmetrize first
     for undirected graphs). The standard power iteration as the
@@ -227,46 +228,95 @@ def pagerank(
     ``inflow + 0.0`` / ``0.0 / n`` are IEEE identities on the
     positive inflows) and WRONG when it doesn't — there is no cheap
     runtime check, so only pass it for graphs whose construction
-    guarantees out-degree ≥ 1.
+    guarantees out-degree ≥ 1. The promise also makes the vertex set
+    exactly the out-degree keys (no union+distinct over both edge
+    ends) and lets each round pre-divide against the PREJOINED
+    (src, dst, outdeg) frame — one edge join per round instead of two
+    (r6; the r5 verdict's pagerank_topk tail item).
+
+    ``converge_quantum`` (opt-in): stop early when the largest
+    per-vertex rank move, quantized at the given resolution
+    (floor(rank/q) deltas — the fixed-point-twin idiom), reaches
+    ZERO, i.e. the iteration is stationary at that resolution. Each
+    round then materializes eagerly plus one vertex-sized agg (never
+    a corpus job). Worth it only for graphs that actually reach
+    stationarity within the budget (regular/structured graphs do in
+    O(1) rounds); on expander-ish kNN graphs the delta decays ~0.55×
+    per round (measured at sf0.1: 6.8e-4 → 3.8e-5 over rounds 1→5),
+    so a 1e-12 zero-delta needs ~40 rounds and the check is pure
+    overhead — leave it None there.
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .persist()
-    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    if dangling_free:
+        # out-degree >= 1 everywhere => the vertex set IS the
+        # out-degree keys; skip the union+distinct over both ends
+        verts = outdeg.select(F.col("src").alias("id")).persist()
+    else:
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+            .persist()
+        )
     n = verts.count()
     if n == 0:
+        for fr in (verts, outdeg, e):
+            fr.unpersist()
         return spark.createDataFrame([], "id long, rank double")
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
+    contrib_base = None
     try:
         with _vertex_sized_shuffle(spark, n):
+            if dangling_free:
+                # (src, dst, outdeg) once — each round then needs ONE
+                # edge join instead of ranks->outdeg->edges chained
+                contrib_base = e.join(outdeg, "src").persist()
             for _ in range(iterations):
                 if dangling_free:
                     contribs = (
-                        ranks.join(outdeg, ranks.id == outdeg.src)
-                        .select("id", "rank", "outdeg")
-                        .join(e, F.col("id") == e.src)
+                        contrib_base.join(
+                            ranks.select(F.col("id").alias("src"), "rank"),
+                            "src",
+                        )
                         .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
                         .groupBy("dst")
                         .agg(F.sum("c").alias("inflow"))
                     )
-                    ranks = (
-                        verts.join(contribs, verts.id == contribs.dst, "left")
-                        .select(
-                            "id",
-                            (
-                                F.lit(base)
-                                + F.lit(damping)
-                                * F.coalesce(F.col("inflow"), F.lit(0.0))
-                            ).alias("rank"),
-                        )
-                        .localCheckpoint(eager=False)
+                    # ranks is vertex-sized and complete, so joining it
+                    # (not verts) costs the same and carries the PREV
+                    # rank for the optional convergence delta
+                    nxt = ranks.join(
+                        contribs, ranks.id == contribs.dst, "left"
+                    ).select(
+                        ranks.id,
+                        (
+                            F.lit(base)
+                            + F.lit(damping)
+                            * F.coalesce(F.col("inflow"), F.lit(0.0))
+                        ).alias("rank"),
+                        F.col("rank").alias("_prev"),
                     )
+                    if converge_quantum is not None:
+                        nxt = nxt.localCheckpoint(eager=True)
+                        q = float(converge_quantum)
+                        delta = nxt.agg(
+                            F.max(
+                                F.abs(
+                                    F.floor(F.col("rank") / q)
+                                    - F.floor(F.col("_prev") / q)
+                                )
+                            )
+                        ).collect()[0][0]
+                        ranks = nxt.select("id", "rank")
+                        if not delta:
+                            break
+                    else:
+                        ranks = nxt.select("id", "rank").localCheckpoint(
+                            eager=False
+                        )
                     continue
                 with_deg = ranks.join(
                     outdeg, ranks.id == outdeg.src, "left"
@@ -311,6 +361,8 @@ def pagerank(
         verts.unpersist()
         outdeg.unpersist()
         e.unpersist()
+        if contrib_base is not None:
+            contrib_base.unpersist()
     return ranks
 
 

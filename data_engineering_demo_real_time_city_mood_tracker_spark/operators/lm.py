@@ -368,16 +368,17 @@ def train_quality_probe(docs: DataFrame, is_positive, text_col: str = "text",
     |resid| <= a few * scale, |grad| <= n * max|resid| — BIGINT-safe
     to n ~ 1e11 docs at the default scale; at 100 TB pass scale=1e4.
 
-    Known oracle boundary (r5 review): documents that tokenize to
-    NOTHING still train here (their feature row set is just the
-    sentinel: x = the zero vector is a legitimate centered-LS
-    example, resid = -kc - (y*scale - ybar)), but the SQL oracle's
-    feature CTE has no rows for them, so its residual/gradient sums
-    would omit them. The registered corpora contain no zero-token
-    documents (every `documents` row tokenizes), so the hash gates
-    are exact; a corpus with empty docs should filter them before
-    training — or extend the oracle's `f` CTE with per-doc sentinel
-    rows — rather than assume the two paths agree there.
+    Zero-feature documents (NULL text — split of an empty STRING
+    yields [''] in both engines, so only NULL tokenizes to nothing)
+    still train here: their feature row set is just the sentinel
+    (x = the zero vector is a legitimate centered-LS example,
+    resid = -kc - (y*scale - ybar)). The SQL oracle mirrors this
+    exactly (r6, closing the r5-documented boundary): its `f` CTE
+    carries the same per-doc b = -1 sentinel rows, its score CTEs
+    LEFT-join the weights so sentinel-only docs get sw = 0, and
+    `cntc` filters b >= 0 like the engine's cnt dict — hash gates
+    are exact on ANY corpus, planted-empty-doc parity test-asserted
+    (tests/test_oracle_parity.py::test_probe_gates_exact_on_empty_docs).
     """
     # both frames are cached PRE-PARTITIONED on id: every round's
     # score agg (groupBy id), label join and gradient join-back then

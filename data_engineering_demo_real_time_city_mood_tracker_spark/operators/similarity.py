@@ -36,18 +36,23 @@ def brute_force_topk(
     uses a window partitioned by query id — deterministic tie-break on
     corpus id.
     """
+    # per-vector norms hoisted below the join — one fold per pair
+    # instead of three, bitwise identical (see lsh_ann_topk)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec")
-    )
+    ).withColumn("cnorm", vectors.norm(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
-    )
+    ).withColumn("qnorm", vectors.norm(F.col("qvec")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
         .select(
             "query_id",
             "corpus_id",
-            vectors.cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            (
+                vectors.dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -69,10 +74,20 @@ def ivf_assignments(
     """(id, cid): nearest centroid by cosine, deterministic tie-break
     on centroid id. Centroid set is tiny → broadcast; the argmax is a
     window over n_centroids rows per vector."""
-    scored = vectors_df.join(F.broadcast(centroids)).select(
-        id_col,
-        "cid",
-        vectors.cosine(F.col(vec_col), F.col("cvec")).alias("c_sim"),
+    # hoist both norm folds below the join: the vector's norm was
+    # re-folded once PER CENTROID here — bitwise identical (see
+    # lsh_ann_topk)
+    scored = (
+        vectors_df.withColumn("_vnorm", vectors.norm(F.col(vec_col)))
+        .join(F.broadcast(centroids.withColumn("_cnorm", vectors.norm(F.col("cvec")))))
+        .select(
+            id_col,
+            "cid",
+            (
+                vectors.dot(F.col(vec_col), F.col("cvec"))
+                / (F.col("_vnorm") * F.col("_cnorm"))
+            ).alias("c_sim"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("cid").asc())
     return (
@@ -121,13 +136,24 @@ def ivf_topk(
         q.select(F.col("query_id").alias("id"), F.col("qvec").alias("vec")), cent
     ).select(F.col("id").alias("query_id"), "cid")
     scored = (
-        c.join(c_assign, "corpus_id")
-        .join(F.broadcast(q.join(q_assign, "query_id")), "cid")
+        c.withColumn("cnorm", vectors.norm(F.col("cvec_full")))
+        .join(c_assign, "corpus_id")
+        .join(
+            F.broadcast(
+                q.withColumn("qnorm", vectors.norm(F.col("qvec"))).join(
+                    q_assign, "query_id"
+                )
+            ),
+            "cid",
+        )
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select(
             "query_id",
             "corpus_id",
-            vectors.cosine(F.col("qvec"), F.col("cvec_full")).alias("cos_sim"),
+            (
+                vectors.dot(F.col("qvec"), F.col("cvec_full"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -175,12 +201,16 @@ def ivf_trained_topk(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cluster"
     )
     scored = (
-        c.join(F.broadcast(q), "cluster")
+        c.withColumn("cnorm", vectors.norm(F.col("cvec")))
+        .join(F.broadcast(q.withColumn("qnorm", vectors.norm(F.col("qvec")))), "cluster")
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select(
             "query_id",
             "corpus_id",
-            vectors.cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            (
+                vectors.dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -226,17 +256,27 @@ def lsh_ann_topk(
     """
     from itertools import combinations
 
+    # Norms are hoisted to per-VECTOR columns on each join side (r6):
+    # cosine(q, c) = dot/(norm(q)*norm(c)) evaluated per PAIR runs
+    # three un-codegen'd HOF folds per candidate; precomputing the two
+    # norm folds before the bucket join leaves one fold per pair —
+    # bitwise identical (the same three doubles combine in the same
+    # order; the join boundary stops CollapseProject from re-inlining
+    # the norm into the per-pair projection), asserted by the
+    # hash-gated ANN oracles.
     c = (
         corpus.select(
             F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec")
         )
         .withColumn("bucket", vectors.sign_bucket(F.col("cvec"), nbits))
+        .withColumn("cnorm", vectors.norm(F.col("cvec")))
     )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
         )
         .withColumn("bucket", vectors.sign_bucket(F.col("qvec"), nbits))
+        .withColumn("qnorm", vectors.norm(F.col("qvec")))
     )
     if hamming_probe > 0:
         masks = [0] + [
@@ -247,6 +287,7 @@ def lsh_ann_topk(
         q = q.select(
             "query_id",
             "qvec",
+            "qnorm",
             F.explode(
                 F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
             ).alias("bucket"),
@@ -257,7 +298,10 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "corpus_id",
-            vectors.cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            (
+                vectors.dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -358,12 +402,16 @@ def query_ivf_index(
         .select(F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"), "cluster")
     )
     scored = (
-        cells.join(F.broadcast(q), "cluster")
+        cells.withColumn("cnorm", vectors.norm(F.col("cvec")))
+        .join(F.broadcast(q.withColumn("qnorm", vectors.norm(F.col("qvec")))), "cluster")
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select(
             "query_id",
             "corpus_id",
-            vectors.cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            (
+                vectors.dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -404,14 +452,18 @@ def hard_negative_mining(
         F.col(label_col).alias("anchor_label"),
         _as_double(F.col(vec_col)).alias("qvec"),
     )
-    scored = c.join(
-        F.broadcast(q), F.col("anchor_label") != F.col("negative_label")
+    scored = c.withColumn("cnorm", vectors.norm(F.col("cvec"))).join(
+        F.broadcast(q.withColumn("qnorm", vectors.norm(F.col("qvec")))),
+        F.col("anchor_label") != F.col("negative_label"),
     ).select(
         "anchor_id",
         "anchor_label",
         "negative_id",
         "negative_label",
-        vectors.cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        (
+            vectors.dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cos_sim").desc(), F.col("negative_id").asc()
@@ -540,8 +592,16 @@ def rp_rerank_topk(
     # candidate frame is k-bounded (n_candidates x |queries| rows), so
     # it broadcasts into the corpus scan; the query vectors broadcast
     # as before.
-    cvecs = corpus.select(F.col(id_col).alias("corpus_id"), v.alias("cvec"))
-    qvecs = queries.select(F.col(id_col).alias("query_id"), v.alias("qvec"))
+    cvecs = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        v.alias("cvec"),
+        vectors.norm(v).alias("cnorm"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("qvec"),
+        vectors.norm(v).alias("qnorm"),
+    )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id").asc()
     )
@@ -551,7 +611,10 @@ def rp_rerank_topk(
         .select(
             "query_id",
             "corpus_id",
-            vectors.cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            (
+                vectors.dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos_sim"),
         )
         .withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= k)

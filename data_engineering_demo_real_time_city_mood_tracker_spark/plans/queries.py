@@ -5387,22 +5387,33 @@ def q_hybrid_search(spark, sf_dir):
         F.col("id").alias("query_id"),
         F.col("dt").alias("qdt"),
         F.col("vec").alias("qvec"),
+        V.norm(F.col("vec")).alias("qnorm"),
     )
     c = side.select(
         F.col("id").alias("corpus_id"),
         F.col("dt").alias("cdt"),
         F.col("vec").alias("cvec"),
+        V.norm(F.col("vec")).alias("cnorm"),
     )
     inter = F.size(F.array_intersect(F.col("qdt"), F.col("cdt")))
     lex = inter / (F.size("qdt") + F.size("cdt") - inter).cast("double")
+    # norms hoisted below the join and cos_sim computed ONCE (the fused
+    # score recomputed the whole fold — HOF lambdas never CSE);
+    # referencing the column yields the same doubles, bitwise
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
         .select(
             "query_id",
             "corpus_id",
             lex.alias("lex_sim"),
-            V.cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
-            (0.5 * lex + 0.5 * V.cosine(F.col("qvec"), F.col("cvec"))).alias("score"),
+            (
+                V.dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos_sim"),
+        )
+        .select(
+            "*",
+            (0.5 * F.col("lex_sim") + 0.5 * F.col("cos_sim")).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "corpus_id")
@@ -5486,16 +5497,22 @@ def q_semantic_dedup(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     ).join(assigned, "id")
     a = v.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("va"), "cluster"
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), "cluster",
+        V.norm(F.col("vec")).alias("na"),
     )
     b = v.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "cluster"
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "cluster",
+        V.norm(F.col("vec")).alias("nb"),
     )
     pairs = (
         a.join(b, ["cluster"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+            "id_a", "id_b",
+            (
+                V.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -6867,10 +6884,12 @@ def q_rrf_fusion(spark, sf_dir):
         "id",
     )
     q = side.filter(F.col("id") < 5).select(
-        F.col("id").alias("query_id"), F.col("dt").alias("qdt"), F.col("vec").alias("qvec")
+        F.col("id").alias("query_id"), F.col("dt").alias("qdt"),
+        F.col("vec").alias("qvec"), V.norm(F.col("vec")).alias("qnorm"),
     )
     c = side.select(
-        F.col("id").alias("corpus_id"), F.col("dt").alias("cdt"), F.col("vec").alias("cvec")
+        F.col("id").alias("corpus_id"), F.col("dt").alias("cdt"),
+        F.col("vec").alias("cvec"), V.norm(F.col("vec")).alias("cnorm"),
     )
     inter = F.size(F.array_intersect(F.col("qdt"), F.col("cdt")))
     lex = inter / (F.size("qdt") + F.size("cdt") - inter).cast("double")
@@ -6880,7 +6899,10 @@ def q_rrf_fusion(spark, sf_dir):
             "query_id",
             "corpus_id",
             lex.alias("lex_sim"),
-            V.cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            (
+                V.dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos_sim"),
         )
         .persist()
     )
@@ -7562,7 +7584,8 @@ def _qc_round_sql(r: int) -> str:
     upd = _qc_pdiv(f"COALESCE(g.g, 0) - {corr}", "(SELECT t FROM tr)")
     return f"""k{r} AS (SELECT {kc} AS kc),
 s{r} AS MATERIALIZED (
-  SELECT f.id, SUM(w.w) AS sw FROM f JOIN {prev} w USING (b) GROUP BY f.id
+  SELECT f.id, COALESCE(SUM(w.w), 0) AS sw
+  FROM f LEFT JOIN {prev} w USING (b) GROUP BY f.id
 ),
 r{r} AS MATERIALIZED (
   SELECT y.id,
@@ -7596,8 +7619,10 @@ f AS MATERIALIZED (
          CAST({_hex4_sql("md5(token)", 1, _QC_B)} AS BIGINT) AS b
   FROM (SELECT doc_id, unnest(string_split({_docs_norm_sql()}, ' ')) AS token
         FROM documents)
+  UNION ALL
+  SELECT doc_id AS id, CAST(-1 AS BIGINT) AS b FROM documents
 ),
-cntc AS MATERIALIZED (SELECT b, COUNT(*) AS c FROM f GROUP BY b),
+cntc AS MATERIALIZED (SELECT b, COUNT(*) AS c FROM f WHERE b >= 0 GROUP BY b),
 tr AS (SELECT GREATEST(SUM(c - (c * c) // n), 1) AS t FROM cntc, prm),
 yb AS (SELECT ({_QC_SCALE} * npos) // n AS ybar FROM prm),
 w0 AS (SELECT unnest(range(0, {_QC_B})) AS b, CAST(0 AS BIGINT) AS w),
@@ -7608,7 +7633,8 @@ w0 AS (SELECT unnest(range(0, {_QC_B})) AS b, CAST(0 AS BIGINT) AS w),
         "(SELECT n FROM prm)",
     )} AS kc),
 fin AS MATERIALIZED (
-  SELECT f.id, SUM(w.w) AS sw FROM f JOIN w3 w USING (b) GROUP BY f.id
+  SELECT f.id, COALESCE(SUM(w.w), 0) AS sw
+  FROM f LEFT JOIN w3 w USING (b) GROUP BY f.id
 )"""
 )
 

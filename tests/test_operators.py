@@ -158,6 +158,41 @@ def test_pagerank_invariants_and_known_graphs(spark):
     assert sr == sr2, "pagerank must be deterministic"
 
 
+def test_pagerank_convergence_detection_stops_at_stationarity(spark):
+    """converge_quantum (r6): on a graph whose uniform start IS the
+    stationary distribution (a d-regular ring), the first round moves
+    nothing at the quantum, the loop must stop immediately, and the
+    output must equal the full-budget run bitwise. On a star-with-
+    chords graph that is NOT stationary, the knob must not change the
+    result within the budget it runs."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import pagerank
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    full = {r.id: r.rank for r in pagerank(
+        ring, iterations=20, dangling_free=True
+    ).collect()}
+    early = {r.id: r.rank for r in pagerank(
+        ring, iterations=20, dangling_free=True, converge_quantum=1e-12
+    ).collect()}
+    assert early == full  # stationary => identical, regardless of rounds
+
+    # non-stationary graph, quantum too fine to trigger in 3 rounds:
+    # results must match the plain 3-round run bitwise
+    chords = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)] + [(0, 2), (1, 3)],
+        "src long, dst long",
+    )
+    plain = {r.id: r.rank for r in pagerank(
+        chords, iterations=3, dangling_free=True
+    ).collect()}
+    knob = {r.id: r.rank for r in pagerank(
+        chords, iterations=3, dangling_free=True, converge_quantum=1e-12
+    ).collect()}
+    assert knob == plain
+
+
 def test_containment_catches_asymmetric_duplication(spark):
     """a short doc quoted wholesale inside a long one scores
     containment 1.0 while its Jaccard is far below any useful

@@ -136,6 +136,52 @@ def test_selection_queries_release_their_caches(spark, sf_dir):
         assert cm.isEmpty(), f"{name} left persisted frames behind"
 
 
+@pytest.mark.parametrize(
+    "name", ["quality_classifier", "grad_match_select"]
+)
+def test_probe_gates_exact_on_empty_docs(spark, sf_dir, name, tmp_path):
+    """r5 verdict item 2: the probe oracles used to drop documents with
+    zero feature rows (NULL text — an empty STRING splits to [''] in
+    BOTH engines, so only NULL tokenizes to nothing) from their
+    residual/gradient sums, while the trainer keeps them via the b = -1
+    sentinel row. The oracle's f CTE now carries the same sentinel
+    rows; plant empty/NULL/whitespace-only documents into the corpus
+    and require the hash gate to stay EXACT."""
+    import duckdb as ddb
+
+    src = f"{sf_dir}/documents.parquet"
+    planted = tmp_path / "corpus"
+    planted.mkdir()
+    con0 = ddb.connect()
+    con0.execute(
+        f"""COPY (
+          SELECT * FROM read_parquet('{src}')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (100000, '', 'en', 'planted', 0),
+            (100001, CAST(NULL AS VARCHAR), 'en', 'planted', 0),
+            (100002, '   ', 'de', 'planted', 3),
+            (100003, CAST(NULL AS VARCHAR), 'de', 'planted', 0)
+          ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{planted}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    sdf = QUERIES[name](spark, str(planted))
+    srows = sdf.collect()
+    con = ddb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{planted}/documents.parquet')"
+    )
+    res = con.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows) and len(srows) > 0
+    assert _rowset(sdf.columns, [tuple(r) for r in srows]) == _rowset(
+        ocols, orows
+    ), f"{name}: diverges on a corpus with empty/NULL documents"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_complex_output_columns(spark, sf_dir, name):
     """Registry-wide complex-type ban (r4 verdict item 1). The driver's
