@@ -30,74 +30,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # purpose; ~50 slots rotate each round (VERDICT r4 item 5: re-grade
 # the stalest cohort).
 _FRONT = [
-    # --- the r4 driver red: quantile_sketch crashed the canonicalizer
-    # on its array<double> column (its ONLY-ever gate appearance);
-    # now emits p50/p95/p99 scalars — needs its first spark_rows row ---
-    "quantile_sketch",
-    # --- new r5 queries: domain capping, leakage-safe group split,
-    # vocab sizing, CCNet perplexity terciles, LESS-style
-    # gradient-matching selection — first driver rows ---
-    "domain_cap_sample",
-    "group_holdout_split",
-    "vocab_coverage",
-    "ccnet_buckets",
-    "grad_match_select",
-    "corpus_diff",
-    "embedding_dim_stats",
-    # --- r5 changed-plan guards: every query whose physical plan
-    # changed this round (BIGINT gopher fold, cache-release refactor,
-    # linear dedup reassembly, fold-exact numpy Lloyd rounds, text-index
-    # stats guard) — the oracle row is the bitwise proof the
-    # optimization changed nothing ---
-    "gopher_rules",
-    "bigram_lm_score",
-    "dsir_sample",
-    "moore_lewis_select",
+    # --- r6 stale-cohort rotation (VERDICT r5 item 1): the six rows
+    # not driver-graded since ROUND 1 ---
+    "event_type_pivot",
+    "window_distribution",
+    "distinct_counts",
+    "approx_distinct_hll",
+    "moving_avg_range",
+    "ts_pattern_topk",
+    # --- r2-era cohort (not re-graded since round 2): 40 of the 47.
+    # The six whose physical plans ALSO changed this round (the
+    # per-vector norm hoist) lead; the seven left for r7 are the
+    # lowest-risk map-only deterministic samplers/counters
+    # (mixture_sample, temperature_sample, stratified_kfold,
+    # doc_chunking, stopword_removal, ngram_freq, token_count) ---
+    "embedding_ann_lsh",
+    "embedding_topk",
+    "hybrid_search",
+    "rrf_fusion",
+    "dedup_embedding",
+    "knn_classify",
+    "balanced_sample",
+    "bloom_dedup",
+    "bm25_topk",
+    "cluster_representatives",
+    "connected_components_star",
+    "contamination_check",
+    "corpus_prep_pipeline",
+    "corpus_stats",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_index_probe",
+    "dedup_minhash_pairs",
+    "dedup_ngram_topk",
+    "dedup_prefix_filter",
+    "dedup_report",
+    "doc_fingerprint",
+    "edit_distance_pairs",
+    "lang_id",
+    "minhash_estimate_accuracy",
+    "minhash_signatures",
+    "pii_redaction",
+    "reaggregate_monthly",
+    "repeated_ngram_spans",
+    "repetition_ratio",
+    "sequence_packing",
+    "simhash_portable",
+    "text_quality",
+    "tfidf_topk",
+    "token_df_stats",
+    "train_test_split",
+    "triangle_count",
+    "word_cooccurrence",
+    # --- r6 oracle-changed guards: the probe-training CTE chain
+    # gained sentinel rows (empty-doc boundary closure) — the driver
+    # row is the proof the oracle rewrite is still exact ---
     "quality_classifier",
-    "kcenter_coreset",
-    "filter_funnel_report",
-    "token_budget_mixture",
-    "bm25_index_probe",
-    "exact_substring_dedup",
-    "paragraph_dedup",
-    "boilerplate_removal",
-    "ivfpq_index_probe",
-    "kmeans_embeddings",
-    "pq_ann_topk",
-    "embedding_ann_ivf_trained",
-    "semantic_dedup",
-    "embedding_ann_ivf",
-    "ann_recall_eval",
-    # --- stale-cohort rotation (VERDICT r4 item 5): r1-era greens not
-    # re-graded since round 1 — oldest first ---
-    "events_cube",
-    "grouping_sets_mixed",
-    "events_unpivot",
-    "above_avg_orders",
-    "percentile_stats",
-    "set_ops_users",
-    "full_outer_minutes",
-    "skew_salted_join",
-    "dim_upsert",
-    "json_ingest",
-    "min_cost_supplier",
-    "promo_revenue_share",
-    "top_supplier",
-    "disjunctive_filter",
-    "idle_rich_customers",
-    "supplier_nation_profit",
-    "asof_join",
-    "interval_join",
-    "sessionization",
-    "weather_transition",
-    "scd2_intervals",
-    "value_histogram",
-    "user_running_total",
-    # (moving_avg_range / ts_pattern_topk / event_type_pivot / window_distribution / distinct_counts /
-    # approx_distinct_hll yielded their slots to the five new r5
-    # queries — next round's stale rotation leads with them)
-    # new r5 queries are appended here as they land; remaining gate
-    # slots fall through to registry order
+    "grad_match_select",
+    # --- new r6 queries (first driver rows) ---
+    "citymood_source_agg",
+    "cross_dedup_fuzzy",
 ]
 
 

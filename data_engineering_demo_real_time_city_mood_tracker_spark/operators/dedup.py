@@ -770,6 +770,65 @@ def minhash_dedup_pairs(
     )
 
 
+def cross_corpus_fuzzy_matches(
+    train: DataFrame,
+    evald: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(eval_id, train_id, jaccard) — FUZZY cross-corpus contamination:
+    eval-set documents whose exact shingle Jaccard against some
+    training document clears ``threshold``, with MinHash-LSH banding
+    pruning the candidate space (Lee et al. 2022 §6 run exactly this
+    between train and test splits; the exact n-gram-overlap variant is
+    :func:`contamination check <ngram overlap>` — this one catches
+    paraphrased/partially-edited leakage that exact overlap misses).
+
+    Scale shape: both sides shingle+sign map-only (array_min over the
+    shingle array, no explode shuffle); the band join is keyed on
+    (band, sig) so candidate volume is LSH-bounded, never |eval| x
+    |train|; the verify join ships only candidate pairs' shingle
+    arrays. The match result is output-volume bound (real corpora:
+    a tiny fraction of eval), so it checkpoints eagerly and releases
+    both shingle caches (the CacheManager discipline)."""
+    from pyspark import StorageLevel
+
+    arr_t = _shingle_arrays(train, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    arr_e = _shingle_arrays(evald, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nh = bands * rows_per_band
+    bt = _band_signatures(
+        arr_t.select("id", *_sig_cols(nh)), "id", bands, rows_per_band
+    ).select(F.col("id").alias("train_id"), "band", "sig")
+    be = _band_signatures(
+        arr_e.select("id", *_sig_cols(nh)), "id", bands, rows_per_band
+    ).select(F.col("id").alias("eval_id"), "band", "sig")
+    cand = be.join(bt, ["band", "sig"]).select("eval_id", "train_id").distinct()
+    a = arr_e.select(F.col("id").alias("eval_id"), F.col("sh").alias("sh_e"))
+    b = arr_t.select(F.col("id").alias("train_id"), F.col("sh").alias("sh_t"))
+    n_common = F.size(F.array_intersect(F.col("sh_e"), F.col("sh_t")))
+    out = (
+        cand.join(a, "eval_id")
+        .join(b, "train_id")
+        .select(
+            "eval_id",
+            "train_id",
+            (
+                n_common / (F.size("sh_e") + F.size("sh_t") - n_common)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return release_after(out, arr_t, arr_e)
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:

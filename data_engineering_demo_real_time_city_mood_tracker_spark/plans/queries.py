@@ -8555,3 +8555,158 @@ def q_embedding_dim_stats(spark, sf_dir):
         F.min("x").alias("min_x"),
         F.max("x").alias("max_x"),
     )
+
+
+def _hex8_sql(col: str) -> str:
+    """DuckDB: first 8 hex digits of ``col`` as a BIGINT — mirrors the
+    producers' _hash_long (Spark ``conv(substring(col,1,8),16,10)``;
+    value < 2^32, BIGINT-safe)."""
+    d = [
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        for i in range(8)
+    ]
+    out = d[0]
+    for x in d[1:]:
+        out = f"({out} * 16 + {x})"
+    return out
+
+
+_CITYMOOD_N = 3000
+
+_CITYMOOD_SOURCE_ORACLE = f"""WITH ids AS (
+  SELECT unnest(range(0, {_CITYMOOD_N})) AS i
+),
+feed AS (
+  SELECT
+    (['north_avenue', 'mashtots', 'komitas', 'tumanyan'])[
+      ({_hex8_sql("md5('int:' || i)")} % 4) + 1] AS intersection,
+    'veh-' || CAST(({_hex8_sql("md5('veh:' || i)")} % 9000) + 1000
+                   AS VARCHAR) AS vehicle_id,
+    CAST({_hex8_sql("md5('speed:' || i)")} % 8000 AS DOUBLE) / 100.0
+      + 10.0 AS speed
+  FROM ids
+)
+SELECT intersection,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT vehicle_id) AS BIGINT) AS n_vehicles,
+       MIN(speed) AS min_speed,
+       MAX(speed) AS max_speed,
+       CAST(SUM(CASE WHEN speed < 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_heavy,
+       CAST(SUM(CASE WHEN speed >= 30 AND speed < 60 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_moderate,
+       CAST(SUM(CASE WHEN speed >= 60 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_light
+FROM feed GROUP BY intersection"""
+
+
+@register("citymood_source_agg", _CITYMOOD_SOURCE_ORACLE)
+def q_citymood_source_agg(spark, sf_dir):
+    """Per-intersection traffic summary read THROUGH the registered
+    Spark 4 Python Data Source (``spark.read.format("citymood")``) —
+    the r5 verdict's ask: the DataSource path itself (partition
+    planning, Arrow batch transfer, option handling) becomes a
+    hash-gated surface, not just a parity-tested one. The feed is
+    deterministic md5 generation (sources/pysource.py; bitwise ==
+    the Column producer twins), so the oracle regenerates the exact
+    rows in SQL from the same model — like multimodal_frames
+    re-derives the BMP pixel grid. Aggregates are hash-portable by
+    construction: counts and distinct counts are exact, min/max of
+    doubles are order-free, and the heavy/moderate/light split uses
+    the consumer's thresholds (ref spark_traffic_consumer.py:27-32)
+    as integer counts rather than order-dependent float sums.
+    Scale shape: the source partitions the id range evenly (no
+    driver loop); the agg is a 4-key groupBy with map-side combine.
+    ``sf_dir`` is unused — the feed is the table."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources import pysource
+
+    pysource.register(spark)
+    feed = (
+        spark.read.format("citymood")
+        .option("kind", "traffic")
+        .option("n", str(_CITYMOOD_N))
+        .option("partitions", "8")
+        .load()
+    )
+    speed = F.col("speed")
+    return feed.groupBy("intersection").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("vehicle_id").alias("n_vehicles"),
+        F.min(speed).alias("min_speed"),
+        F.max(speed).alias("max_speed"),
+        F.sum((speed < 30).cast("long")).alias("n_heavy"),
+        F.sum(((speed >= 30) & (speed < 60)).cast("long")).alias("n_moderate"),
+        F.sum((speed >= 60).cast("long")).alias("n_light"),
+    )
+
+
+def _cross_dedup_oracle() -> str:
+    sig_t = ", ".join(f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(8))
+    bands = (
+        "LATERAL (SELECT * FROM (VALUES "
+        "(0, md5(h0 || '|' || h1)), (1, md5(h2 || '|' || h3)), "
+        "(2, md5(h4 || '|' || h5)), (3, md5(h6 || '|' || h7))"
+        ") AS v(band, sig)) b"
+    )
+    return f"""WITH tr AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+),
+ev AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+sht AS (
+  SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM tr
+),
+she AS (
+  SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM ev
+),
+sigt AS (SELECT id, {sig_t} FROM sht GROUP BY id),
+sige AS (SELECT id, {sig_t} FROM she GROUP BY id),
+bt AS (SELECT id, b.band, b.sig FROM sigt, {bands}),
+be AS (SELECT id, b.band, b.sig FROM sige, {bands}),
+cand AS (
+  SELECT DISTINCT e.id AS eval_id, t.id AS train_id
+  FROM be e JOIN bt t ON e.band = t.band AND e.sig = t.sig
+),
+size_t AS (SELECT id, COUNT(*) AS n_sh FROM sht GROUP BY id),
+size_e AS (SELECT id, COUNT(*) AS n_sh FROM she GROUP BY id),
+inter AS (
+  SELECT c.eval_id, c.train_id, COUNT(*) AS n_common
+  FROM cand c
+  JOIN she e ON e.id = c.eval_id
+  JOIN sht t ON t.id = c.train_id AND t.shingle = e.shingle
+  GROUP BY c.eval_id, c.train_id
+)
+SELECT i.eval_id, i.train_id,
+       i.n_common / (se.n_sh + st.n_sh - i.n_common) AS jaccard
+FROM inter i
+JOIN size_e se ON i.eval_id = se.id
+JOIN size_t st ON i.train_id = st.id
+WHERE i.n_common / (se.n_sh + st.n_sh - i.n_common) >= 0.2"""
+
+
+@register("cross_dedup_fuzzy", _cross_dedup_oracle())
+def q_cross_dedup_fuzzy(spark, sf_dir):
+    """fuzzy train/eval decontamination — MinHash-LSH between the
+    training slice (doc_id % 5 != 0) and the held-out eval slice
+    (doc_id % 5 == 0): every eval document whose exact 3-shingle
+    Jaccard against some training document reaches 0.2, the
+    paraphrase-robust complement of the exact n-gram
+    contamination_check (Lee et al. 2022 §6 decontaminate exactly
+    this way). Fully hash-gated: signatures are md5 mins
+    (lexicographic == numeric on equal-length hex), band keys md5
+    concat, and the verify Jaccard is one int/int division. The
+    band join is (band, sig)-keyed so candidates stay LSH-bounded —
+    never |eval| x |train| — and both shingle caches release on
+    return (see operators/dedup.cross_corpus_fuzzy_matches)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_corpus_fuzzy_matches(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "text",
+        "doc_id",
+        k=3,
+        bands=4,
+        rows_per_band=2,
+        threshold=0.2,
+    )

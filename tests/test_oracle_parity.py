@@ -131,6 +131,9 @@ def test_selection_queries_release_their_caches(spark, sf_dir):
         # token-level frames with no release — they now checkpoint the
         # dup-volume-bound cut lists and unpersist.
         "paragraph_dedup", "exact_substring_dedup",
+        # r6: cross-corpus decontamination checkpoints its match set
+        # and releases both shingle caches
+        "cross_dedup_fuzzy",
     ):
         QUERIES[name](spark, sf_dir).collect()
         assert cm.isEmpty(), f"{name} left persisted frames behind"
