@@ -8710,3 +8710,161 @@ def q_cross_dedup_fuzzy(spark, sf_dir):
         rows_per_band=2,
         threshold=0.2,
     )
+
+
+@register(
+    "rolling_active_users",
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+ud AS (SELECT DISTINCT CAST(ts AS DATE) AS aday, user_id FROM ev),
+mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM ev),
+expl AS (
+  SELECT user_id, aday + CAST(gs.d AS INTEGER) AS day
+  FROM ud, (SELECT unnest(range(0, 7)) AS d) gs
+),
+roll AS (
+  SELECT day, COUNT(DISTINCT user_id) AS a7
+  FROM expl, mx WHERE day <= mx.max_day GROUP BY day
+),
+daily AS (SELECT aday AS day, COUNT(*) AS a1 FROM ud GROUP BY aday)
+SELECT r.day, CAST(COALESCE(d.a1, 0) AS BIGINT) AS active_1d,
+       CAST(r.a7 AS BIGINT) AS active_7d
+FROM roll r LEFT JOIN daily d USING (day)""",
+)
+def q_rolling_active_users(spark, sf_dir):
+    """daily + rolling-7-day distinct active users — the DAU/WAU pair
+    every product-analytics pipeline reports. Rolling DISTINCT counts
+    can't ride a range window (no DISTINCT over window frames in
+    either engine); the scalable identity: dedup to (user, active_day)
+    first — the only corpus-sized shuffle — then each user-day
+    contributes to exactly the 7 calendar days [d, d+6], so a 7-row
+    explode + day-keyed exact distinct count gives the rolling
+    actives. Fan-out is 7x the DEDUPED user-day frame (users x days,
+    never raw events); the trailing partial windows past max(day) are
+    cut by a broadcast 1-row bound. Dates and counts are exact — no
+    float anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("aday"), "user_id").distinct()
+    bounds = ev.agg(F.max(F.to_date("ts")).alias("max_day"))
+    roll = (
+        ud.select(
+            "user_id",
+            F.explode(F.expr("sequence(aday, date_add(aday, 6))")).alias("day"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("max_day"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+    daily = ud.groupBy(F.col("aday").alias("day")).agg(
+        F.count(F.lit(1)).alias("a1")
+    )
+    return roll.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("a1", F.lit(0)).cast("long").alias("active_1d"),
+        F.col("active_7d").cast("long").alias("active_7d"),
+    )
+
+
+@register(
+    "cusum_alerts",
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+st AS (
+  SELECT COUNT(*) AS tot,
+         date_trunc('minute', MIN(ts)) AS lo,
+         date_trunc('minute', MAX(ts)) AS hi
+  FROM ev
+),
+prm AS (
+  SELECT tot, lo, hi,
+         CAST(epoch(hi) - epoch(lo) AS BIGINT) // 60 + 1 AS nm
+  FROM st
+),
+prm2 AS (
+  SELECT tot // nm AS target, GREATEST((tot // nm) // 10, 1) AS k FROM prm
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute FROM prm
+),
+m AS (
+  SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS x FROM ev GROUP BY 1
+),
+filled AS (
+  SELECT g.minute, COALESCE(m.x, 0) AS x FROM grid g LEFT JOIN m USING (minute)
+),
+c1 AS (
+  SELECT minute, x,
+         SUM(x - p.target - p.k)
+           OVER (ORDER BY minute ROWS UNBOUNDED PRECEDING) AS pf
+  FROM filled, prm2 p
+),
+c2 AS (
+  SELECT minute, x,
+         pf - LEAST(0, MIN(pf) OVER (ORDER BY minute ROWS UNBOUNDED PRECEDING))
+           AS s
+  FROM c1
+)
+SELECT minute, CAST(x AS BIGINT) AS n_events, CAST(s AS BIGINT) AS cusum
+FROM c2 ORDER BY cusum DESC, minute LIMIT 20""",
+)
+def q_cusum_alerts(spark, sf_dir):
+    """CUSUM change-point detection over the gap-filled per-minute
+    event-rate series: top-20 minutes by high-side CUSUM excursion
+    against the corpus-derived baseline (target = mean events/minute,
+    slack k = target/10 — Page 1954's classic drift-robust monitor,
+    the standard upgrade from fixed-threshold alerting because it
+    accumulates small sustained shifts that never cross a spike
+    threshold). The sequential recursion s_m = max(0, s_{m-1} + (x_m
+    - target - k)) is NOT window-expressible directly, but the exact
+    identity S_n = P_n - min(0, min_{j<=n} P_j) (P = prefix sum of
+    the drift-adjusted counts) turns it into TWO stock window
+    functions — running sum then running min — in pure BIGINT
+    arithmetic, so the whole detector is hash-gated. The global
+    window is single-partition by construction, and safely so: the
+    minute grid is bounded by the TIME SPAN (43k rows for 30 days at
+    any corpus size) — the corpus-sized work is the minute-keyed
+    pre-aggregation, which map-side combines. Gap minutes count as 0
+    (a true outage drags CUSUM down; dropping the rows would hide
+    it)."""
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    ).select(
+        "tot", "lo", "hi",
+        (
+            (F.unix_timestamp("hi") - F.unix_timestamp("lo")) / F.lit(60)
+        ).cast("long").alias("nm"),
+    ).select(
+        "lo", "hi",
+        F.expr("tot div (nm + 1)").alias("target"),
+        F.expr("greatest((tot div (nm + 1)) div 10, 1L)").alias("k"),
+    )
+    grid = st.select(
+        "target", "k",
+        F.explode(F.expr("sequence(lo, hi, interval 1 minute)")).alias("minute"),
+    )
+    m = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    filled = grid.join(m, "minute", "left").select(
+        "minute", "target", "k", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    w = Window.orderBy("minute").rowsBetween(Window.unboundedPreceding, 0)
+    c1 = filled.select(
+        "minute", "x",
+        F.sum(F.col("x") - F.col("target") - F.col("k")).over(w).alias("pf"),
+    )
+    c2 = c1.select(
+        "minute", "x",
+        (F.col("pf") - F.least(F.lit(0), F.min("pf").over(w))).alias("s"),
+    )
+    return (
+        c2.orderBy(F.col("s").desc(), "minute")
+        .limit(20)
+        .select(
+            "minute",
+            F.col("x").cast("long").alias("n_events"),
+            F.col("s").cast("long").alias("cusum"),
+        )
+    )
