@@ -1747,3 +1747,78 @@ def test_contamination_filter_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM decontam_stream").collect()
     }
     assert got == keep_want
+
+
+def test_cusum_alert_stream_matches_batch_identity(spark, sf_dir, tmp_path):
+    """streaming CUSUM (applyInPandasWithState, one BIGINT of state per
+    key) == the batch prefix-sum/running-min identity BITWISE, across a
+    two-micro-batch ordered replay — the vectorized in-batch identity
+    plus the carried state must reproduce the sequential recursion
+    exactly (all int64)."""
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.alerts import cusum_alert_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.col("event_type").alias("key"),
+        F.date_trunc("minute", "ts").alias("minute"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    st = counts.agg(
+        F.expr("sum(x) div count(1)").alias("target")
+    ).collect()[0]
+    target = int(st.target)
+    k = max(target // 10, 1)
+    h = 3 * (target + k)
+
+    w = Window.partitionBy("key").orderBy("minute").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pf = F.sum(F.col("x") - F.lit(target) - F.lit(k)).over(w)
+    expected = {
+        (r.key, str(r.minute), r.x, r.s)
+        for r in counts.select("key", "minute", "x", pf.alias("pf"))
+        .select(
+            "key", "minute", "x",
+            (F.col("pf") - F.least(F.lit(0), F.min("pf").over(w))).alias("s"),
+        )
+        .collect()
+    }
+    assert expected
+
+    # ordered two-file replay: every key's rows in file 1 precede its
+    # rows in file 2 (global minute cut), mtime separates the batches
+    d = str(tmp_path / "cusum")
+    cut = counts.select(
+        F.percentile(F.col("minute").cast("double"), 0.5)
+    ).first()[0]
+    counts.filter(F.col("minute").cast("double") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    _time.sleep(1.1)
+    counts.filter(F.col("minute").cast("double") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = (
+        spark.readStream.schema(counts.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = cusum_alert_stream(stream, "key", "minute", "x", target, k, h)
+    qname = f"cusum_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table(qname).collect()
+    got = {(r.key, str(r.minute), r.x, r.cusum) for r in rows}
+    assert got == expected
+    # alert flag is exactly the threshold comparison on the statistic
+    assert all(r.is_alert == (r.cusum >= h) for r in rows)
