@@ -148,16 +148,18 @@ def _sized_shingle_rows(
     # the shingle pipeline into the Generate, re-evaluating the
     # tokenize→shingle expression per exploded row (~4× at sf0.1).
     # Empty arrays simply explode to zero rows — no filter needed.
-    sh = (
-        toked.select("id", F.size(dsh).alias("n"), F.explode(dsh).alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # reclaimable checkpoint, not persist: sh backs both sides of the
+    # caller's self-join but the caller's result is lazy and pair-sized
+    # so sh can't be unpersisted here; checkpoint blocks are
+    # ContextCleaner-reclaimed once the caller drops the frame, where a
+    # persist would sit in the CacheManager forever.
+    sh = toked.select(
+        "id", F.size(dsh).alias("n"), F.explode(dsh).alias("shingle")
+    ).localCheckpoint(eager=max_df is not None)
     if max_df is not None:
-        # materialize sh's cache from toked's, then release toked —
-        # otherwise every max_df call leaks a second persisted frame
-        # into the caller's session (sh stays persisted: both sides
-        # of a self-join read it; harnesses clearCache it)
-        sh.count()
+        # sh's eager checkpoint materialized from toked's cache just
+        # above — release toked now (it IS unpersistable here: sh no
+        # longer depends on it once checkpointed)
         toked.unpersist()
     return sh
 
@@ -236,18 +238,22 @@ def repeated_span_mass(
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
 
     # materialize the positional gram arrays ONCE: the instance total
-    # (map-side size()) and the explode both read the persisted bytes
-    # instead of re-running tokenize→shingle per consumer.
+    # (map-side size()) and the explode both read the stored bytes
+    # instead of re-running tokenize→shingle per consumer. Reclaimable
+    # checkpoints, not persists: the result is corpus-sized (per-doc
+    # rows) so the intermediates can't be unpersisted here, and
+    # checkpoint blocks are ContextCleaner-reclaimed once the caller
+    # drops the frame.
     garr = (
         _toked(df, text_col, id_col)
         .select("id", shingles_from_tokens(F.col("_toks"), k).alias("grams"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     gc = (
         garr.select("id", F.explode("grams").alias("gram"))
         .groupBy("id", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     # grams seen in ≥2 docs; one row per (id, gram) in gc, so a plain
     # count == document frequency
@@ -747,9 +753,11 @@ def minhash_dedup_pairs(
     volume is already LSH-bounded, so carrying the two arrays through
     the join is cheap relative to re-exploding the corpus.
     """
-    from pyspark import StorageLevel
-
-    arr = _shingle_arrays(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    # reclaimable checkpoint, not persist: the returned frame is lazy
+    # and corpus-sized, so the intermediate cannot be unpersisted here;
+    # checkpoint blocks are ContextCleaner-reclaimed once the caller
+    # drops the frame, where a persist leaks in the CacheManager.
+    arr = _shingle_arrays(df, text_col, id_col, k).localCheckpoint(eager=False)
     sig = arr.select("id", *_sig_cols(bands * rows_per_band))
     cand = _lsh_candidates_from_signatures(sig, bands, rows_per_band)
     a = arr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -850,9 +858,8 @@ def prefix_filter_jaccard_pairs(
     per-shingle pair blowup shrinks by ~(1-τ)² with zero recall loss.
     Two shuffles, same as the full join, on strictly less data.
     """
-    from pyspark import StorageLevel
-
-    arr = _shingle_arrays(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    # reclaimable checkpoint, not persist — see minhash_dedup_pairs
+    arr = _shingle_arrays(df, text_col, id_col, k).localCheckpoint(eager=False)
     # global order = (md5(shingle), shingle): array_sort on the struct
     # sorts field-by-field, and the shingle tiebreak keeps the order
     # total even on (impossible for equal-length hex) hash collisions.
@@ -1199,18 +1206,19 @@ def query_dedup_index(
     exact matches are not re-reported as near).
 
     Plan shape: the batch side is shingled/hashed map-only ONCE
-    (persisted, three consumers); the index contributes one
-    fingerprint equi-join (the exact pair set is persisted — it feeds
-    both the output and the near-branch anti-join), one (band, sig)
-    postings join, and a shingle lookup for the LSH-bounded
+    (checkpointed, three consumers); the index contributes one
+    fingerprint equi-join (the exact pair set is checkpointed — it
+    feeds both the output and the near-branch anti-join), one (band,
+    sig) postings join, and a shingle lookup for the LSH-bounded
     candidates — never a scan-wide verify. Index-side work is
     proportional to matches, not corpus. Index reads are deduplicated
     so a replayed partial append (see :func:`_index_rows`) cannot
     produce duplicate match rows.
 
-    NB: the two persisted frames stay cached for the returned (lazy)
-    frame's lifetime; per-micro-batch callers that fully consume the
-    result should use :func:`_query_dedup_index_with_cleanup`.
+    The two shared frames are reclaimable localCheckpoints (not
+    persists): their blocks back the returned lazy frame and are
+    ContextCleaner-reclaimed once the caller drops it — no
+    CacheManager leak in long registry/streaming runs.
     """
     result, _ = _query_dedup_index_with_cleanup(
         spark, path, batch, text_col, id_col, threshold
@@ -1226,10 +1234,10 @@ def _query_dedup_index_with_cleanup(
     id_col: str,
     threshold: float = 0.5,
 ):
-    """:func:`query_dedup_index` plus the list of persisted frames the
-    caller must unpersist once the result has been materialized."""
-    from pyspark import StorageLevel
-
+    """:func:`query_dedup_index` plus the shared checkpointed frames —
+    kept for per-micro-batch callers that want to drop references
+    eagerly (unpersist on a checkpointed frame is a harmless no-op;
+    reclamation is reference-driven via the ContextCleaner)."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
 
     from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_json_meta
@@ -1257,7 +1265,7 @@ def _query_dedup_index_with_cleanup(
             "fp",
             F.array_distinct(T.shingles_from_tokens(F.col("_toks"), k)).alias("sh"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
 
     # doc_id != match_id: ids are globally unique across corpus and
@@ -1270,7 +1278,7 @@ def _query_dedup_index_with_cleanup(
             fp_idx, (base.fp == fp_idx.fp) & (base.doc_id != fp_idx.id)
         )
         .select("doc_id", F.col("id").alias("match_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     exact = exact_pairs.select(
         "doc_id",

@@ -355,8 +355,12 @@ def pagerank(
                     )
                     .localCheckpoint(eager=False)
                 )
-            ranks = ranks.persist()
-            ranks.count()  # materialize before releasing the inputs
+            # eager checkpoint, NOT persist: blocks back the returned
+            # frame lineage-free (so the input unpersists below are
+            # safe) and the ContextCleaner reclaims them once the
+            # caller drops the frame — a persist here would sit in the
+            # CacheManager forever (the r4-ADVICE leak class).
+            ranks = ranks.localCheckpoint(eager=True)
     finally:
         verts.unpersist()
         outdeg.unpersist()
@@ -505,7 +509,7 @@ def k_core(
         )
         .filter(F.col("u") < F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n_edges = cur.count()
     converged = n_edges == 0
@@ -522,11 +526,9 @@ def k_core(
             cur.join(good, cur.u == good.id, "left_semi")
             .join(good, F.col("v") == good.id, "left_semi")
             .localCheckpoint(eager=False)
-            .persist()
         )
-        n_next = nxt.count()
-        cur.unpersist()
-        cur = nxt
+        n_next = nxt.count()  # materializes the checkpoint blocks
+        cur = nxt  # superseded rounds are ContextCleaner-reclaimed
         if n_next == n_edges or n_next == 0:
             converged = True
         n_edges = n_next
@@ -534,13 +536,12 @@ def k_core(
         # loop exhaustion is NOT a k-core: deep path-shaped graphs peel
         # O(diameter) rounds — surface it instead of silently returning
         # vertices that are in no k-core
-        cur.unpersist()
         raise RuntimeError(
             f"k_core did not reach a fixpoint in {max_iter} rounds "
             f"({n_edges} edges still peeling) — raise max_iter"
         )
-    # cur stays persisted to back the returned frame; harnesses
-    # clearCache after collection
+    # cur's checkpoint blocks back the returned frame and are
+    # ContextCleaner-reclaimed once the caller drops it
     return (
         cur.select(F.explode(F.array("u", "v")).alias("id"))
         .groupBy("id")
@@ -598,8 +599,9 @@ def label_propagation(
                 "label"
             )
         ).localCheckpoint(eager=False)
-    labels = labels.persist()
-    labels.count()
+    # eager checkpoint (not persist): materializes before und is
+    # released and is ContextCleaner-reclaimable — no CacheManager leak
+    labels = labels.localCheckpoint(eager=True)
     und.unpersist()
     return labels.select("id", F.col("label").alias("community"))
 
@@ -637,6 +639,10 @@ def pagerank_fixed_point(
     n = deg.count()  # == vertex count: deg has one row per vertex
     spark = edges.sparkSession
     if n == 0:
+        # release before the early return — the empty-graph path used
+        # to leak deg in the CacheManager (caught by the r6 leak scan
+        # at sf0.001, where the co-activity graph IS empty)
+        deg.unpersist()
         return spark.createDataFrame([], "id long, rank_fp long")
     tele = (15 * scale) // (100 * n)
     contrib_base = und.join(deg, "src").persist()  # (src, dst, d)
@@ -662,8 +668,9 @@ def pagerank_fixed_point(
                 F.col("dst").alias("id"),
                 (F.lit(tele) + F.expr("(85 * s) div 100")).cast("long").alias("r"),
             ).localCheckpoint(eager=False)
-        ranks = ranks.persist()
-        ranks.count()
+        # eager checkpoint (not persist): materializes before the input
+        # unpersists and is ContextCleaner-reclaimable — no leak
+        ranks = ranks.localCheckpoint(eager=True)
     deg.unpersist()
     contrib_base.unpersist()
     return ranks.select("id", F.col("r").alias("rank_fp"))

@@ -60,7 +60,10 @@ def bm25_rank(
     ``list_reduce(list(s ORDER BY term))``.
     """
     spark = tf.sparkSession
-    tf = tf.persist()
+    # reclaimable checkpoint, not persist: tf feeds the df derivation
+    # and the score join; the returned top-k is lazy so tf can't be
+    # unpersisted here, and a persist would leak in the CacheManager
+    tf = tf.localCheckpoint(eager=False)
     dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     # dedupe (query, term): a repeated term in a tokenized query string
     # would otherwise multiply its postings rows through the join,

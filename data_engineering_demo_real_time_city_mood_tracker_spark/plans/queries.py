@@ -1443,7 +1443,7 @@ def q_top_supplier(spark, sf_dir):
         )
         .groupBy("l_suppkey")
         .agg(F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))).alias("r"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("r").alias("mx"))
     return (
@@ -3032,7 +3032,9 @@ def q_tfidf_topk(spark, sf_dir):
     tok = dedup._spread(docs).select(
         F.col("doc_id").alias("id"), F.explode(_tokens(F.col("text"))).alias("token")
     )
-    tf = tok.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = tok.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(
+        eager=False
+    )
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # scalar, embedded as a literal in the plan
     scored = tf.join(F.broadcast(df_t), "token").select(
@@ -3967,7 +3969,9 @@ def q_token_df_stats(spark, sf_dir):
     # one tokenize pass: df is a per-token count of the partials
     # (== countDistinct(doc) over the raw explode), and the per-doc
     # stats weight each token's contribution by cnt
-    tf = toked.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    tf = toked.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=False
+    )
     df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(F.broadcast(df_tbl), "tok")
@@ -5514,7 +5518,7 @@ def q_semantic_dedup(spark, sf_dir):
                 / (F.col("na") * F.col("nb"))
             ).alias("cos_sim"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     thr = pairs.agg(F.percentile("cos_sim", 0.99)).first()[0]
     return (
@@ -5722,7 +5726,9 @@ def q_join_key_skew_profile(spark, sf_dir):
     # profile and the top-k — unpersisted, the profile branch rescans
     # the fact table (exchange reuse does not fire across the
     # differently-pruned subtrees)
-    pk = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows")).persist()
+    pk = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows")).localCheckpoint(
+        eager=False
+    )
     glob = pk.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("n_rows").cast("long").alias("total_rows"),
@@ -5984,7 +5990,9 @@ def q_bloom_dedup(spark, sf_dir):
     # normalize→md5→positions pipeline per consumer (measured 23 s vs
     # 6 s on the 50k-doc stress); the cached frame is three narrow
     # columns, exactly what a production bloom gate would checkpoint
-    probed = newb.select("doc_id", "fp", maybe.alias("maybe_dup")).persist()
+    probed = newb.select("doc_id", "fp", maybe.alias("maybe_dup")).localCheckpoint(
+        eager=False
+    )
     cfp = corpus.select("fp").distinct().withColumn("_hit", F.lit(1))
     hits = (
         probed.filter(F.col("maybe_dup"))
@@ -6500,7 +6508,7 @@ def q_pq_ann_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq.train_pq(emb, "embedding", "vec_id", m=4, ksub=16, max_iter=3)
-    codes = pq.encode_pq(emb, "embedding", "vec_id", books).persist()
+    codes = pq.encode_pq(emb, "embedding", "vec_id", books).localCheckpoint(eager=False)
     return pq.pq_topk(codes, books, _query_vectors(sf_dir, max_id=10), k=5)
 
 
@@ -6625,7 +6633,9 @@ def q_important_parts(spark, sf_dir):
     # the threshold filter; without it the second branch rescans and
     # re-joins the whole fact table (exchange reuse does not fire
     # across the two differently-pruned subtrees)
-    byp = supplied.groupBy("l_partkey").agg(F.sum("val").alias("value_dec")).persist()
+    byp = supplied.groupBy("l_partkey").agg(F.sum("val").alias("value_dec")).localCheckpoint(
+        eager=False
+    )
     tot = byp.agg(F.sum("value_dec").alias("total"))
     return (
         byp.crossJoin(F.broadcast(tot))
@@ -6904,7 +6914,7 @@ def q_rrf_fusion(spark, sf_dir):
                 / (F.col("qnorm") * F.col("cnorm"))
             ).alias("cos_sim"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     wl = Window.partitionBy("query_id").orderBy(F.col("lex_sim").desc(), "corpus_id")
     wd = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "corpus_id")

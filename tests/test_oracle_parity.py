@@ -134,6 +134,36 @@ def test_selection_queries_release_their_caches(spark, sf_dir):
         # r6: cross-corpus decontamination checkpoints its match set
         # and releases both shingle caches
         "cross_dedup_fuzzy",
+        # r6 leak-scan sweep: every remaining CacheManager-leaking
+        # query (shared shingle/array/postings frames, returned graph
+        # frames, probe/report partials) now uses reclaimable
+        # localCheckpoints instead of persists — one representative
+        # per converted helper plus each bespoke query-level site.
+        "dedup_ngram_topk",        # _sized_shingle_rows
+        "dedup_minhash_pairs",     # minhash arr
+        "dedup_prefix_filter",     # prefix arr
+        "dedup_clusters",          # minhash arr via connected_components
+        "minhash_estimate_accuracy",
+        "repeated_ngram_spans",    # repeated_span_mass garr/gc
+        "dedup_index_probe",       # index probe base/exact_pairs
+        "bm25_topk",               # bm25_rank tf
+        "bm25_index_probe",
+        "rrf_fusion",
+        "semantic_dedup",
+        "tfidf_topk",
+        "token_df_stats",
+        "top_supplier",
+        "important_parts",
+        "join_key_skew_profile",
+        "bloom_dedup",
+        "pq_ann_topk",
+        "label_propagation",       # graph returned-frame checkpoints
+        "pagerank_portable",
+        "kcore_portable",
+        "kcore_decomposition",
+        "pagerank_topk",
+        "connected_components_star",
+        "cluster_representatives",
     ):
         QUERIES[name](spark, sf_dir).collect()
         assert cm.isEmpty(), f"{name} left persisted frames behind"
