@@ -225,6 +225,40 @@ def test_containment_catches_asymmetric_duplication(spark):
     assert jac[(1, 2)] < 0.5  # Jaccard alone would have missed it
 
 
+def test_set_pair_measures_matches_both_parents(spark):
+    """the fused one-pass operator is BITWISE the two parents: same
+    candidate pairs, same jaccard and containment values (identical
+    expressions over the identical shared front end) — the only
+    difference is that the shingle frame and the pair join run once."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        set_pair_measures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fused = {
+        (r.id_a, r.id_b): (r.jaccard, r.containment)
+        for r in set_pair_measures(docs, "text", "doc_id", k=3, max_df=50).collect()
+    }
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.0, max_df=50
+        ).collect()
+    }
+    con = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.0, max_df=50
+        ).collect()
+    }
+    assert fused, "fused operator found no candidate pairs at sf0.001"
+    assert set(fused) == set(jac) == set(con)
+    assert all(fused[p][0] == jac[p] for p in fused)
+    assert all(fused[p][1] == con[p] for p in fused)
+
+
 def test_repeated_span_mass_flags_stitched_docs(spark):
     """a doc stitched from spans of two other docs has high dup_mass;
     a fully unique doc has mass 0; totals count positional instances."""
