@@ -38,12 +38,14 @@ _FRONT = [
     "approx_distinct_hll",
     "moving_avg_range",
     "ts_pattern_topk",
-    # --- r2-era cohort (not re-graded since round 2): 40 of the 47.
+    # --- r2-era cohort (not re-graded since round 2): 35 of the 47.
     # The six whose physical plans ALSO changed this round (the
-    # per-vector norm hoist) lead; the seven left for r7 are the
-    # lowest-risk map-only deterministic samplers/counters
+    # per-vector norm hoist) lead; the ten left for r7 are the
+    # lowest-risk map-only deterministic samplers/counters/hashers
     # (mixture_sample, temperature_sample, stratified_kfold,
-    # doc_chunking, stopword_removal, ngram_freq, token_count) ---
+    # doc_chunking, stopword_removal, ngram_freq, token_count, and —
+    # yielded to the three late-r6 queries below — doc_fingerprint,
+    # lang_id, text_quality) ---
     "embedding_ann_lsh",
     "embedding_topk",
     "hybrid_search",
@@ -66,9 +68,7 @@ _FRONT = [
     "dedup_ngram_topk",
     "dedup_prefix_filter",
     "dedup_report",
-    "doc_fingerprint",
     "edit_distance_pairs",
-    "lang_id",
     "minhash_estimate_accuracy",
     "pii_redaction",
     "reaggregate_monthly",
@@ -76,7 +76,6 @@ _FRONT = [
     "repetition_ratio",
     "sequence_packing",
     "simhash_portable",
-    "text_quality",
     "tfidf_topk",
     "token_df_stats",
     "train_test_split",
@@ -95,6 +94,12 @@ _FRONT = [
     "cross_dedup_fuzzy",
     "rolling_active_users",
     "cusum_alerts",
+    # --- late-r6 queries (first driver rows): MMR diverse reranking,
+    # the log-free char-diversity junk filter, per-doc marginal
+    # novelty ---
+    "mmr_select",
+    "char_gini_quality",
+    "ngram_novelty",
 ]
 
 

@@ -722,3 +722,108 @@ def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
     # k rows: checkpoint eagerly and release the quantized-vector cache
     # (CacheManager holds persisted frames until explicit unpersist)
     return release_after(out, base)
+
+
+def _kc_dot_to_sql(vec: list[int]) -> str:
+    """exact integer dot product of ``q`` with ONE quantized literal."""
+    arr = "array(" + ",".join(f"{int(x)}L" for x in vec) + ")"
+    return (
+        f"aggregate(zip_with(q, {arr}, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
+def mmr_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8):
+    """(sel_rank, vec_id, rel_fp, mmr_fp) — Maximal Marginal Relevance
+    selection (Carbonell & Goldstein 1998) with λ = 1/2: the k greedy
+    picks that balance relevance to a query vector against redundancy
+    with what is already selected — the diversity-aware reranking step
+    of retrieval/RAG pipelines (kcenter_select is its pure-diversity,
+    no-query sibling).
+
+    The query is the minimum-id vector (collected once, excluded from
+    candidates). Scores stay EXACT BIGINT end-to-end: coordinates
+    FLOOR-quantize at KC_SCALE, relevance is the integer dot product
+    with the query, and with λ = 1/2 the argmax of
+    λ·rel − (1−λ)·max_sim is the argmax of ``rel − max_sim`` — no
+    float ever enters, so every tie (the classic MMR instability)
+    breaks deterministically by (score desc, id asc) in any engine.
+    Pick 1 is pure relevance (max over an empty selected set
+    contributes nothing): its mmr_fp equals rel_fp.
+
+    Execution shape mirrors kcenter_select's small-k variant: each
+    round is ONE map-only scan over the persisted quantized frame with
+    the chosen vectors as plan literals (k ≤ _LITERAL_K_MAX keeps the
+    expression inside the codegen budget) feeding a TakeOrdered top-1;
+    already-picked ids are excluded with a literal isin, exactly k
+    driver rows ever materialize, and the k-row result releases the
+    cache via release_after. Overflow guard rides the first job's
+    Observation: |rel − max_sim| ≤ 2·qmax²·dim must fit in int64.
+    """
+    import math
+
+    from pyspark.sql import Observation
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"), _kc_qvec(vec_col).alias("q")
+    ).persist()
+    obs = Observation()
+    qrows = (
+        base.observe(
+            obs,
+            F.max(F.expr("array_max(transform(q, x -> abs(x)))")).alias("qmax"),
+        )
+        .orderBy("id")
+        .limit(1)
+        .collect()
+    )
+    if not qrows:
+        base.unpersist()
+        return spark.createDataFrame(
+            [], "sel_rank long, vec_id long, rel_fp long, mmr_fp long"
+        )
+    qrow = qrows[0]
+    qv, qid, dim = list(qrow.q), qrow.id, len(qrow.q)
+    qmax = int(obs.get["qmax"] or 0)
+    qbound = math.isqrt((2**63 - 1) // max(2 * dim, 1))
+    if qmax > qbound:
+        base.unpersist()  # loud-failure path must not leak (r5 ADVICE)
+        raise ValueError(
+            f"mmr_select: max |quantized coordinate| {qmax} exceeds the "
+            f"BIGINT-safe bound {qbound} at dim {dim} (KC_SCALE={KC_SCALE}); "
+            "integer scores would wrap silently — rescale the input"
+        )
+    rel = F.expr(_kc_dot_to_sql(qv))
+    chosen: list[tuple[int, int, int, int]] = []  # (rank, id, rel, score)
+    picked_vecs: list[list[int]] = []
+    for r in range(1, k + 1):
+        cand = base.filter(F.col("id") != qid)
+        if chosen:
+            cand = cand.filter(
+                ~F.col("id").isin([c[1] for c in chosen])
+            )
+            max_sim = F.greatest(
+                *[F.expr(_kc_dot_to_sql(v)) for v in picked_vecs]
+            ) if len(picked_vecs) > 1 else F.expr(_kc_dot_to_sql(picked_vecs[0]))
+            score = (rel - max_sim).alias("score")
+        else:
+            score = rel.alias("score")
+        top = (
+            cand.select("id", "q", rel.alias("rel"), score)
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        chosen.append((r, row.id, int(row.rel), int(row.score)))
+        picked_vecs.append(list(row.q))
+    out = spark.createDataFrame(
+        [(r, i, rl, sc) for r, i, rl, sc in chosen],
+        "sel_rank long, vec_id long, rel_fp long, mmr_fp long",
+    ).orderBy("sel_rank")
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import release_after
+
+    return release_after(out, base)

@@ -7756,6 +7756,85 @@ def q_kcenter_coreset(spark, sf_dir):
     return clustering.kcenter_select(emb, "embedding", "vec_id", k=8)
 
 
+def _dot_fp_sql(a: str, b: str) -> str:
+    """exact integer dot product of two quantized DuckDB lists —
+    integer adds commute, so this equals Spark's zip_with fold."""
+    return (
+        f"CAST(list_sum(list_transform(range(len({a})), j -> "
+        f"{a}[j + 1] * {b}[j + 1])) AS BIGINT)"
+    )
+
+
+def _mmr_oracle(k: int) -> str:
+    dot = _dot_fp_sql
+    parts = [
+        f"""WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qry AS MATERIALIZED (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+d0 AS MATERIALIZED (
+  SELECT t.vec_id, t.qv, {dot("t.qv", "y.qv")} AS rel
+  FROM q t, qry y WHERE t.vec_id != y.vec_id
+),
+c1 AS MATERIALIZED (
+  SELECT vec_id, qv, rel, rel AS score FROM d0
+  ORDER BY rel DESC, vec_id LIMIT 1
+),
+d1 AS MATERIALIZED (
+  SELECT t.vec_id, t.qv, t.rel, {dot("t.qv", "c.qv")} AS m
+  FROM d0 t, c1 c WHERE t.vec_id != c.vec_id
+),
+"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT vec_id, qv, rel, rel - m AS score FROM d{r - 1}
+  ORDER BY score DESC, vec_id LIMIT 1
+),
+d{r} AS MATERIALIZED (
+  SELECT t.vec_id, t.qv, t.rel, GREATEST(t.m, {dot("t.qv", "c.qv")}) AS m
+  FROM d{r - 1} t, c{r} c WHERE t.vec_id != c.vec_id
+),
+"""
+        )
+    sel = "\n  UNION ALL ".join(
+        f"SELECT {r} AS sel_rank, vec_id, rel, score FROM c{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append(
+        f"""sel AS ({sel})
+SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id,
+       rel AS rel_fp, score AS mmr_fp
+FROM sel ORDER BY sel_rank"""
+    )
+    return "".join(parts)
+
+
+@register("mmr_select", _mmr_oracle(8))
+def q_mmr_select(spark, sf_dir):
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein
+    1998, λ = 1/2): the 8 picks balancing relevance to the query
+    vector (the min-id embedding) against redundancy with what is
+    already picked — the diversity step of retrieval/RAG result lists,
+    complementing kcenter_coreset (pure diversity, no query). λ = 1/2
+    makes the argmax of λ·rel − (1−λ)·max_sim the argmax of the pure
+    BIGINT ``rel − max_sim`` over FLOOR-quantized coordinates, so the
+    classic MMR tie instability is gone: every argmax breaks
+    (score desc, id asc) identically in both engines. Each round is a
+    map-only scan with the picked vectors as plan literals + a
+    TakeOrdered top-1 (operators/clustering.mmr_select); the oracle
+    unrolls the greedy rounds as LIMIT-1 CTEs with a running GREATEST
+    max-sim column."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.mmr_select(emb, "embedding", "vec_id", k=8)
+
+
 @register(
     "moore_lewis_select",
     f"""WITH {_BIGRAM_PAIRS_CTE.format(norm=_docs_norm_sql())},
@@ -8876,5 +8955,134 @@ def q_cusum_alerts(spark, sf_dir):
             "minute",
             F.col("x").cast("long").alias("n_events"),
             F.col("s").cast("long").alias("cusum"),
+        )
+    )
+
+
+@register(
+    "char_gini_quality",
+    """WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE len(text) >= 1
+),
+cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+g AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_chars,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM cc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(g.n_chars, 0) AS n_chars,
+       COALESCE(g.n_chars * g.n_chars - g.ss, 0) AS gini_num,
+       COALESCE(g.n_chars * g.n_chars, 0) AS gini_den,
+       COALESCE(2 * (g.n_chars * g.n_chars - g.ss) < g.n_chars * g.n_chars,
+                TRUE) AS is_low_diversity
+FROM documents d LEFT JOIN g USING (doc_id)""",
+)
+def q_char_gini_quality(spark, sf_dir):
+    """LOG-FREE character-diversity junk filter: per-doc Gini impurity
+    of the character distribution, 1 − Σp², as an EXACT rational
+    (gini_num / gini_den in BIGINT) — the portable stand-in for
+    character entropy (whose ln is not IEEE-portable across engines).
+    Degenerate docs ("aaaa…", repeated padding, binary spill rendered
+    as one glyph) score near 0; natural text sits ≈0.9+. The flag
+    2·num < den (impurity < 1/2) is an integer cross-multiplication,
+    never a float threshold. Zero-length/NULL docs emit n_chars 0 and
+    flag TRUE (no diversity evidence).
+
+    Plan shape: the char array binds in ONE split() projection and
+    explodes to (doc_id, ch) rows only — the full text string never
+    rides the generated rows (the r5 CollapseProject/Generate O(len²)
+    hazard). One (doc, ch)-keyed count with map-side combine, one
+    doc-keyed sum, broadcast-joined back to the doc base. Linear in
+    corpus character count at any scale. Spark split(text, '') ==
+    DuckDB string_split(text, '') incl. the [''] empty-string case
+    (measured), which the len ≥ 1 filter excludes on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = dedup._spread(docs).select("doc_id", "text")
+    cc = (
+        base.filter(F.length("text") >= 1)
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    num = F.col("n_chars") * F.col("n_chars") - F.col("ss")
+    den = F.col("n_chars") * F.col("n_chars")
+    return (
+        docs.select("doc_id")
+        .join(g, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.coalesce(num, F.lit(0)).alias("gini_num"),
+            F.coalesce(den, F.lit(0)).alias("gini_den"),
+            F.coalesce(2 * num < den, F.lit(True)).alias("is_low_diversity"),
+        )
+    )
+
+
+@register(
+    "ngram_novelty",
+    f"""WITH g AS (
+  SELECT DISTINCT doc_id AS id, unnest({_SH5}) AS gram FROM documents
+),
+fst AS (SELECT gram, MIN(id) AS first_id FROM g GROUP BY gram),
+per AS (
+  SELECT g.id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN f.first_id = g.id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM g JOIN fst f USING (gram) GROUP BY g.id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_novel, 0) AS n_novel
+FROM documents d LEFT JOIN per p ON d.doc_id = p.id""",
+)
+def q_ngram_novelty(spark, sf_dir):
+    """per-document MARGINAL NOVELTY in ingestion (doc_id) order: how
+    many of a doc's distinct 5-grams appear here for the FIRST time
+    corpus-wide — the per-document form of the crawl-increment value
+    question (corpus_diff answers it per snapshot): a doc whose
+    n_novel/n_grams is near 0 adds nothing the corpus didn't already
+    have, even when no single pair passes a near-dup threshold (the
+    aggregator/mirror shape repeated_ngram_spans flags by span mass).
+    First occurrence per gram is ONE skew-safe MIN agg with map-side
+    combine (same posture as paragraph_dedup's keep-first); the join
+    back is gram-keyed on frames already hash-partitioned by the agg;
+    per-doc rollup is id-keyed. Linear in corpus gram count — no pair
+    join at any scale. All-integer outputs: hash-gated."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup._toked(docs, "text", "doc_id").select(
+        "id",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("_toks"), 5))
+        ).alias("gram"),
+    )
+    fst = sh.groupBy("gram").agg(F.min("id").alias("first_id"))
+    per = (
+        sh.join(fst, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, docs.doc_id == per.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
         )
     )

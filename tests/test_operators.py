@@ -1113,3 +1113,110 @@ def test_grad_match_select_top_k_of_full_ranking(spark, sf_dir):
         (s, i) for i, s in enumerate(scores)
     ]  # desc by construction; tie-broken by doc_id
     assert len({r.score_gm for r in top}) > 1
+
+
+def test_mmr_select_diversity_and_rank1(spark):
+    """on a planted cluster+outlier configuration, pure relevance
+    would pick the three near-copies of the query's neighbor; MMR
+    (λ=1/2) must pick the redundant copy only once and reach for the
+    diverse-but-relevant point instead. Rank-1 is pure relevance
+    (mmr_fp == rel_fp) by definition."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import mmr_select
+
+    # id 0 = query. ids 1,2,3 = a tight cluster very similar to the
+    # query; id 4 = moderately relevant but orthogonal to the cluster.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.10, 0.0, 0.0]),
+        (2, [0.99, 0.11, 0.0, 0.0]),
+        (3, [0.99, 0.12, 0.0, 0.0]),
+        (4, [0.60, 0.0, 0.80, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_select(df, "embedding", "vec_id", k=3).collect()
+    assert [r.sel_rank for r in out] == [1, 2, 3]
+    assert out[0].mmr_fp == out[0].rel_fp  # rank 1 = pure relevance
+    picked = [r.vec_id for r in out]
+    # rank 1 is the most relevant cluster member; rank 2 must be the
+    # diverse point (4), not the next cluster near-copy
+    assert picked[0] in (1, 2, 3)
+    assert picked[1] == 4, picked
+
+
+def test_char_gini_flags_degenerate_docs(spark):
+    """'aaaa…' scores impurity 0 (flagged); natural text scores high
+    (not flagged); num/den match an exact python recount."""
+    from collections import Counter
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+
+    texts = {
+        1: "aaaaaaaaaaaaaaaaaaaaaaaa",
+        2: "the quick brown fox jumps over the lazy dog",
+        3: "abababababababab",
+    }
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    cc = (
+        docs.filter(F.length("text") >= 1)
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+        .collect()
+    )
+    got = {r.doc_id: (r.n * r.n - r.ss, r.n * r.n) for r in cc}
+    for i, t in texts.items():
+        n = len(t)
+        ss = sum(c * c for c in Counter(t).values())
+        assert got[i] == (n * n - ss, n * n), i
+    # flag semantics: impurity < 1/2
+    assert 2 * got[1][0] < got[1][1]        # all-same: flagged
+    assert not (2 * got[2][0] < got[2][1])  # natural text: not flagged
+    # two-char alternation sits EXACTLY on the boundary: impurity
+    # 1 - 2*(1/4) = 1/2, and the strict < keeps it unflagged — the
+    # integer comparison makes the boundary exact, not float-fuzzy
+    assert 2 * got[3][0] == got[3][1]
+    assert not (2 * got[3][0] < got[3][1])
+
+
+def test_ngram_novelty_duplicate_doc_adds_nothing(spark):
+    """a doc that duplicates an earlier doc verbatim has n_novel = 0;
+    the corpus's first doc is all-novel by definition; a half-stitched
+    doc is partially novel."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES, register  # noqa: F401
+    import pyspark.sql.functions as F
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import dedup
+
+    a = "one two three four five six seven eight nine ten"
+    b = "fresh words appear here that no other document has at all"
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, b)], "doc_id long, text string"
+    )
+    sh = dedup._toked(docs, "text", "doc_id").select(
+        "id",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("_toks"), 5))).alias("gram"),
+    )
+    fst = sh.groupBy("gram").agg(F.min("id").alias("first_id"))
+    per = {
+        r.id: (r.n, r.nv)
+        for r in sh.join(fst, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)).alias("nv"),
+        )
+        .collect()
+    }
+    assert per[1][0] == per[1][1] > 0      # first doc: all novel
+    assert per[2][0] > 0 and per[2][1] == 0  # verbatim copy: nothing novel
+    assert per[3][0] == per[3][1] > 0      # unrelated doc: all novel
