@@ -38,14 +38,14 @@ _FRONT = [
     "approx_distinct_hll",
     "moving_avg_range",
     "ts_pattern_topk",
-    # --- r2-era cohort (not re-graded since round 2): 35 of the 47.
+    # --- r2-era cohort (not re-graded since round 2): 33 of the 47.
     # The six whose physical plans ALSO changed this round (the
-    # per-vector norm hoist) lead; the ten left for r7 are the
+    # per-vector norm hoist) lead; the twelve left for r7 are the
     # lowest-risk map-only deterministic samplers/counters/hashers
     # (mixture_sample, temperature_sample, stratified_kfold,
     # doc_chunking, stopword_removal, ngram_freq, token_count, and —
-    # yielded to the three late-r6 queries below — doc_fingerprint,
-    # lang_id, text_quality) ---
+    # yielded to the five late-r6 queries below — doc_fingerprint,
+    # lang_id, text_quality, sequence_packing, repetition_ratio) ---
     "embedding_ann_lsh",
     "embedding_topk",
     "hybrid_search",
@@ -73,8 +73,6 @@ _FRONT = [
     "pii_redaction",
     "reaggregate_monthly",
     "repeated_ngram_spans",
-    "repetition_ratio",
-    "sequence_packing",
     "simhash_portable",
     "tfidf_topk",
     "token_df_stats",
@@ -96,10 +94,13 @@ _FRONT = [
     "cusum_alerts",
     # --- late-r6 queries (first driver rows): MMR diverse reranking,
     # the log-free char-diversity junk filter, per-doc marginal
-    # novelty ---
+    # novelty, and the two governance gates (k-anonymity distribution,
+    # FK referential-integrity audit) ---
     "mmr_select",
     "char_gini_quality",
     "ngram_novelty",
+    "k_anonymity",
+    "fk_integrity_audit",
 ]
 
 

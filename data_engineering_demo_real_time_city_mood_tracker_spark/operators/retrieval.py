@@ -48,6 +48,7 @@ def bm25_rank(
     n_docs: int,
     avgdl: float,
     k: int = 10,
+    release: bool = True,
 ) -> DataFrame:
     """Top-``k`` docs per query over a (doc_id, tok, tf, dl) postings
     frame already restricted to query terms.
@@ -60,10 +61,14 @@ def bm25_rank(
     ``list_reduce(list(s ORDER BY term))``.
     """
     spark = tf.sparkSession
-    # reclaimable checkpoint, not persist: tf feeds the df derivation
-    # and the score join; the returned top-k is lazy so tf can't be
-    # unpersisted here, and a persist would leak in the CacheManager
-    tf = tf.localCheckpoint(eager=False)
+    # persist + release_after (NOT a lazy checkpoint): tf feeds the df
+    # derivation and the score join, and the result is BOUNDED
+    # (k rows per query), so the k-row eager checkpoint at the end
+    # releases the cache with no CacheManager leak — while keeping the
+    # full postings plan visible to EXPLAIN (a lazy checkpoint
+    # truncates lineage at a LogicalRDD, blinding the plan-shape
+    # tests that pin the filter-inside-explode contract)
+    tf = tf.persist()
     dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     # dedupe (query, term): a repeated term in a tokenized query string
     # would otherwise multiply its postings rows through the join,
@@ -94,7 +99,7 @@ def bm25_rank(
         F.aggregate(F.col("_ts"), F.lit(0.0), lambda acc, x: acc + x["s"]),
     ).drop("_ts")
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
+    out = (
         agg.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(
@@ -105,6 +110,15 @@ def bm25_rank(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+    if not release:
+        # plan-inspection / caller-owned-release mode: the lazy frame
+        # keeps its full lineage visible to EXPLAIN (release_after's
+        # eager checkpoint truncates it at a LogicalRDD); the caller
+        # owns tf's unpersist
+        return out
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import release_after
+
+    return release_after(out, tf)
 
 
 def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -361,6 +375,7 @@ def query_text_index(
     path: str,
     query_pairs: list[tuple[int, str]],
     k: int = 10,
+    release: bool = True,
 ) -> DataFrame:
     """BM25 top-``k`` per query against the persistent index.
 
@@ -399,4 +414,4 @@ def query_text_index(
         )
         .select("doc_id", "tok", "tf", "dl")
     )
-    return bm25_rank(tf, query_pairs, n_docs, avgdl, k=k)
+    return bm25_rank(tf, query_pairs, n_docs, avgdl, k=k, release=release)

@@ -53,11 +53,12 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
             # make package modules importable on executor Python
             # workers regardless of who built the SparkSession
+            # (kwargs pass through for test-only knobs like _release)
             ensure_shipped(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kwargs)
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
@@ -6061,7 +6062,7 @@ SELECT query_id, doc_id, n_terms, score, rnk FROM (
 
 
 @register("bm25_topk", _BM25_ORACLE)
-def q_bm25_topk(spark, sf_dir):
+def q_bm25_topk(spark, sf_dir, _release=True):
     """BM25-lite lexical retrieval, top-10 docs for 3 query strings.
     Search-engine-shaped at scale: the corpus pays ONE tokenize pass
     whose explode is filtered to query terms BEFORE the exchange, so
@@ -6104,7 +6105,12 @@ def q_bm25_topk(spark, sf_dir):
     )
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators import retrieval
 
-    return retrieval.bm25_rank(tf, _BM25_QUERIES, n_docs, avgdl, k=10)
+    # _release=False is the plan-inspection mode (tests): the lazy
+    # frame keeps the postings pipeline visible to EXPLAIN; the
+    # registry default releases the tf cache via the k-row checkpoint
+    return retrieval.bm25_rank(
+        tf, _BM25_QUERIES, n_docs, avgdl, k=10, release=_release
+    )
 
 
 @register("bm25_index_probe", _BM25_ORACLE)
@@ -9086,3 +9092,135 @@ def q_ngram_novelty(spark, sf_dir):
             F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
         )
     )
+
+
+@register(
+    "k_anonymity",
+    """WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+         COUNT(*) AS gsize
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(gsize AS BIGINT) AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(gsize) AS BIGINT) AS n_rows,
+       gsize < 5 AS below_k5
+FROM g GROUP BY gsize""",
+)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the customer quasi-identifier tuple
+    (nation, market segment, account-balance bucket) — the privacy
+    gate a warehouse runs BEFORE exporting a table: any
+    quasi-identifier group smaller than k re-identifies its members
+    (Sweeney 2002). Emits the group-size DISTRIBUTION (size → #groups,
+    #rows, below-k flag at k=5), never the identifying tuples
+    themselves — the report is safe to ship even when the table is
+    not. FLOOR(bal/1000) buckets the double exactly (FLOOR has no
+    rounding rule to disagree on — the _portable_mean idea); both
+    aggs are integer. ONE quasi-key shuffle with map-side combine,
+    then a group-size-bounded rollup. Linear at any scale; the output
+    is bounded by the distinct group sizes."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("gsize"))
+    )
+    return g.groupBy("gsize").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("gsize").cast("long").alias("n_rows"),
+    ).select(
+        F.col("gsize").cast("long").alias("group_size"),
+        "n_groups",
+        "n_rows",
+        (F.col("gsize") < 5).alias("below_k5"),
+    )
+
+
+@register(
+    "fk_integrity_audit",
+    """SELECT * FROM (
+  SELECT 'lineitem->orders' AS relationship,
+         CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'lineitem->part',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+  UNION ALL
+  SELECT 'lineitem->supplier',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+  UNION ALL
+  SELECT 'orders->customer',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+  UNION ALL
+  SELECT 'customer->nation',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'supplier->nation',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'nation->region',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+) t""",
+)
+def q_fk_integrity_audit(spark, sf_dir):
+    """referential-integrity audit across every FK edge of the star
+    schema — the load-time data-quality gate that catches orphaned
+    fact rows before they silently vanish from inner-join dashboards:
+    one row per relationship with child-row and orphan counts. Each
+    edge is a LEFT join probing the parent key for NULL; the parent
+    sides are dimension-sized, so AQE broadcasts every probe except
+    the fact-fact edges, where the join keys are the tables' natural
+    shuffle keys. At 100 TB this is the same plan a production
+    dbt-style relationship test compiles to. All-integer — hash-gated."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    def edge(name, child, ck, parent, pk):
+        j = child.select(F.col(ck)).join(
+            parent.select(F.col(pk)), F.col(ck) == F.col(pk), "left"
+        )
+        return j.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+
+    edges = [
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        edge("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        edge("supplier->nation", supp, "s_nationkey", nation, "n_nationkey"),
+        edge("nation->region", nation, "n_regionkey", region, "r_regionkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out

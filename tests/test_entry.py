@@ -79,6 +79,9 @@ def test_survey_checklist_matches_registry():
         "observed_write",
         "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dsir_score_stream", "citymood",  # streaming serve / data source API
+        "set_pair_measures",  # fused user-facing operator; the registry
+        # keeps the two per-measure parents as independent gates (r6)
+        "cusum_alert_stream",  # streaming twin of cusum_alerts (r6)
     }
     # registered under a different name than the SURVEY label
     ALIASES = {

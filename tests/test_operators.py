@@ -1220,3 +1220,25 @@ def test_ngram_novelty_duplicate_doc_adds_nothing(spark):
     assert per[1][0] == per[1][1] > 0      # first doc: all novel
     assert per[2][0] > 0 and per[2][1] == 0  # verbatim copy: nothing novel
     assert per[3][0] == per[3][1] > 0      # unrelated doc: all novel
+
+
+def test_governance_gates_invariants(spark, sf_dir):
+    """fk_integrity_audit: the generated star schema is referentially
+    intact (0 orphans on every edge, child counts == table counts);
+    k_anonymity: the size distribution partitions the customer table
+    exactly (sum of n_rows == row count, n_groups consistent)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES, load_table
+
+    fk = {r.relationship: r for r in QUERIES["fk_integrity_audit"](spark, sf_dir).collect()}
+    assert len(fk) == 7
+    assert all(r.n_orphans == 0 for r in fk.values()), {
+        k: v.n_orphans for k, v in fk.items()
+    }
+    li_n = load_table(spark, sf_dir, "lineitem").count()
+    assert fk["lineitem->orders"].n_child_rows == li_n
+
+    ka = QUERIES["k_anonymity"](spark, sf_dir).collect()
+    cust_n = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_rows for r in ka) == cust_n
+    assert all(r.n_rows == r.group_size * r.n_groups for r in ka)
+    assert all(r.below_k5 == (r.group_size < 5) for r in ka)

@@ -315,7 +315,16 @@ def test_bm25_broadcasts_and_filters_inside_explode(spark, sf_dir):
     """bm25: df/query tables broadcast (no fact-fact SMJ), and the
     query-term filter runs INSIDE the token array so the Generate
     emits only query-term postings (never the full token stream)."""
-    plan = plan_of(QUERIES["bm25_topk"](spark, sf_dir))
+    # _release=False: the registry default eagerly checkpoints the
+    # k-row result (cache hygiene), which truncates EXPLAIN at a
+    # LogicalRDD — the plan-inspection mode keeps the lineage visible
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import q_bm25_topk
+
+    lazy = q_bm25_topk(spark, sf_dir, _release=False)
+    try:
+        plan = plan_of(lazy)
+    finally:
+        spark.catalog.clearCache()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     # formatted mode prints the Generate expression in an Arguments

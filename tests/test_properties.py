@@ -882,7 +882,12 @@ def test_text_index_append_merges_segments(spark, sf_dir, tmp_path):
         docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id", seg,
         segment="crawl1",
     )
-    got_seg = retrieval.query_text_index(spark, seg, _BM25_QUERIES, k=10)
+    # release=False keeps the probe's lineage visible so the pruning
+    # assertions below can see the parquet scan (the default releases
+    # the postings cache via an eager k-row checkpoint)
+    got_seg = retrieval.query_text_index(
+        spark, seg, _BM25_QUERIES, k=10, release=False
+    )
     assert {tuple(r) for r in got_seg.collect()} == direct
 
     plan = got_seg._jdf.queryExecution().executedPlan().toString()
@@ -890,6 +895,7 @@ def test_text_index_append_merges_segments(spark, sf_dir, tmp_path):
     assert len(scan) == 2, "postings scan missing partition pruning"
     assert "bucket" in scan[1].split("]", 1)[0]
     assert "tok" in plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    spark.catalog.clearCache()  # release=False leaves tf caller-owned
 
 
 def test_text_index_crash_replay_ignores_uncommitted_segment(spark, tmp_path):
