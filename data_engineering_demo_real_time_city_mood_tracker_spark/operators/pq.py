@@ -397,10 +397,13 @@ def build_ivfpq_index(
     RESIDUAL (vec − its cell centroid) is product-quantized — residual
     encoding is what makes small codebooks accurate, because residual
     magnitudes are cell-radius-sized, not corpus-sized (Jégou et al.
-    2011 §IV). Codes land partitioned BY CELL, so probes become
+    2011 §IV). Codes land partitioned BY (SEGMENT, CELL): probes are
     directory pruning (PartitionFilters) exactly like the plain IVF
-    index; a 100 TB corpus stores 4-byte codes per vector and probes
-    read only n_probe cells' worth of them. Both quantizers train on
+    index, and per-crawl :func:`append_ivfpq_index` segments follow
+    the text/dedup-index lifecycle (FAISS ``add``: assign to the
+    EXISTING quantizers, never retrain — r6). A 100 TB corpus stores
+    4-byte codes per vector and probes read only the committed
+    segments' n_probe cells. Both quantizers train on
     the ``train_sample`` smallest-md5(id) vectors DRIVER-side
     (bitwise-fold numpy Lloyd — identical to the distributed trainer
     whenever the sample covers the corpus, i.e. at every gate SF);
@@ -448,10 +451,51 @@ def build_ivfpq_index(
     # distributed trainer would have collected them
     books = _pq_lloyd_np(resid_sample, resid_sample[:ksub], m, ksub, max_iter)
 
+    # a BUILD is a full rebuild: wipe any prior index (stale segments
+    # or an incompatible layout must not survive into the new one —
+    # appends, by contrast, touch only their own segment's partitions)
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.retrieval import _fs_delete
+
+    spark = df.sparkSession
+    for sub in ("codes", "stats", "meta.json"):
+        _fs_delete(spark, f"{path}/{sub}")
     # ONE fused map-only pass: cell assignment + residual subtraction +
     # per-subspace encode + partitioned write (literal centroids and
     # codebooks ride the plan; no join, no shuffle but the cell
     # repartition that bounds the file count)
+    _write_ivfpq_codes(df, vec_col, id_col, path, cents, books, "base")
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import write_json_meta
+
+    # meta lands LAST (commit record) as a zero-job JSON sidecar: a
+    # 1-row parquet write here cost a full job's fixed overhead.
+    # Ordering contract: codes+stats for seg=base exist before meta,
+    # and probes require BOTH meta and a segment's stats sidecar, so
+    # a crash anywhere leaves no half-visible index.
+    write_json_meta(
+        df.sparkSession,
+        f"{path}/meta.json",
+        {"centroids": cents, "codebooks": books},
+    )
+
+
+def _write_ivfpq_codes(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    cents: list[list[float]],
+    books,
+    segment: str,
+) -> None:
+    """the shared fused encode+write pass: cell assignment + residual
+    subtraction + per-subspace encode over LITERAL quantizers, written
+    with dynamic partition overwrite (idempotent per-segment replay —
+    re-running a failed append repairs seg=<segment> in place), stats
+    sidecar LAST as the segment's commit record."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import assign_clusters
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.retrieval import _dyn_overwrite
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import write_json_meta
+
     assigned = assign_clusters(df, vec_col, id_col, cents)
     cmat = _centroid_array(cents)
     resid = assigned.select(
@@ -462,21 +506,46 @@ def build_ivfpq_index(
         ).alias("res"),
     )
     codes = encode_pq(resid, "res", "id", books, carry=("cell",))
-    (
-        codes.select("id", "code", "cell")
-        .repartition("cell")
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(f"{path}/codes")
+    _dyn_overwrite(
+        codes.select("id", "code", F.lit(segment).alias("seg"), "cell")
+        .repartition("seg", "cell"),
+        f"{path}/codes",
+        ["seg", "cell"],
     )
-    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import write_json_meta
-
-    # meta lands LAST (commit record) as a zero-job JSON sidecar: a
-    # 1-row parquet write here cost a full job's fixed overhead
     write_json_meta(
-        df.sparkSession,
-        f"{path}/meta.json",
-        {"centroids": cents, "codebooks": books},
+        df.sparkSession, f"{path}/stats/seg={segment}.json", {"committed": True}
+    )
+
+
+def append_ivfpq_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    segment: str,
+) -> None:
+    """Append a crawl's vectors to an existing IVF-PQ index under a
+    new segment — FAISS ``add`` semantics: the new vectors are
+    assigned and encoded against the index's EXISTING centroids and
+    codebooks (read from the meta commit record), never retrained, so
+    standing codes stay valid and the append is ONE fused map-only
+    pass over the new batch only. Crash-replay safe like the text and
+    dedup indexes: codes write with dynamic partition overwrite (a
+    replayed append repairs its segment in place) and the stats
+    sidecar lands LAST as the commit record — probes ignore segments
+    whose sidecar is missing. Quantizer drift over many crawls is a
+    REBUILD decision (recall eval on a sample), not an append-time
+    one — exactly the production IVF lifecycle."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_json_meta
+
+    meta = read_json_meta(df.sparkSession, f"{path}/meta.json")
+    if meta is None:
+        raise ValueError(
+            f"no committed IVF-PQ index at {path} (meta.json missing) — "
+            "build_ivfpq_index first"
+        )
+    _write_ivfpq_codes(
+        df, vec_col, id_col, path, meta["centroids"], meta["codebooks"], segment
     )
 
 
@@ -537,8 +606,18 @@ def query_ivfpq_index(
         [(q, c, i + 1) for i, (q, c, _) in enumerate(probes)],
         "query_id int, cell int, li int",
     )
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.retrieval import _segment_stats
+
+    segs = sorted(_segment_stats(spark, path))
+    if not segs:
+        raise ValueError(
+            f"no committed segments at {path} — every build/append "
+            "crashed before its stats sidecar landed; re-run to repair"
+        )
     cells = sorted({c for _, c, _ in probes})
-    codes = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(cells))
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("seg").isin(segs) & F.col("cell").isin(cells)
+    )
     scan = codes.join(F.broadcast(probes_df), "cell")
     dist = F.aggregate(
         F.zip_with(

@@ -1196,3 +1196,85 @@ def test_review_guardrails(spark, tmp_path):
     assert retrieval.query_text_index(spark, path, [(1, "beta")], k=5).count() == 0
     got2 = retrieval.query_text_index(spark, path, [(1, "delta")], k=5)
     assert {r.doc_id for r in got2.collect()} == {3}
+
+
+def test_ivfpq_append_lifecycle(spark, tmp_path):
+    """per-crawl IVF-PQ appends (r6): appended vectors are encoded
+    against the index's EXISTING quantizers (bitwise == a direct
+    encode with the meta), become reachable through the probe, and an
+    uncommitted segment (stats sidecar missing) is invisible until a
+    replayed append repairs it in place with no duplicate codes."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import assign_clusters
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.pq import _centroid_array, encode_pq
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import read_json_meta
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, [float(((i * 31 + j * 7) % 23) - 11) / 3.0 for j in range(8)])
+        for i in range(60)
+    ]
+    base = spark.createDataFrame(rows[:40], "vec_id long, embedding array<float>")
+    crawl = spark.createDataFrame(rows[40:], "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivfpq_index(base, "embedding", "vec_id", path, n_cells=4, m=2, ksub=4)
+    pq.append_ivfpq_index(crawl, "embedding", "vec_id", path, segment="crawl1")
+
+    # appended ids reachable: querying a crawl vector for itself must
+    # surface it, and its ADC distance must equal the rank-1 distance
+    # (coarse codes can TIE with an earlier id — rank-1 *identity* is
+    # not guaranteed under quantization, the distance is)
+    queries = [(i, [float(x) for x in v]) for i, v in rows[40:43]]
+    res = pq.query_ivfpq_index(spark, path, queries, k=25, n_probe=4).collect()
+    got = {(r.query_id, r.rnk): r.corpus_id for r in res}
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, {})[r.corpus_id] = (r.approx_dist, r.rnk)
+    for qid, _ in queries:
+        assert qid in by_q[qid], "appended vector unreachable through the probe"
+        own_dist = by_q[qid][qid][0]
+        top_dist = min(d for d, _ in by_q[qid].values())
+        assert own_dist == top_dist
+
+    # appended codes bitwise == a direct encode with the committed meta
+    meta = read_json_meta(spark, f"{path}/meta.json")
+    cents, books = meta["centroids"], meta["codebooks"]
+    assigned = assign_clusters(crawl, "embedding", "vec_id", cents)
+    cmat = _centroid_array(cents)
+    resid = assigned.select(
+        "id", F.col("cluster").alias("cell"),
+        F.zip_with("vec", F.element_at(cmat, F.col("cluster") + 1), lambda x, c: x - c).alias("res"),
+    )
+    want = {
+        (r.id, r.cell): list(r.code)
+        for r in encode_pq(resid, "res", "id", books, carry=("cell",)).collect()
+    }
+    stored = {
+        (r.id, r.cell): list(r.code)
+        for r in spark.read.parquet(f"{path}/codes")
+        .filter(F.col("seg") == "crawl1")
+        .collect()
+    }
+    assert stored == want
+
+    # crash-replay: kill crawl1's commit record -> probe ignores it
+    import os
+    os.remove(f"{path}/stats/seg=crawl1.json")
+    got2 = {
+        r.corpus_id
+        for r in pq.query_ivfpq_index(spark, path, queries, k=3, n_probe=4).collect()
+    }
+    assert not ({i for i, _ in rows[40:]} & got2), "uncommitted segment leaked"
+    # replayed append repairs in place, no duplicates
+    pq.append_ivfpq_index(crawl, "embedding", "vec_id", path, segment="crawl1")
+    n = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("seg") == "crawl1")
+        .count()
+    )
+    assert n == 20
+    got3 = {
+        (r.query_id, r.rnk): r.corpus_id
+        for r in pq.query_ivfpq_index(spark, path, queries, k=25, n_probe=4).collect()
+    }
+    assert got3 == got
