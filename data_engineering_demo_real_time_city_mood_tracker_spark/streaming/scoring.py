@@ -152,3 +152,62 @@ def contamination_filter_stream(stream_docs: DataFrame,
         stream_docs.select(F.col(id_col).alias("doc_id"), ov.alias("n_overlap"))
         .filter(F.col("n_overlap") <= max_overlap)
     )
+
+
+def char_gini_cols(text_col: str):
+    """the char_gini_quality columns as STATELESS per-row expressions —
+    usable identically in a batch projection or a streaming select.
+
+    The batch query counts characters with a (doc, char)-keyed shuffle
+    aggregation; a stream cannot shuffle-agg statelessly, so this
+    reformulates the same integers as one row-local fold: sort the
+    char array, fold run-lengths, accumulate run*run into ss. Integer
+    run counts are exactly the batch (doc, char) counts, so n_chars /
+    gini_num / gini_den / is_low_diversity are BITWISE the batch
+    columns (parity test) — the junk gate can run at ingest with no
+    state and no watermark."""
+    chars = F.array_sort(F.split(F.col(text_col), ""))
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        # two-char sentinel: can never equal a single split() char
+        F.lit("__init").alias("prev"),
+        zero.alias("run"),
+        zero.alias("ss"),
+    )
+    folded = F.aggregate(
+        chars,
+        acc0,
+        lambda a, c: F.struct(
+            c.alias("prev"),
+            F.when(c == a["prev"], a["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(c == a["prev"], a["ss"])
+            .otherwise(a["ss"] + a["run"] * a["run"])
+            .alias("ss"),
+        ),
+        lambda a: a["ss"] + a["run"] * a["run"],
+    )
+    nonempty = F.coalesce(F.length(F.col(text_col)) >= 1, F.lit(False))
+    n = F.when(nonempty, F.size(chars).cast("long")).otherwise(zero)
+    ss = F.when(nonempty, folded).otherwise(zero)
+    return [
+        n.alias("n_chars"),
+        (n * n - ss).alias("gini_num"),
+        (n * n).alias("gini_den"),
+        # empty/NULL docs: no diversity evidence -> flagged (== batch)
+        F.when(nonempty, 2 * (n * n - ss) < n * n)
+        .otherwise(F.lit(True))
+        .alias("is_low_diversity"),
+    ]
+
+
+def char_gini_stream(stream_docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_chars, gini_num, gini_den, is_low_diversity) over a
+    document stream — the char_gini_quality junk gate at ingest:
+    map-only, append mode, exactly-once per input row, BITWISE the
+    batch query's columns."""
+    return stream_docs.select(
+        F.col(id_col).alias("doc_id"), *char_gini_cols(text_col)
+    )

@@ -1822,3 +1822,34 @@ def test_cusum_alert_stream_matches_batch_identity(spark, sf_dir, tmp_path):
     assert got == expected
     # alert flag is exactly the threshold comparison on the statistic
     assert all(r.is_alert == (r.cusum >= h) for r in rows)
+
+
+def test_char_gini_stream_matches_batch_bitwise(spark, sf_dir, tmp_path):
+    """The streaming junk gate's row-local sorted-run fold must emit
+    BITWISE the batch char_gini_quality columns for every document
+    (integer run counts == the batch (doc, char) shuffle counts)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.scoring import char_gini_stream
+
+    batch = {
+        r.doc_id: (r.n_chars, r.gini_num, r.gini_den, r.is_low_diversity)
+        for r in QUERIES["char_gini_quality"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    d = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    q = (
+        char_gini_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cgini_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_chars, r.gini_num, r.gini_den, r.is_low_diversity)
+        for r in spark.sql("SELECT * FROM cgini_stream").collect()
+    }
+    assert got == batch
