@@ -45,7 +45,8 @@ _FRONT = [
     # (mixture_sample, temperature_sample, stratified_kfold,
     # doc_chunking, stopword_removal, ngram_freq, token_count, and —
     # yielded to the five late-r6 queries below — doc_fingerprint,
-    # lang_id, text_quality, sequence_packing, repetition_ratio) ---
+    # lang_id, text_quality, sequence_packing, repetition_ratio,
+    # pii_redaction) ---
     "embedding_ann_lsh",
     "embedding_topk",
     "hybrid_search",
@@ -70,7 +71,6 @@ _FRONT = [
     "dedup_report",
     "edit_distance_pairs",
     "minhash_estimate_accuracy",
-    "pii_redaction",
     "reaggregate_monthly",
     "repeated_ngram_spans",
     "simhash_portable",
@@ -101,6 +101,7 @@ _FRONT = [
     "ngram_novelty",
     "k_anonymity",
     "fk_integrity_audit",
+    "clustering_coefficient",
 ]
 
 

@@ -5169,6 +5169,81 @@ def q_triangle_count(spark, sf_dir):
     return graph_ops.triangle_counts(edges)
 
 
+@register(
+    "clustering_coefficient",
+    """WITH g0 AS (
+  SELECT DISTINCT user_id AS id, event_type, date_trunc('minute', ts) AS m
+  FROM events
+),
+g AS (
+  SELECT id, event_type, m FROM g0
+  QUALIFY COUNT(*) OVER (PARTITION BY event_type, m) <= 32
+),
+e0 AS (
+  SELECT DISTINCT a.id AS u, b.id AS v
+  FROM g a JOIN g b ON a.event_type = b.event_type AND a.m = b.m
+                   AND a.id < b.id
+),
+deg AS (
+  SELECT id, COUNT(*) AS d
+  FROM (SELECT u AS id FROM e0 UNION ALL SELECT v AS id FROM e0)
+  GROUP BY id
+),
+dir AS (
+  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst,
+         CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS ddeg
+  FROM e0 JOIN deg du ON u = du.id JOIN deg dv ON v = dv.id
+),
+tri AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM dir e1
+  JOIN dir e2 ON e1.src = e2.src
+             AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
+  JOIN dir e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+tcnt AS (
+  SELECT id, COUNT(*) AS n_tri
+  FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY id
+)
+SELECT deg.id, CAST(2 * COALESCE(t.n_tri, 0) AS BIGINT) AS cc_num,
+       CAST(deg.d * (deg.d - 1) AS BIGINT) AS cc_den
+FROM deg LEFT JOIN tcnt t USING (id)
+WHERE deg.d >= 2""",
+)
+def q_clustering_coefficient(spark, sf_dir):
+    """per-vertex LOCAL CLUSTERING COEFFICIENT on the co-activity
+    graph — the community-density measure proper (Watts & Strogatz
+    1998): the fraction of a vertex's neighbor pairs that are
+    themselves connected, 2·triangles(v) / (d(v)·(d(v)−1)). Emitted as
+    an EXACT BIGINT rational (cc_num / cc_den) so the gate never
+    touches a float division; vertices with d < 2 have no defined
+    coefficient and are excluded identically in both engines. Reuses
+    the degree-ordered triangle enumeration (O(m^{3/2}) wedges) plus
+    one vertex-keyed degree agg and a left join — no new scale
+    hazards beyond triangle_count's documented max_group cap."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+
+    edges = _coactivity_edges(spark, sf_dir)
+    tri = graph_ops.triangle_counts(edges)
+    deg = (
+        edges.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            (2 * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("long").alias("cc_num"),
+            (F.col("d") * (F.col("d") - 1)).cast("long").alias("cc_den"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # OLAP additions: Q12/Q13/Q17 shapes
 

@@ -90,7 +90,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
         #   which sf0.001 has ZERO (measured; sf0.01 has 6).
         sparse_at_toy_sf = {
             "triangle_count", "label_propagation", "pagerank_portable",
-            "kcore_portable", "important_parts",
+            "kcore_portable", "important_parts", "clustering_coefficient",
         }
         assert name in sparse_at_toy_sf and sf_dir.rstrip("/").endswith(
             "sf0.001"
