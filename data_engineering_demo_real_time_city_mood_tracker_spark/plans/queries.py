@@ -9141,11 +9141,29 @@ def q_ngram_novelty(spark, sf_dir):
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup._toked(docs, "text", "doc_id").select(
-        "id",
-        F.explode(
-            F.array_distinct(shingles_from_tokens(F.col("_toks"), 5))
-        ).alias("gram"),
+    # ONE tokenize+shingle pass for both consumers (the MIN agg and
+    # the join-back) via a reclaimable checkpoint. Exchange reuse was
+    # measured and rejected here: it fires on the inner join alone
+    # (deterministic doc_id-hash spread + an explicit gram-keyed
+    # repartition) but the outer doc-base left join breaks the AQE
+    # canonical match and silently restores the double tokenize — the
+    # checkpoint guarantees single materialization regardless of
+    # planner mood (plan-asserted: consumers scan the materialized
+    # rows, no Generate in the executed plan).
+    p_spread = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(p_spread, "doc_id")
+        .select(
+            F.col("doc_id").alias("id"),
+            T.tokens(F.col("text")).alias("_toks"),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("_toks"), 5))
+            ).alias("gram"),
+        )
+        .localCheckpoint(eager=False)
     )
     fst = sh.groupBy("gram").agg(F.min("id").alias("first_id"))
     per = (

@@ -475,3 +475,36 @@ def test_exact_substring_dedup_single_generate(spark, sf_dir):
     assert "tok#" not in plan and "tpos#" not in plan, (
         "reassembly is exploding corpus tokens again"
     )
+
+
+def test_fk_audit_broadcasts_dimension_probes(spark, sf_dir):
+    """fk_integrity_audit: every dimension-parent probe must be a
+    broadcast join (a shuffled join against a 5-row nation table would
+    be the classic anti-pattern); no fact-side cartesian anywhere."""
+    plan = plan_of(QUERIES["fk_integrity_audit"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan.count("BroadcastHashJoin")
+
+
+def test_k_anonymity_is_one_quasi_key_shuffle(spark, sf_dir):
+    """k_anonymity: one hash aggregate over the quasi-key with a
+    map-side partial (no window sort over the customer table), then a
+    group-size-bounded rollup."""
+    plan = plan_of(QUERIES["k_anonymity"](spark, sf_dir))
+    assert "Window" not in plan and "Sort" not in plan.split("AdaptiveSparkPlan")[0]
+    assert plan.count("HashAggregate") >= 4  # two aggs x partial+final
+
+
+def test_ngram_novelty_single_tokenize(spark, sf_dir):
+    """ngram_novelty: the corpus is tokenized ONCE — the gram frame is
+    a checkpoint, so both consumers (MIN agg + join-back) scan the
+    materialized rows; no tokenize/shingle Generate may appear in the
+    final plan. (Exchange reuse was measured and rejected: the outer
+    doc-base left join breaks the AQE canonical match — see the query
+    comment.)"""
+    df = QUERIES["ngram_novelty"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, "gram frame re-derived - double tokenize"
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
