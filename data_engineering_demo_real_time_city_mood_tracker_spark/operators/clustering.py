@@ -764,6 +764,18 @@ def mmr_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8):
 
     from pyspark.sql import Observation
 
+    if k > _LITERAL_K_MAX:
+        # Loud failure, not silent degradation (r6 ADVICE): past the
+        # codegen budget the per-round greatest() over k literal dot
+        # folds grows O(k*dim) and falls out of whole-stage codegen.
+        # The scale path is kcenter_select's incremental running-max
+        # strategy; nothing oracle-backed needs k > _LITERAL_K_MAX.
+        raise ValueError(
+            f"mmr_select: k={k} exceeds _LITERAL_K_MAX="
+            f"{_LITERAL_K_MAX}; the literal score tree would leave the "
+            "codegen budget — use kcenter_select's incremental "
+            "running-max-sim strategy for large k"
+        )
     spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("id"), _kc_qvec(vec_col).alias("q")

@@ -207,6 +207,7 @@ def pagerank(
     damping: float = 0.85,
     dangling_free: bool = False,
     converge_quantum: float | None = None,
+    assert_dangling_free: bool = False,
 ) -> DataFrame:
     """(id, rank) PageRank over a DIRECTED edge list (symmetrize first
     for undirected graphs). The standard power iteration as the
@@ -226,9 +227,16 @@ def pagerank(
     aggregation + broadcast entirely; the result is bitwise identical
     when the promise holds (dangling mass is exactly 0.0, and
     ``inflow + 0.0`` / ``0.0 / n`` are IEEE identities on the
-    positive inflows) and WRONG when it doesn't — there is no cheap
-    runtime check, so only pass it for graphs whose construction
-    guarantees out-degree ≥ 1. The promise also makes the vertex set
+    positive inflows) and WRONG when it doesn't — and since the
+    vertex set becomes exactly the out-degree keys, a violating graph
+    does not produce wrong ranks for its sinks, it DROPS them from the
+    output entirely (missing-row, not wrong-value). Only pass it for
+    graphs whose construction guarantees out-degree ≥ 1, or pair it
+    with ``assert_dangling_free=True`` (r6 ADVICE): one up-front
+    anti-join count of dst-only vertices, raising with the
+    would-be-dropped count if the promise is violated — cheap (one
+    edge-sized job before the rounds start) but not free, so it stays
+    opt-in. The promise also makes the vertex set
     exactly the out-degree keys (no union+distinct over both edge
     ends) and lets each round pre-divide against the PREJOINED
     (src, dst, outdeg) frame — one edge join per round instead of two
@@ -250,6 +258,29 @@ def pagerank(
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     if dangling_free:
+        if assert_dangling_free:
+            # dst-only vertices are exactly the rows dangling_free
+            # would silently drop — count them once, loudly
+            dropped = (
+                e.select(F.col("dst").alias("id"))
+                .distinct()
+                .join(
+                    outdeg.select(F.col("src").alias("id")),
+                    "id",
+                    "left_anti",
+                )
+                .count()
+            )
+            if dropped:
+                for fr in (outdeg, e):
+                    fr.unpersist()
+                raise ValueError(
+                    "pagerank: dangling_free=True but the graph has "
+                    f"{dropped} sink vertex(es) with no out-edges — "
+                    "they would be dropped from the output entirely; "
+                    "symmetrize the graph or run with "
+                    "dangling_free=False"
+                )
         # out-degree >= 1 everywhere => the vertex set IS the
         # out-degree keys; skip the union+distinct over both ends
         verts = outdeg.select(F.col("src").alias("id")).persist()

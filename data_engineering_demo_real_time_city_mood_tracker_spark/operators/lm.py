@@ -585,8 +585,16 @@ def grad_match_select(docs: DataFrame, is_positive, is_val, k: int = 20,
         + abs(kc) + scale + abs(ybar)
     )
     fbound = (n * amax + abs(cc)) // (1 << s_shift) + 1
+    # `div` truncates toward zero; the +off*2^s_shift offset makes
+    # every numerator nonnegative (truncate == floor) ONLY while
+    # n*amax + |cc| <= off*2^s_shift — enforce that precondition
+    # explicitly (r6 ADVICE), not just the raw int64 headroom: in the
+    # window (off*2^s_shift, i64 - off*2^s_shift) nothing wraps but
+    # negative numerators would truncate instead of floor and silently
+    # diverge from the oracle's `//`.
     if (
         abs(cc) > i64
+        or n * amax + abs(cc) > off * (1 << s_shift)
         or n * amax + abs(cc) + off * (1 << s_shift) > i64
         or rbound * fbound > i64
     ):

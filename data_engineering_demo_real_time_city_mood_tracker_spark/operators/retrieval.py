@@ -59,6 +59,16 @@ def bm25_rank(
     fold in sorted term order so the double sum is partition-order
     independent and bitwise equal to the DuckDB oracle's
     ``list_reduce(list(s ORDER BY term))``.
+
+    .. note:: **release=True (the default) EXECUTES the query at call
+       time.** The bounded top-k result is eagerly checkpointed so the
+       postings cache can be released immediately (no CacheManager
+       leak across calls); the returned frame is therefore already
+       materialized and its lineage is truncated at a LogicalRDD —
+       ``.explain()`` will not show the postings plan, and further
+       composition happens on the k·|queries|-row result, not on a
+       lazy plan. Pass ``release=False`` to get the classic lazy frame
+       (full plan visible, caller owns the ``tf.unpersist()``).
     """
     spark = tf.sparkSession
     # persist + release_after (NOT a lazy checkpoint): tf feeds the df
