@@ -193,6 +193,40 @@ def test_pagerank_convergence_detection_stops_at_stationarity(spark):
     assert knob == plain
 
 
+def test_pagerank_assert_dangling_free_guard(spark):
+    """assert_dangling_free (r6 ADVICE): on a graph violating the
+    out-degree>=1 promise it must raise loudly with the would-be-
+    dropped sink count instead of silently dropping rows; on a clean
+    graph the assertion run must be bitwise identical to the
+    unasserted one."""
+    import pytest
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import pagerank
+
+    # star: leaves 1..4 -> 0, and 0 has NO out-edges (a sink).
+    # Without the assertion, dangling_free=True would DROP vertex 0.
+    star = spark.createDataFrame([(i, 0) for i in range(1, 5)], "src long, dst long")
+    silent = {r.id: r.rank for r in pagerank(
+        star, iterations=3, dangling_free=True
+    ).collect()}
+    assert 0 not in silent  # the documented missing-row failure mode
+    with pytest.raises(ValueError, match=r"1 sink vertex"):
+        pagerank(star, iterations=3, dangling_free=True,
+                 assert_dangling_free=True)
+
+    # clean ring: assertion passes and changes nothing, bitwise
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    plain = {r.id: r.rank for r in pagerank(
+        ring, iterations=5, dangling_free=True
+    ).collect()}
+    checked = {r.id: r.rank for r in pagerank(
+        ring, iterations=5, dangling_free=True, assert_dangling_free=True
+    ).collect()}
+    assert checked == plain
+
+
 def test_containment_catches_asymmetric_duplication(spark):
     """a short doc quoted wholesale inside a long one scores
     containment 1.0 while its Jaccard is far below any useful
@@ -1141,6 +1175,50 @@ def test_mmr_select_diversity_and_rank1(spark):
     # diverse point (4), not the next cluster near-copy
     assert picked[0] in (1, 2, 3)
     assert picked[1] == 4, picked
+
+
+def test_mmr_select_k_over_literal_max_raises(spark):
+    """mmr_select past _LITERAL_K_MAX (r6 ADVICE): the literal score
+    tree would leave the codegen budget, so the call must fail loudly
+    instead of silently degrading — and at exactly the cap it must
+    still run."""
+    import pytest
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
+        _LITERAL_K_MAX,
+        mmr_select,
+    )
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="_LITERAL_K_MAX"):
+        mmr_select(df, "embedding", "vec_id", k=_LITERAL_K_MAX + 1)
+    # at the cap (clamped by the 6-row frame) the operator still runs
+    out = mmr_select(df, "embedding", "vec_id", k=3).collect()
+    assert [r.sel_rank for r in out] == [1, 2, 3]
+
+
+def test_grad_match_floor_precondition_guard(spark, sf_dir):
+    """grad_match_select (r6 ADVICE): the offset-shift floor trick is
+    only valid while n*amax + |cc| <= off*2^s_shift; shift settings
+    that enter the truncate!=floor window must raise the loud headroom
+    error, not silently diverge from the oracle's `//`. Defaults on
+    the same corpus stay well inside the precondition."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.lm import grad_match_select
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos, val = F.col("lang") == "en", F.col("doc_id") % 7 == 0
+    # g_shift=0 inflates max|g| ~2^20x: n*amax+|cc| lands far above
+    # off*2^s_shift yet far below i64 — the truncate!=floor window the
+    # new precondition exists for (raw-overflow checks alone pass)
+    with pytest.raises(ValueError, match="headroom exceeded"):
+        grad_match_select(docs, pos, val, k=5, s_shift=0, g_shift=0)
+    # defaults: runs clean on the identical corpus
+    assert grad_match_select(docs, pos, val, k=5).count() == 5
 
 
 def test_char_gini_flags_degenerate_docs(spark):
