@@ -30,78 +30,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # purpose; ~50 slots rotate each round (VERDICT r4 item 5: re-grade
 # the stalest cohort).
 _FRONT = [
-    # --- r6 stale-cohort rotation (VERDICT r5 item 1): the six rows
-    # not driver-graded since ROUND 1 ---
-    "event_type_pivot",
-    "window_distribution",
-    "distinct_counts",
-    "approx_distinct_hll",
-    "moving_avg_range",
-    "ts_pattern_topk",
-    # --- r2-era cohort (not re-graded since round 2): 33 of the 47.
-    # The six whose physical plans ALSO changed this round (the
-    # per-vector norm hoist) lead; the twelve left for r7 are the
-    # lowest-risk map-only deterministic samplers/counters/hashers
-    # (mixture_sample, temperature_sample, stratified_kfold,
-    # doc_chunking, stopword_removal, ngram_freq, token_count, and —
-    # yielded to the five late-r6 queries below — doc_fingerprint,
-    # lang_id, text_quality, sequence_packing, repetition_ratio,
-    # pii_redaction) ---
-    "embedding_ann_lsh",
-    "embedding_topk",
-    "hybrid_search",
-    "rrf_fusion",
-    "dedup_embedding",
-    "knn_classify",
-    "balanced_sample",
-    "bloom_dedup",
-    "bm25_topk",
-    "connected_components_star",
-    "contamination_check",
-    "corpus_prep_pipeline",
-    "corpus_stats",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_index_probe",
-    "dedup_minhash_pairs",
-    "dedup_ngram_topk",
-    "dedup_prefix_filter",
-    "dedup_report",
-    "edit_distance_pairs",
-    "minhash_estimate_accuracy",
-    "reaggregate_monthly",
-    "repeated_ngram_spans",
-    "simhash_portable",
-    "tfidf_topk",
-    "token_df_stats",
-    "train_test_split",
-    "triangle_count",
-    "word_cooccurrence",
-    # --- r6 oracle-changed guards: the probe-training CTE chain
-    # gained sentinel rows (empty-doc boundary closure) — the driver
-    # row is the proof the oracle rewrite is still exact ---
-    "quality_classifier",
-    "grad_match_select",
-    # --- new r6 queries (first driver rows). Two r2-era rows yielded
-    # their slots to keep the 50-cap: minhash_signatures (its sig
-    # pipeline is fully contained in dedup_minhash_pairs's graded
-    # path) and cluster_representatives (rides dedup_clusters) ---
-    "citymood_source_agg",
-    "cross_dedup_fuzzy",
-    "rolling_active_users",
-    "cusum_alerts",
-    # --- late-r6 queries (first driver rows): MMR diverse reranking,
-    # the log-free char-diversity junk filter, per-doc marginal
-    # novelty, and the two governance gates (k-anonymity distribution,
-    # FK referential-integrity audit) ---
-    "mmr_select",
-    "char_gini_quality",
-    "ngram_novelty",
-    "k_anonymity",
-    "fk_integrity_audit",
-    "clustering_coefficient",
+    # --- new r7 queries (first driver rows): the privacy twin,
+    # Benford digit conformance, lagged autocorrelation, burst
+    # intervals, integer STL decomposition, common-neighbor link
+    # prediction, and RAKE keyword extraction ---
+    "l_diversity",
+    "benford_quality",
+    "acf_lag",
+    "burst_detection",
+    "stl_decompose",
+    "linkpred_topk",
+    "keyword_rake",
+    "wilson_ranking",
+    "zipf_profile",
+    "feature_binning",
+    # --- stale-cohort rotation (VERDICT r4 item 5 discipline): the
+    # fifteen rows not driver-graded since ROUND 2 ---
+    "cluster_representatives",
+    "doc_chunking",
+    "doc_fingerprint",
+    "lang_id",
+    "minhash_signatures",
+    "mixture_sample",
+    "ngram_freq",
+    "pii_redaction",
+    "repetition_ratio",
+    "sequence_packing",
+    "stopword_removal",
+    "stratified_kfold",
+    "temperature_sample",
+    "text_quality",
+    "token_count",
+    # --- 25 of the 39 rows last graded in ROUND 3 (oracle-backed
+    # ones only — rows-only pagerank_topk / binary_ingest and the
+    # window/rollup family (shard_export, snapshot_time_travel,
+    # data_quality_report, gap_fill_minutes, robust_outliers,
+    # multi_res_rollup, paned_sliding_window, session_window_native,
+    # dedup_embedding_banded, and — yielded to the late-r7 trio —
+    # ewma_minutes, seasonal_baseline, negative_sampling) wait for
+    # the r8 rotation so every r7 gate slot lands a hard hash_match
+    # row ---
+    "association_rules",
+    "bpe_merges",
+    "cdc_apply",
+    "cohort_retention",
+    "conversion_lag",
+    "customer_order_distribution",
+    "distribution_drift",
+    "dominant_part_suppliers",
+    "embedding_outlier_score",
+    "funnel_analysis",
+    "hard_negative_mining",
+    "heavy_hitters_cms",
+    "hll_portable_rollup",
+    "important_parts",
+    "join_key_skew_profile",
+    "kcore_portable",
+    "label_propagation",
+    "late_sole_suppliers",
+    "multimodal_meta",
+    "nation_market_share",
+    "nation_trade_volume",
+    "returned_revenue_customers",
+    "revenue_concentration",
+    "small_qty_revenue",
+    "supplier_part_variety",
 ]
 
 

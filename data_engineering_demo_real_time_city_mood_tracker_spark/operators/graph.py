@@ -750,3 +750,75 @@ def k_core_rounds(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+def common_neighbor_link_prediction(
+    edges: DataFrame,
+    k: int = 100,
+    max_center_degree: int | None = 256,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """(id_a, id_b, cn, union_deg, jaccard) — top-k NON-adjacent vertex
+    pairs most likely to become edges, scored by neighborhood overlap
+    (Liben-Nowell & Kleinberg 2003's link-prediction baselines): cn =
+    |N(u)∩N(v)| via wedge enumeration, ranked by the Jaccard variant
+    cn / (d(u)+d(v)−cn) whose numerator and denominator stay EXACT
+    BIGINTs — the emitted jaccard is one IEEE division of those ints,
+    bitwise equal in any engine, and the (jaccard DESC, id_a, id_b)
+    order is total so the top-k boundary is deterministic.
+
+    Scale shape: candidate pairs come only from shared neighbors
+    (never a vertex cross-join), so the cost is Σ_w d(w)² over wedge
+    centers. ``max_center_degree`` excludes superhub centers from
+    enumeration — the standard LP guard: a 10⁵-degree hub contributes
+    10¹⁰ wedges yet its common-neighbor evidence is the weakest
+    (Adamic-Adar's 1/log(d) discount exists for exactly this reason).
+    Excluded centers still keep their own edges and degrees; only
+    their WEDGES are skipped. One shuffle keyed on the center, one on
+    the candidate pair, one anti-join against the edge list, then a
+    k-bounded TakeOrdered — no driver loop.
+    """
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import release_after
+
+    # the edge plan feeds sym (×2), the wedge self-join (×2), the
+    # anti-join, and both degree lookups — persist it once instead of
+    # re-running the co-occurrence builder's distinct+self-join ~7×;
+    # the k-bounded result is checkpointed and the cache released on
+    # return (CacheManager discipline)
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).persist()
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).select(
+        F.col("u").alias("w"), F.col("v").alias("x")
+    )
+    deg = sym.groupBy("w").agg(F.count(F.lit(1)).alias("d")).persist()
+    centers = sym
+    if max_center_degree is not None:
+        small = deg.filter(F.col("d") <= max_center_degree).select("w")
+        centers = sym.join(small, "w", "left_semi")
+    a, b = centers.alias("a"), centers.alias("b")
+    cand = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.x") < F.col("b.x")))
+        .groupBy(F.col("a.x").alias("u"), F.col("b.x").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonadj = cand.join(e, ["u", "v"], "left_anti")
+    du = deg.select(F.col("w").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("w").alias("v"), F.col("d").alias("dv"))
+    scored = (
+        nonadj.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("id_a"),
+            F.col("v").alias("id_b"),
+            F.col("cn").cast("long").alias("cn"),
+            (F.col("du") + F.col("dv") - F.col("cn")).cast("long").alias("union_deg"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    out = scored.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(k)
+    return release_after(out, e, deg)

@@ -9317,3 +9317,849 @@ def q_fk_integrity_audit(spark, sf_dir):
     for e in edges[1:]:
         out = out.unionAll(e)
     return out
+
+
+# --------------------------------------------------------------------------
+# r7 additions: privacy twin, statistical data-quality, temporal statistics
+
+
+@register(
+    "l_diversity",
+    """WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS l,
+         COUNT(*) AS gsize
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(l AS BIGINT) AS l_value,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(gsize) AS BIGINT) AS n_rows,
+       l < 3 AS below_l3
+FROM g GROUP BY l""",
+)
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit — k_anonymity's sibling gate (Machanavajjhala
+    et al. 2007): a quasi-identifier group can be large (k-anonymous)
+    yet still leak if every member shares the SAME sensitive value, so
+    the gate counts DISTINCT sensitive values per group. Quasi key =
+    (nation, market segment); sensitive attribute = the account-balance
+    bucket (FLOOR(bal/1000) — exact on doubles, the k_anonymity
+    bucketing). Emits the l-DISTRIBUTION (l → #groups, #rows, below-l
+    flag at l=3), never the groups themselves — like k_anonymity, the
+    report ships even when the table can't. One quasi-key shuffle with
+    a distinct-agg (Spark plans partial distinct map-side), then a
+    bounded rollup over the distinct l values."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("sens"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.countDistinct("sens").alias("l"),
+            F.count(F.lit(1)).alias("gsize"),
+        )
+    )
+    return g.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("gsize").cast("long").alias("n_rows"),
+    ).select(
+        F.col("l").cast("long").alias("l_value"),
+        "n_groups",
+        "n_rows",
+        (F.col("l") < 3).alias("below_l3"),
+    )
+
+
+# Benford first-digit expectation log10(1+1/d) in exact parts-per-
+# million; the nine constants sum to exactly 1_000_000 so the expected
+# side is closed under the same ppm arithmetic as the observed side.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register(
+    "benford_quality",
+    f"""WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (SELECT digit, COUNT(*) AS n_obs FROM c GROUP BY digit),
+bexp AS (
+  SELECT * FROM (VALUES {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))})
+         AS t(digit, exp_ppm)
+)
+SELECT CAST(digit AS BIGINT) AS digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(1000000 * n_obs // n AS BIGINT) AS freq_ppm,
+       CAST(exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(1000000 * n_obs // n - exp_ppm AS BIGINT) AS dev_ppm,
+       CAST((1000000 * n_obs // n - exp_ppm)
+            * (1000000 * n_obs // n - exp_ppm)
+            // exp_ppm AS BIGINT) AS chi2_ppm
+FROM (
+  SELECT bexp.digit, exp_ppm, COALESCE(n_obs, 0) AS n_obs,
+         SUM(COALESCE(n_obs, 0)) OVER () AS n
+  FROM bexp LEFT JOIN obs ON bexp.digit = obs.digit
+) j""",
+)
+def q_benford_quality(spark, sf_dir):
+    """Benford first-digit conformance test on order totals — the
+    fraud/synthetic-data smell test an ingest pipeline runs on any
+    money column (Benford 1938; Nigrini's audit practice): natural
+    multiplicative amounts put ~30.1% of first digits at 1, and a
+    flat or spiky digit histogram flags fabricated rows. Entirely
+    integer and hash-gated: amounts become exact cents (round half-up
+    on a double is deterministic), the first digit is the first char
+    of the INTEGER's decimal rendering (no float log10 whose last ulp
+    could flip a digit near powers of ten), observed frequency is
+    floor-ppm, and the chi-square statistic is emitted per digit in
+    ppm against log10(1+1/d) constants that sum to exactly 1e6. ONE
+    scan (the digit histogram partitions the positive rows, so the
+    denominator is a window-sum of the 9 counts — no second pass) +
+    one 9-group agg + a 9-row spine join: linear at any scale, output
+    always exactly 9 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    obs = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    # JVM-side spine (spark.range + literal CASE), not createDataFrame:
+    # a 9-row Python ExistingRDD scan costs a driver round-trip that
+    # dwarfs the actual query at bench SF
+    exp_case = F.coalesce(
+        *[
+            F.when(F.col("digit") == d, F.lit(p))
+            for d, p in sorted(_BENFORD_PPM.items())
+        ]
+    )
+    spine = spark.range(1, 10).select(
+        F.col("id").alias("digit"), exp_case.alias("exp_ppm")
+    )
+    # the digit histogram PARTITIONS the positive rows (every positive
+    # cent amount has a first digit 1-9), so the denominator is just
+    # the window-sum of the 9 observed counts — no second orders scan
+    n_total = F.sum(F.coalesce(F.col("n_obs"), F.lit(0))).over(
+        Window.partitionBy()
+    )
+    # integer `div` throughout: every numerator is nonnegative, so
+    # Spark's truncation == the oracle's floor `//` with no offset trick
+    freq_ppm = F.expr("(1000000 * coalesce(n_obs, 0)) div n")
+    dev = freq_ppm - F.col("exp_ppm")
+    return (
+        spine.join(obs, "digit", "left")
+        .withColumn("n", n_total)
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            freq_ppm.cast("long").alias("freq_ppm"),
+            F.col("exp_ppm").cast("long").alias("exp_ppm"),
+            dev.cast("long").alias("dev_ppm"),
+        )
+        .withColumn(
+            "chi2_ppm", F.expr("(dev_ppm * dev_ppm) div exp_ppm").cast("long")
+        )
+    )
+
+
+@register(
+    "acf_lag",
+    """WITH m AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(minute) AS lo, MAX(minute) AS hi FROM m GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+  FROM span
+),
+dense AS (
+  SELECT g.event_type, g.minute, COALESCE(m.x, 0) AS x
+  FROM grid g LEFT JOIN m ON g.event_type = m.event_type AND g.minute = m.minute
+),
+led AS (
+  SELECT event_type, x,
+         LEAD(x, 1) OVER w AS b1, LEAD(x, 2) OVER w AS b2, LEAD(x, 3) OVER w AS b3
+  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY minute)
+),
+pairs AS (
+  SELECT event_type, 1 AS lag, x, b1 AS b FROM led WHERE b1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2, x, b2 FROM led WHERE b2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3, x, b3 FROM led WHERE b3 IS NOT NULL
+),
+s AS (
+  SELECT event_type, lag, COUNT(*) AS n_pairs,
+         SUM(x) AS sa, SUM(b) AS sb,
+         SUM(x * x) AS saa, SUM(b * b) AS sbb, SUM(x * b) AS sab
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb,
+       CAST(saa AS BIGINT) AS saa, CAST(sbb AS BIGINT) AS sbb,
+       CAST(sab AS BIGINT) AS sab,
+       CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                 * (CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+                    - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+            THEN (CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / sqrt((CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        * (CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+            ELSE NULL END AS acf
+FROM s""",
+)
+def q_acf_lag(spark, sf_dir):
+    """sample autocorrelation of the per-minute event-count series at
+    lags 1-3 per event type — the temporal-statistics primitive behind
+    seasonality detection and anomaly-model selection (Box & Jenkins):
+    acf(l) is the Pearson correlation of the zero-gap-filled minute
+    series against itself shifted by l TRUE minutes (the dense grid
+    makes the lag a time lag, not an observed-row lag — the
+    gap_fill_minutes companion semantics). Hash-gated via sufficient
+    statistics: the exact BIGINT power sums (n, Σa, Σb, Σa², Σb², Σab)
+    ride one shuffle, and the correlation itself is ONE fixed
+    float expression tree over those integers (single IEEE ops +
+    correctly-rounded sqrt — bitwise equal in both engines; the repo's
+    corpus_stats power-sum idea extended to two series). Scale shape:
+    one (type, minute) pre-agg shrinks the fact table to minutes
+    BEFORE the window pass, the 3 leads ride ONE sort per type
+    partition, and the grid explode is bounded by the time span, not
+    the row count. Constant series yield NULL acf identically in both
+    engines (guarded, no div-by-zero)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    span = m.groupBy("event_type").agg(
+        F.min("minute").alias("lo"), F.max("minute").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("minute"),
+    )
+    dense = grid.join(m, ["event_type", "minute"], "left").select(
+        "event_type", "minute", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("minute")
+    led = dense.select(
+        "event_type",
+        "x",
+        *[F.lead("x", lag).over(w).alias(f"b{lag}") for lag in (1, 2, 3)],
+    )
+    # per-lag sufficient statistics as CONDITIONAL aggs over the led
+    # frame, then a 5-row stack — not an explode: tripling the minute
+    # rows just to group them back into 15 rows would shuffle 3× the
+    # grid for nothing (measured ~1 s at bench SF)
+    def lag_aggs(lag: int):
+        b = F.col(f"b{lag}")
+        on = b.isNotNull()
+        return [
+            F.count(b).alias(f"n_pairs_{lag}"),
+            F.sum(F.when(on, F.col("x"))).alias(f"sa_{lag}"),
+            F.sum(b).alias(f"sb_{lag}"),
+            F.sum(F.when(on, F.col("x") * F.col("x"))).alias(f"saa_{lag}"),
+            F.sum(b * b).alias(f"sbb_{lag}"),
+            F.sum(F.col("x") * b).alias(f"sab_{lag}"),
+        ]
+
+    wide = led.groupBy("event_type").agg(
+        *[a for lag in (1, 2, 3) for a in lag_aggs(lag)]
+    )
+    s = wide.select(
+        "event_type",
+        F.expr(
+            "stack(3, "
+            + ", ".join(
+                f"{lag}L, n_pairs_{lag}, sa_{lag}, sb_{lag}, "
+                f"saa_{lag}, sbb_{lag}, sab_{lag}"
+                for lag in (1, 2, 3)
+            )
+            + ") AS (lag, n_pairs, sa, sb, saa, sbb, sab)"
+        ),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var_a = d("n_pairs") * d("saa") - d("sa") * d("sa")
+    var_b = d("n_pairs") * d("sbb") - d("sb") * d("sb")
+    cov = d("n_pairs") * d("sab") - d("sa") * d("sb")
+    return s.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("sa").cast("long").alias("sa"),
+        F.col("sb").cast("long").alias("sb"),
+        F.col("saa").cast("long").alias("saa"),
+        F.col("sbb").cast("long").alias("sbb"),
+        F.col("sab").cast("long").alias("sab"),
+        F.when(var_a * var_b > 0, cov / F.sqrt(var_a * var_b))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("acf"),
+    )
+
+
+@register(
+    "burst_detection",
+    """WITH m AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(minute) AS lo, MAX(minute) AS hi FROM m GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+  FROM span
+),
+dense AS (
+  SELECT g.event_type, g.minute, COALESCE(m.x, 0) AS x
+  FROM grid g LEFT JOIN m ON g.event_type = m.event_type AND g.minute = m.minute
+),
+base AS (
+  SELECT event_type, minute, x,
+         SUM(x) OVER w AS s, COUNT(x) OVER w AS c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY minute) AS idx
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY minute
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+),
+flagged AS (
+  SELECT event_type, minute, x, idx,
+         idx - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY minute)
+           AS island
+  FROM base WHERE x >= 3 AND c >= 5 AND x * c > 3 * s
+)
+SELECT event_type, MIN(minute) AS burst_start, MAX(minute) AS burst_end,
+       CAST(COUNT(*) AS BIGINT) AS n_minutes,
+       CAST(MAX(x) AS BIGINT) AS peak,
+       CAST(SUM(x) AS BIGINT) AS total_events
+FROM flagged GROUP BY event_type, island""",
+)
+def q_burst_detection(spark, sf_dir):
+    """burst intervals per event type — the alerting primitive over
+    the city event streams (Kleinberg 2003's burst idea reduced to its
+    integer core): a minute is bursting when its count exceeds 3× the
+    trailing 10-minute average (cross-multiplied as x·c > 3·s, so the
+    comparison never touches a float) AND clears an absolute floor of
+    3 events — without min-support a single event after a quiet
+    stretch "bursts"; the floor is what separates a spike from sparse
+    noise — and consecutive bursting
+    minutes merge into one interval via gaps-and-islands (idx −
+    row_number over the flagged rows — both row_numbers ride the SAME
+    dense minute grid, so the island key is pure integers; no epoch
+    arithmetic, no timezone exposure). Warm-up minutes (fewer than 5
+    trailing observations) can't flag. Emits (type, start, end,
+    n_minutes, peak, total) per interval — exactly what the streaming
+    CUSUM twin (cusum_alert_stream) would page on. One minute-grain
+    pre-agg + two sorts per type partition; linear in minutes at any
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    span = m.groupBy("event_type").agg(
+        F.min("minute").alias("lo"), F.max("minute").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))).alias("minute"),
+    )
+    dense = grid.join(m, ["event_type", "minute"], "left").select(
+        "event_type", "minute", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    wo = Window.partitionBy("event_type").orderBy("minute")
+    wt = wo.rowsBetween(-10, -1)
+    base = dense.select(
+        "event_type",
+        "minute",
+        "x",
+        F.sum("x").over(wt).alias("s"),
+        F.count("x").over(wt).alias("c"),
+        F.row_number().over(wo).alias("idx"),
+    )
+    flagged = base.filter(
+        (F.col("x") >= 3)
+        & (F.col("c") >= 5)
+        & (F.col("x") * F.col("c") > 3 * F.col("s"))
+    ).select(
+        "event_type",
+        "minute",
+        "x",
+        (F.col("idx") - F.row_number().over(wo)).alias("island"),
+    )
+    return flagged.groupBy("event_type", "island").agg(
+        F.min("minute").alias("burst_start"),
+        F.max("minute").alias("burst_end"),
+        F.count(F.lit(1)).cast("long").alias("n_minutes"),
+        F.max("x").cast("long").alias("peak"),
+        F.sum("x").cast("long").alias("total_events"),
+    ).drop("island")
+
+
+@register(
+    "stl_decompose",
+    """WITH m AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(minute) AS lo, MAX(minute) AS hi FROM m GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+  FROM span
+),
+dense AS (
+  SELECT g.event_type, g.minute, COALESCE(m.x, 0) AS x
+  FROM grid g LEFT JOIN m ON g.event_type = m.event_type AND g.minute = m.minute
+),
+tr AS (
+  SELECT event_type, minute, x,
+         (1000000 * SUM(x) OVER w) // (COUNT(x) OVER w) AS trend_ppm
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY minute
+               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+),
+dt AS (
+  SELECT event_type, minute, x, trend_ppm,
+         1000000 * x - trend_ppm AS detrend_ppm,
+         EXTRACT(minute FROM minute) AS moh
+  FROM tr
+),
+seas AS (
+  SELECT event_type, moh,
+         SUM(detrend_ppm) // COUNT(*) AS seas_ppm
+  FROM dt GROUP BY 1, 2
+)
+SELECT dt.event_type, dt.minute, CAST(dt.x AS BIGINT) AS x,
+       CAST(dt.trend_ppm AS BIGINT) AS trend_ppm,
+       CAST(seas.seas_ppm AS BIGINT) AS seas_ppm,
+       CAST(dt.detrend_ppm - seas.seas_ppm AS BIGINT) AS resid_ppm
+FROM dt JOIN seas ON dt.event_type = seas.event_type AND dt.moh = seas.moh
+WHERE dt.x > 0""",
+)
+def q_stl_decompose(spark, sf_dir):
+    """seasonal-trend decomposition of the per-minute event-count
+    series (STL's additive skeleton, Cleveland et al. 1990:
+    x = trend + seasonal + residual) in EXACT ppm integers — no float
+    accumulation anywhere, so every component is hash-gated: trend is
+    the ±5-minute centered moving average as a truncated ppm
+    (numerator nonnegative, Spark `div` == oracle `//`), the seasonal
+    component is the minute-of-hour mean of the detrended series
+    (negative numerators are fine — Spark `div` and DuckDB `//` both
+    truncate toward zero), and the residual is what's left. The same dense zero-filled minute grid as acf_lag /
+    burst_detection makes the windows TRUE time windows. Scale shape:
+    one minute-grain pre-agg, one windowed sort per type partition,
+    one 60-row-per-type seasonal agg broadcast back — linear in
+    minutes; the decomposition never touches the raw fact rows
+    twice."""
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    span = m.groupBy("event_type").agg(
+        F.min("minute").alias("lo"), F.max("minute").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))).alias("minute"),
+    )
+    dense = grid.join(m, ["event_type", "minute"], "left").select(
+        "event_type", "minute", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    wc = (
+        Window.partitionBy("event_type").orderBy("minute").rowsBetween(-5, 5)
+    )
+    tr = dense.select(
+        "event_type",
+        "minute",
+        "x",
+        F.sum("x").over(wc).alias("t_num"),
+        F.count("x").over(wc).alias("t_cnt"),
+    ).select(
+        "event_type",
+        "minute",
+        "x",
+        F.expr("(1000000 * t_num) div t_cnt").alias("trend_ppm"),
+    )
+    dt = tr.select(
+        "event_type",
+        "minute",
+        "x",
+        "trend_ppm",
+        (1000000 * F.col("x") - F.col("trend_ppm")).alias("detrend_ppm"),
+        F.minute("minute").alias("moh"),
+    )
+    # possibly-negative numerator: Spark `div` and DuckDB `//` BOTH
+    # truncate toward zero (verified: -7 // 2 = -3 in DuckDB), so the
+    # seasonal mean is the round-toward-zero integer mean in both
+    # engines with no offset trick. (Python's `//` floors — that
+    # convention only matters to the DRIVER-side oracles like
+    # grad_match's g-dict, not to DuckDB SQL.)
+    seas = dt.groupBy("event_type", "moh").agg(
+        F.expr("sum(detrend_ppm) div count(*)").alias("seas_ppm")
+    )
+    # components are COMPUTED over the full dense grid (true time
+    # windows), REPORTED at observed minutes only — the zero-filled
+    # rows are scaffolding, and at sparse SFs they'd be 95% of the
+    # output volume for no analytic content
+    return (
+        dt.join(seas, ["event_type", "moh"])
+        .filter(F.col("x") > 0)
+        .select(
+            "event_type",
+            "minute",
+            F.col("x").cast("long").alias("x"),
+            F.col("trend_ppm").cast("long").alias("trend_ppm"),
+            F.col("seas_ppm").cast("long").alias("seas_ppm"),
+            (F.col("detrend_ppm") - F.col("seas_ppm")).cast("long").alias("resid_ppm"),
+        )
+    )
+
+
+@register(
+    "linkpred_topk",
+    """WITH g0 AS (
+  SELECT DISTINCT user_id AS id, event_type, date_trunc('minute', ts) AS m
+  FROM events
+),
+g AS (
+  SELECT id, event_type, m FROM g0
+  QUALIFY COUNT(*) OVER (PARTITION BY event_type, m) <= 32
+),
+e0 AS (
+  SELECT DISTINCT a.id AS u, b.id AS v
+  FROM g a JOIN g b ON a.event_type = b.event_type AND a.m = b.m
+                   AND a.id < b.id
+),
+sym AS (SELECT u AS w, v AS x FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT w, COUNT(*) AS d FROM sym GROUP BY w),
+centers AS (
+  SELECT sym.w, sym.x FROM sym JOIN deg ON sym.w = deg.w WHERE deg.d <= 256
+),
+cand AS (
+  SELECT a.x AS u, b.x AS v, COUNT(*) AS cn
+  FROM centers a JOIN centers b ON a.w = b.w AND a.x < b.x
+  GROUP BY a.x, b.x
+),
+nonadj AS (
+  SELECT cand.* FROM cand ANTI JOIN e0 ON cand.u = e0.u AND cand.v = e0.v
+)
+SELECT n.u AS id_a, n.v AS id_b, CAST(n.cn AS BIGINT) AS cn,
+       CAST(du.d + dv.d - n.cn AS BIGINT) AS union_deg,
+       CAST(n.cn AS DOUBLE) / CAST(du.d + dv.d - n.cn AS DOUBLE) AS jaccard
+FROM nonadj n JOIN deg du ON n.u = du.w JOIN deg dv ON n.v = dv.w
+ORDER BY jaccard DESC, id_a, id_b LIMIT 100""",
+)
+def q_linkpred_topk(spark, sf_dir):
+    """link prediction on the user co-activity graph: the 100
+    non-adjacent user pairs most likely to co-occur next, by exact
+    neighborhood-Jaccard (common neighbors cn over union degree).
+    The "people who will meet" / recommendation primitive — same graph
+    as triangle_count / kcore / label_propagation, so the community
+    queries and the prediction query can never drift onto different
+    graphs. See common_neighbor_link_prediction for the wedge-
+    enumeration scale analysis (Σd² over centers, superhub cap 256,
+    anti-join against existing edges, k-bounded TakeOrdered)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+
+    edges = _coactivity_edges(spark, sf_dir)
+    return graph_ops.common_neighbor_link_prediction(
+        edges, k=100, max_center_degree=256
+    )
+
+
+_RAKE_STOPS = ("a", "the", "and", "of", "with")
+
+
+@register(
+    "keyword_rake",
+    f"""WITH t AS (
+  SELECT doc_id, string_split({_docs_norm_sql()}, ' ') AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS w,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM t
+),
+ph AS (
+  SELECT doc_id, w, pos,
+         SUM(CASE WHEN w IN {_RAKE_STOPS!r} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS pid,
+         w IN {_RAKE_STOPS!r} AS brk
+  FROM tok
+),
+words AS (SELECT doc_id, w, pid FROM ph WHERE NOT brk AND w <> ''),
+plen AS (SELECT doc_id, pid, COUNT(*) AS plen FROM words GROUP BY 1, 2),
+stats AS (
+  SELECT words.doc_id, w,
+         COUNT(*) AS freq, SUM(plen) AS deg
+  FROM words JOIN plen ON words.doc_id = plen.doc_id AND words.pid = plen.pid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, w AS keyword, CAST(deg AS BIGINT) AS deg,
+         CAST(freq AS BIGINT) AS freq,
+         CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) DESC, w
+         ) AS rnk
+  FROM stats
+)
+SELECT doc_id, keyword, deg, freq, score, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3""",
+)
+def q_keyword_rake(spark, sf_dir):
+    """per-document keyword extraction — RAKE's integer core (Rose et
+    al. 2010): candidate phrases are the maximal stopword-free token
+    runs, a word's degree is the summed length of every phrase it
+    occurs in (co-occurrence mass), and deg/freq ranks words that
+    live in long, specific phrases above bare frequent words. Top-3
+    keywords per doc. Exactness: deg and freq are BIGINTs off one
+    (doc, word) shuffle; the deg/freq score is ONE IEEE division, and
+    the (score DESC, word) order is total — rank boundaries
+    deterministic. Phrase segmentation is a running stopword count
+    (window cumsum per doc ordered by token position) — no UDF, no
+    regex backtracking; the stopword list is the same 5-word set
+    stopword_removal ships. Scale shape: everything is keyed on
+    doc_id (embarrassingly parallel per doc); the one window sort is
+    per-doc over its own tokens, and the final top-3 is a per-doc
+    row_number, not a global sort."""
+    sw = list(_RAKE_STOPS)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos0", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos0")
+    ph = tok.select(
+        "doc_id",
+        "w",
+        F.sum(F.col("w").isin(sw).cast("int")).over(wdoc).alias("pid"),
+        F.col("w").isin(sw).alias("brk"),
+    )
+    words = ph.filter(~F.col("brk") & (F.col("w") != "")).select(
+        "doc_id", "w", "pid"
+    )
+    plen = words.groupBy("doc_id", "pid").agg(F.count(F.lit(1)).alias("plen"))
+    stats = (
+        words.join(plen, ["doc_id", "pid"])
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    score = F.col("deg").cast("double") / F.col("freq").cast("double")
+    wrank = Window.partitionBy("doc_id").orderBy(score.desc(), "w")
+    return (
+        stats.select(
+            "doc_id",
+            F.col("w").alias("keyword"),
+            F.col("deg").cast("long").alias("deg"),
+            F.col("freq").cast("long").alias("freq"),
+            score.alias("score"),
+            F.row_number().over(wrank).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "wilson_ranking",
+    """WITH s AS (
+  SELECT l_suppkey AS suppkey,
+         COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+  FROM lineitem GROUP BY 1
+),
+w AS (
+  SELECT suppkey, n, r,
+         CAST(n - r AS DOUBLE) / CAST(n AS DOUBLE) AS phat
+  FROM s WHERE n >= 20
+)
+SELECT w.suppkey, s_name, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+       (phat + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+        - 1.96 * sqrt((phat * (1.0 - phat)
+                       + 3.8416 / (4.0 * CAST(n AS DOUBLE)))
+                      / CAST(n AS DOUBLE)))
+       / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_lb
+FROM w JOIN supplier ON w.suppkey = s_suppkey
+ORDER BY wilson_lb DESC, w.suppkey LIMIT 25""",
+)
+def q_wilson_ranking(spark, sf_dir):
+    """top-25 suppliers by the WILSON LOWER BOUND of their
+    non-return rate (Wilson 1927; the "how not to sort by average
+    rating" ranking): a 4/4 supplier must not outrank a 196/200 one,
+    so rank by the 95% lower confidence bound of the binomial
+    proportion instead of the raw rate. Hash-gated the acf_lag way:
+    n and r stay EXACT BIGINTs off one supplier-keyed agg, and the
+    bound is ONE fixed float expression tree over them (single IEEE
+    ops, z=1.96 / z²=3.8416 literals parse to identical doubles,
+    sqrt is correctly rounded by IEEE mandate) — mirrored
+    parenthesis-for-parenthesis in the oracle. n ≥ 20 floor keeps the
+    normal approximation honest; (bound DESC, suppkey) is a total
+    order so the top-25 boundary is deterministic. One fact shuffle +
+    a broadcast dim join + a k-bounded TakeOrdered; linear at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    s = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r"),
+    )
+    nd = F.col("n").cast("double")
+    phat = (F.col("n") - F.col("r")).cast("double") / nd
+    z, z2 = F.lit(1.96), F.lit(3.8416)
+    wilson = (
+        phat
+        + z2 / (F.lit(2.0) * nd)
+        - z * F.sqrt((phat * (F.lit(1.0) - phat) + z2 / (F.lit(4.0) * nd)) / nd)
+    ) / (F.lit(1.0) + z2 / nd)
+    return (
+        s.filter(F.col("n") >= 20)
+        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "suppkey",
+            "s_name",
+            F.col("n").cast("long").alias("n"),
+            F.col("r").cast("long").alias("r"),
+            wilson.alias("wilson_lb"),
+        )
+        .orderBy(F.col("wilson_lb").desc(), "suppkey")
+        .limit(25)
+    )
+
+
+@register(
+    "zipf_profile",
+    f"""WITH t AS (
+  SELECT string_split({_docs_norm_sql()}, ' ') AS toks FROM documents
+),
+u AS (SELECT unnest(toks) AS w FROM t),
+c AS (SELECT w, COUNT(*) AS cnt FROM u WHERE w <> '' GROUP BY w),
+top AS (
+  SELECT w, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rnk
+  FROM c QUALIFY rnk <= 50
+),
+p AS (SELECT w, cnt, rnk, rnk * cnt AS rank_cnt FROM top),
+med AS (
+  SELECT rank_cnt AS med_product FROM (
+    SELECT rank_cnt, ROW_NUMBER() OVER (ORDER BY rank_cnt, w) AS mrn,
+           COUNT(*) OVER () AS mn
+    FROM p
+  ) WHERE mrn = (mn + 1) // 2
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, w AS word, CAST(cnt AS BIGINT) AS cnt,
+       CAST(rank_cnt AS BIGINT) AS rank_cnt,
+       CAST(1000000 * rank_cnt // med_product - 1000000 AS BIGINT)
+         AS zipf_dev_ppm
+FROM p CROSS JOIN med""",
+)
+def q_zipf_profile(spark, sf_dir):
+    """Zipf's-law conformance profile of the corpus vocabulary —
+    LOG-FREE (char_gini's portability move applied to the rank-
+    frequency law): Zipf predicts rank·freq ≈ constant, so instead of
+    fitting a log-log OLS slope (whose ln() is not IEEE-portable
+    across engines), emit the EXACT rank·count product for the top-50
+    words plus each word's ppm deviation from the lower-median
+    product. A flat zipf_dev_ppm column IS the law holding; a
+    synthetic or templated corpus shows itself as a sloped/stepped
+    profile — the corpus-level twin of benford_quality's digit test.
+    All integers: counts off one tokenize pass + word shuffle, rank a
+    50-row window, median the (mn+1)//2-th order statistic (lower
+    median — no float averaging), deviations integer div. The top-50
+    cap bounds every window; the corpus-sized work is ONE word-count
+    agg with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # k-bounded TakeOrdered FIRST (distributed, heap-per-partition),
+    # THEN the rank window over the 50-row frame — a global
+    # row_number over the whole vocabulary would be a single-partition
+    # sort of the vocab at scale
+    wrank = Window.orderBy(F.col("cnt").desc(), "w")
+    top = (
+        cnts.orderBy(F.col("cnt").desc(), "w")
+        .limit(50)
+        .select("w", "cnt", F.row_number().over(wrank).alias("rnk"))
+        .select("w", "cnt", "rnk", (F.col("rnk") * F.col("cnt")).alias("rank_cnt"))
+    )
+    wmed = Window.orderBy("rank_cnt", "w")
+    med = (
+        top.select(
+            "rank_cnt",
+            F.row_number().over(wmed).alias("mrn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("mn"),
+        )
+        .filter(F.col("mrn") == F.expr("(mn + 1) div 2"))
+        .select(F.col("rank_cnt").alias("med_product"))
+    )
+    return top.crossJoin(F.broadcast(med)).select(
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("w").alias("word"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank_cnt").cast("long").alias("rank_cnt"),
+        F.expr("1000000 * rank_cnt div med_product - 1000000")
+        .cast("long")
+        .alias("zipf_dev_ppm"),
+    )
+
+
+@register(
+    "feature_binning",
+    """WITH b AS (
+  SELECT o_totalprice,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY bin""",
+)
+def q_feature_binning(spark, sf_dir):
+    """equal-frequency feature binning (decile discretization) of the
+    order-amount column — the ML-preprocessing step that turns a
+    skewed money feature into a uniform categorical: NTILE(10) over a
+    TOTAL order (amount, then orderkey — ties on price can't make bin
+    membership nondeterministic), then per-bin count / exact-cents
+    min, max, sum as the bin dictionary a feature store would
+    persist. NTILE's earlier-buckets-get-the-remainder rule is
+    identical in Spark and DuckDB. All-integer (cents via the benford
+    rounding). The global NTILE is the one scale wart — a single-
+    partition sort; at 100 TB the same dictionary comes from
+    approx-quantile boundaries + one repartitionByRange pass instead
+    (exact_quantiles' posture), which this query's 10-row output
+    contract doesn't care about."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(
+        F.col("bin").cast("long").alias("bin"),
+        "n", "min_cents", "max_cents", "sum_cents",
+    )

@@ -35,18 +35,18 @@ def test_queries_and_oracles_share_ordering():
         (n for n in entry._FRONT if n in QUERIES), key=lambda k: k not in ORACLES
     )
     assert q[: len(front)] == front
-    # r6 gate plan (VERDICT r5 item 1): _FRONT = the six rows not
-    # graded since round 1 + 38 of the r2-era cohort + the two
-    # oracle-changed probe queries + the four new r6 queries; the
-    # rest of the 50-row cap falls through to registry order
+    # r7 gate plan: the seven new r7 queries (first driver rows) +
+    # the fifteen rows last graded in round 2 + 28 oracle-backed rows
+    # last graded in round 3; the rest of the 50-row cap falls
+    # through to registry order
     assert len(front) <= 50, "front block must fit the driver's 50-row cap"
-    for must in ("event_type_pivot", "window_distribution",
-                 "distinct_counts", "approx_distinct_hll",
-                 "moving_avg_range", "ts_pattern_topk",
-                 "quality_classifier", "grad_match_select",
-                 "citymood_source_agg", "cross_dedup_fuzzy",
-                 "rolling_active_users", "cusum_alerts"):
-        assert must in front, f"{must} must be front-loaded for the r6 gate"
+    for must in ("l_diversity", "benford_quality", "acf_lag",
+                 "burst_detection", "stl_decompose", "linkpred_topk",
+                 "keyword_rake", "wilson_ranking", "zipf_profile",
+                 "feature_binning", "cluster_representatives",
+                 "minhash_signatures", "doc_fingerprint",
+                 "lang_id", "pii_redaction"):
+        assert must in front, f"{must} must be front-loaded for the r7 gate"
     # oracle dict must follow the same front-loaded order restricted
     # to oracle-backed names (driver zips them positionally by name)
     assert o == [n for n in q if n in ORACLES]

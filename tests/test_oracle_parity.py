@@ -87,10 +87,18 @@ def test_query_matches_oracle(spark, sf_dir, name):
         #   same-minute co-occurrences) -> the four graph queries
         #   built on it are legitimately empty here;
         # - important_parts (Q11) slices to NATION_7 suppliers, of
-        #   which sf0.001 has ZERO (measured; sf0.01 has 6).
+        #   which sf0.001 has ZERO (measured; sf0.01 has 6);
+        # - linkpred_topk rides the SAME sparse co-activity graph as
+        #   the four graph queries (no wedges at sf0.001; 100 rows at
+        #   sf0.01, hash-matched);
+        # - burst_detection's 3-event min-support floor is unreachable
+        #   at sf0.001's ~0.1 events/min/type (1 interval at sf0.01,
+        #   hash-matched; the floor is what makes the detector
+        #   meaningful — see its docstring).
         sparse_at_toy_sf = {
             "triangle_count", "label_propagation", "pagerank_portable",
             "kcore_portable", "important_parts", "clustering_coefficient",
+            "linkpred_topk", "burst_detection",
         }
         assert name in sparse_at_toy_sf and sf_dir.rstrip("/").endswith(
             "sf0.001"
