@@ -44,6 +44,9 @@ _FRONT = [
     "wilson_ranking",
     "zipf_profile",
     "feature_binning",
+    "attribution_last_touch",
+    "order_total_reconciliation",
+    "kendall_tau_rankings",
     # --- stale-cohort rotation (VERDICT r4 item 5 discipline): the
     # fifteen rows not driver-graded since ROUND 2 ---
     "cluster_representatives",
@@ -61,19 +64,16 @@ _FRONT = [
     "temperature_sample",
     "text_quality",
     "token_count",
-    # --- 25 of the 39 rows last graded in ROUND 3 (oracle-backed
+    # --- 22 of the 39 rows last graded in ROUND 3 (oracle-backed
     # ones only — rows-only pagerank_topk / binary_ingest and the
     # window/rollup family (shard_export, snapshot_time_travel,
     # data_quality_report, gap_fill_minutes, robust_outliers,
     # multi_res_rollup, paned_sliding_window, session_window_native,
-    # dedup_embedding_banded, and — yielded to the late-r7 trio —
-    # ewma_minutes, seasonal_baseline, negative_sampling) wait for
-    # the r8 rotation so every r7 gate slot lands a hard hash_match
-    # row ---
-    "association_rules",
+    # dedup_embedding_banded, and — yielded to the six late-r7
+    # queries — ewma_minutes, seasonal_baseline, negative_sampling,
+    # association_rules, cdc_apply, cohort_retention) wait for the r8
+    # rotation so every r7 gate slot lands a hard hash_match row ---
     "bpe_merges",
-    "cdc_apply",
-    "cohort_retention",
     "conversion_lag",
     "customer_order_distribution",
     "distribution_drift",

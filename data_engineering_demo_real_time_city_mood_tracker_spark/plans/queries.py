@@ -10163,3 +10163,239 @@ def q_feature_binning(spark, sf_dir):
         F.col("bin").cast("long").alias("bin"),
         "n", "min_cents", "max_cents", "sum_cents",
     )
+
+
+@register(
+    "attribution_last_touch",
+    """WITH e AS (
+  SELECT user_id, event_id, ts, event_type, value FROM events
+),
+w AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER pw AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS) OVER pw AS touch_ts
+  FROM e
+  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+p AS (
+  SELECT CASE WHEN touch_ts IS NOT NULL
+              AND touch_ts >= ts - INTERVAL 30 MINUTE
+              THEN touch_type ELSE 'direct' END AS touch,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM w WHERE event_type = 'purchase'
+)
+SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM p GROUP BY touch""",
+)
+def q_attribution_last_touch(spark, sf_dir):
+    """last-touch marketing attribution: each purchase is credited to
+    the user's MOST RECENT preceding non-purchase event within 30
+    minutes, else to 'direct' — the channel-report primitive every
+    growth dashboard runs. The window trick that keeps it exact: take
+    the last preceding touch unconditionally over a ROWS frame with a
+    TOTAL (ts, event_id) order (no range-frame tie ambiguity, no
+    arg-max-by-composite-key portability trap — DuckDB's arg_max
+    rejects struct keys), then apply the 30-minute rule OUTSIDE the
+    window: if the most recent touch is stale, every older one is
+    staler, so the filter loses nothing. last(type) and last(ts) with
+    ignorenulls pick the same row by construction. One window sort
+    per user partition + one small group-agg; revenue in exact cents;
+    linear at any scale (state is two columns per row, never a
+    per-user history)."""
+    ev = load_table(spark, sf_dir, "events")
+    pw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    np_ = F.col("event_type") != "purchase"
+    w = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(np_, F.col("event_type")), ignorenulls=True)
+        .over(pw)
+        .alias("touch_type"),
+        F.last(F.when(np_, F.col("ts")), ignorenulls=True)
+        .over(pw)
+        .alias("touch_ts"),
+    )
+    p = w.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTE")),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("touch"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return p.groupBy("touch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@register(
+    "order_total_reconciliation",
+    """WITH lc AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100,
+                        0) AS BIGINT)) AS line_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+d AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT)
+           - COALESCE(line_cents, 0) AS dev_cents,
+         line_cents IS NULL AS no_lines
+  FROM orders LEFT JOIN lc ON o_orderkey = l_orderkey
+),
+b AS (
+  SELECT CASE WHEN no_lines THEN 'no_lineitems'
+              WHEN dev_cents = 0 THEN 'exact'
+              WHEN abs(dev_cents) <= 100 THEN 'within_1_unit'
+              WHEN abs(dev_cents) <= 10000 THEN 'within_100_units'
+              ELSE 'large' END AS bucket,
+         dev_cents
+  FROM d
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(dev_cents) AS BIGINT) AS min_dev_cents,
+       CAST(MAX(dev_cents) AS BIGINT) AS max_dev_cents
+FROM b GROUP BY bucket""",
+)
+def q_order_total_reconciliation(spark, sf_dir):
+    """order-header vs line-detail financial reconciliation — the
+    month-end audit that catches partial loads and drifted charge
+    logic: per order, header total minus the recomputed
+    Σ extprice·(1−disc)·(1+tax), both in EXACT cents (per-line round
+    half-up on one fixed float tree, then BIGINT sums — no float
+    accumulation), bucketed into an exact / ≤1-unit / ≤100-unit /
+    large / no-lineitems histogram with per-bucket deviation extrema.
+    Headerless-order handling is explicit (LEFT join + no_lines
+    bucket, the orders_no_lineitem population). One fact shuffle on
+    the natural join key + a broadcast-sized rollup; linear at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    line_cents = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100,
+        0,
+    ).cast("long")
+    lc = li.groupBy("l_orderkey").agg(F.sum(line_cents).alias("line_cents"))
+    d = orders.join(lc, orders.o_orderkey == lc.l_orderkey, "left").select(
+        (
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            - F.coalesce(F.col("line_cents"), F.lit(0))
+        ).alias("dev_cents"),
+        F.col("line_cents").isNull().alias("no_lines"),
+    )
+    bucket = (
+        F.when(F.col("no_lines"), "no_lineitems")
+        .when(F.col("dev_cents") == 0, "exact")
+        .when(F.abs("dev_cents") <= 100, "within_1_unit")
+        .when(F.abs("dev_cents") <= 10000, "within_100_units")
+        .otherwise("large")
+    )
+    return d.select(bucket.alias("bucket"), "dev_cents").groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("dev_cents").cast("long").alias("min_dev_cents"),
+        F.max("dev_cents").cast("long").alias("max_dev_cents"),
+    )
+
+
+@register(
+    "kendall_tau_rankings",
+    """WITH s AS (
+  SELECT l_suppkey AS suppkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                  AS BIGINT)) AS rev_cents,
+         COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+  FROM lineitem GROUP BY 1
+),
+top AS (
+  SELECT suppkey, rev_cents, 1000000 * r // n AS ret_ppm
+  FROM s ORDER BY rev_cents DESC, suppkey LIMIT 50
+),
+ranked AS (
+  SELECT suppkey,
+         ROW_NUMBER() OVER (ORDER BY rev_cents DESC, suppkey) AS rank_rev,
+         ROW_NUMBER() OVER (ORDER BY ret_ppm ASC, suppkey) AS rank_ret
+  FROM top
+),
+pairs AS (
+  SELECT CASE WHEN (a.rank_rev - b.rank_rev) * (a.rank_ret - b.rank_ret) > 0
+              THEN 1 ELSE 0 END AS conc
+  FROM ranked a JOIN ranked b ON a.suppkey < b.suppkey
+)
+SELECT CAST(SUM(conc) AS BIGINT) AS concordant,
+       CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(2 * SUM(conc) - COUNT(*) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS kendall_tau
+FROM pairs""",
+)
+def q_kendall_tau_rankings(spark, sf_dir):
+    """Kendall rank correlation between two supplier rankings — does
+    revenue rank agree with service quality rank? — the ranking-
+    comparison primitive for A/B-ing scorers (search rankers, data
+    valuations, reviewer panels). Top-50 suppliers by revenue
+    (k-bounded TakeOrdered), each ranked by revenue and by integer
+    return-rate ppm under TOTAL tie-broken orders (no ties, so
+    tau = (C−D)/(n(n−1)/2) needs no tie correction); concordant /
+    discordant counted over the k(k−1)/2 pairs of a self-join on the
+    50-row frame (bounded — never the full supplier cross join), tau
+    one IEEE division of exact ints. All arithmetic integer until
+    that last division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    s = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(rev).alias("rev_cents"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r"),
+    )
+    top = (
+        s.orderBy(F.col("rev_cents").desc(), "suppkey")
+        .limit(50)
+        .select("suppkey", "rev_cents", F.expr("1000000 * r div n").alias("ret_ppm"))
+    )
+    ranked = top.select(
+        "suppkey",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev_cents").desc(), "suppkey"))
+        .alias("rank_rev"),
+        F.row_number()
+        .over(Window.orderBy(F.col("ret_ppm").asc(), "suppkey"))
+        .alias("rank_ret"),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = a.join(b, F.col("a.suppkey") < F.col("b.suppkey")).select(
+        F.when(
+            (F.col("a.rank_rev") - F.col("b.rank_rev"))
+            * (F.col("a.rank_ret") - F.col("b.rank_ret"))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc")
+    )
+    return pairs.agg(
+        F.sum("conc").cast("long").alias("concordant"),
+        (F.count(F.lit(1)) - F.sum("conc")).cast("long").alias("discordant"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            (2 * F.sum("conc") - F.count(F.lit(1))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("kendall_tau"),
+    )

@@ -43,7 +43,9 @@ def test_queries_and_oracles_share_ordering():
     for must in ("l_diversity", "benford_quality", "acf_lag",
                  "burst_detection", "stl_decompose", "linkpred_topk",
                  "keyword_rake", "wilson_ranking", "zipf_profile",
-                 "feature_binning", "cluster_representatives",
+                 "feature_binning", "attribution_last_touch",
+                 "order_total_reconciliation", "kendall_tau_rankings",
+                 "cluster_representatives",
                  "minhash_signatures", "doc_fingerprint",
                  "lang_id", "pii_redaction"):
         assert must in front, f"{must} must be front-loaded for the r7 gate"

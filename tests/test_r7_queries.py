@@ -171,3 +171,56 @@ def test_l_diversity_distribution_consistency(spark, sf_dir):
     for r in rows:
         assert r.below_l3 == (r.l_value < 3)
         assert r.l_value >= 1 and r.n_groups >= 1
+
+
+def test_attribution_partitions_purchases(spark, sf_dir):
+    """attributed touches partition the purchase events exactly; a
+    purchase can never be credited to another purchase; revenue is
+    the exact-cents sum."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    rows = QUERIES["attribution_last_touch"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r.n_purchases for r in rows) == n_purch
+    assert "purchase" not in {r.touch for r in rows}
+    total_cents = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.sum(F.round(F.col("value") * 100, 0).cast("long")))
+        .first()[0]
+    )
+    assert sum(r.revenue_cents for r in rows) == total_cents
+
+
+def test_reconciliation_covers_all_orders(spark, sf_dir):
+    """bucket counts partition the orders table; the no_lineitems
+    bucket equals the anti-join count; an 'exact' bucket, if present,
+    has zero deviation extrema."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    rows = {r.bucket: r for r in QUERIES["order_total_reconciliation"](
+        spark, sf_dir
+    ).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    assert sum(r.n_orders for r in rows.values()) == orders.count()
+    headerless = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).count()
+    got = rows.get("no_lineitems")
+    assert (got.n_orders if got else 0) == headerless
+    if "exact" in rows:
+        assert rows["exact"].min_dev_cents == rows["exact"].max_dev_cents == 0
+    for r in rows.values():
+        assert r.min_dev_cents <= r.max_dev_cents
+
+
+def test_kendall_tau_identity(spark, sf_dir):
+    """C + D = n_pairs = k(k-1)/2 (no ties by construction), and tau
+    is exactly (C-D)/n_pairs in [-1, 1]."""
+    row = QUERIES["kendall_tau_rankings"](spark, sf_dir).first()
+    assert row.concordant + row.discordant == row.n_pairs
+    k = (1 + (1 + 8 * row.n_pairs) ** 0.5) / 2
+    assert abs(k - round(k)) < 1e-9  # n_pairs is a triangular number
+    assert row.kendall_tau == (row.concordant - row.discordant) / row.n_pairs
+    assert -1.0 <= row.kendall_tau <= 1.0
