@@ -778,6 +778,12 @@ def common_neighbor_link_prediction(
     their WEDGES are skipped. One shuffle keyed on the center, one on
     the candidate pair, one anti-join against the edge list, then a
     k-bounded TakeOrdered — no driver loop.
+
+    .. note:: **EXECUTES at call time** (bm25_rank's contract): the
+       k-bounded result is eagerly checkpointed so the persisted edge
+       list and degree frame release immediately — the returned
+       frame's lineage is truncated at a LogicalRDD and further
+       composition happens on the k-row result, not a lazy plan.
     """
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import release_after
 

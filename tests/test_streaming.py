@@ -1853,3 +1853,62 @@ def test_char_gini_stream_matches_batch_bitwise(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM cgini_stream").collect()
     }
     assert got == batch
+
+
+def test_attribution_stream_matches_batch(spark, sf_dir, tmp_path):
+    """streaming last-touch attribution (applyInPandasWithState, two
+    scalars of state per user) must assign every purchase the SAME
+    touch as the batch attribution_last_touch window across a
+    two-micro-batch ordered replay, and its aggregated channel report
+    must equal the batch query's rows exactly (cents included — the
+    rounding runs JVM-side in both)."""
+    import time as _time
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.attribution import attribution_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    expected = {
+        (r.touch, r.n_purchases, r.revenue_cents)
+        for r in QUERIES["attribution_last_touch"](spark, sf_dir).collect()
+    }
+    assert expected
+
+    # global ts cut keeps every user's rows ordered across the files
+    d = str(tmp_path / "attr")
+    cut = ev.select(F.percentile(F.col("ts").cast("double"), 0.5)).first()[0]
+    ev.filter(F.col("ts").cast("double") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    _time.sleep(1.1)
+    ev.filter(F.col("ts").cast("double") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = attribution_stream(stream)
+    qname = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table(qname).collect()
+    # exactly one credited row per purchase event
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purch
+    assert len({r.event_id for r in rows}) == n_purch
+    got = {}
+    for r in rows:
+        n, c = got.get(r.touch, (0, 0))
+        got[r.touch] = (n + 1, c + r.cents)
+    assert {(t, n, c) for t, (n, c) in got.items()} == expected
