@@ -47,6 +47,18 @@ _FRONT = [
     "attribution_last_touch",
     "order_total_reconciliation",
     "kendall_tau_rankings",
+    # --- r7 second batch (first driver rows): t-closeness EMD gate,
+    # chi-square independence, Theil-Sen robust trend, Markov
+    # transitions, graph mixing, revenue Gini, Flesch readability,
+    # and domain-indicative vocabulary ---
+    "t_closeness",
+    "chi2_independence",
+    "theil_sen_trend",
+    "event_transition_matrix",
+    "degree_assortativity",
+    "revenue_gini",
+    "readability_scores",
+    "domain_token_lift",
     # --- stale-cohort rotation (VERDICT r4 item 5 discipline): the
     # fifteen rows not driver-graded since ROUND 2 ---
     "cluster_representatives",
@@ -64,15 +76,19 @@ _FRONT = [
     "temperature_sample",
     "text_quality",
     "token_count",
-    # --- 22 of the 39 rows last graded in ROUND 3 (oracle-backed
+    # --- 14 of the 39 rows last graded in ROUND 3 (oracle-backed
     # ones only — rows-only pagerank_topk / binary_ingest and the
     # window/rollup family (shard_export, snapshot_time_travel,
     # data_quality_report, gap_fill_minutes, robust_outliers,
     # multi_res_rollup, paned_sliding_window, session_window_native,
-    # dedup_embedding_banded, and — yielded to the six late-r7
-    # queries — ewma_minutes, seasonal_baseline, negative_sampling,
-    # association_rules, cdc_apply, cohort_retention) wait for the r8
-    # rotation so every r7 gate slot lands a hard hash_match row ---
+    # dedup_embedding_banded, ewma_minutes, seasonal_baseline,
+    # negative_sampling, association_rules, cdc_apply,
+    # cohort_retention, and — yielded to the eight batch-2 r7 queries
+    # — late_sole_suppliers, multimodal_meta, nation_market_share,
+    # nation_trade_volume, returned_revenue_customers,
+    # revenue_concentration, small_qty_revenue, supplier_part_variety)
+    # wait for the r8 rotation so every r7 gate slot lands a hard
+    # hash_match row ---
     "bpe_merges",
     "conversion_lag",
     "customer_order_distribution",
@@ -87,14 +103,6 @@ _FRONT = [
     "join_key_skew_profile",
     "kcore_portable",
     "label_propagation",
-    "late_sole_suppliers",
-    "multimodal_meta",
-    "nation_market_share",
-    "nation_trade_volume",
-    "returned_revenue_customers",
-    "revenue_concentration",
-    "small_qty_revenue",
-    "supplier_part_variety",
 ]
 
 

@@ -10399,3 +10399,612 @@ def q_kendall_tau_rankings(spark, sf_dir):
             / F.count(F.lit(1)).cast("double")
         ).alias("kendall_tau"),
     )
+
+
+# --------------------------------------------------------------------------
+# r7 second batch: governance (t-closeness), independence testing,
+# robust trend, Markov transitions, graph mixing, inequality, text
+# readability, and domain-indicative vocabulary.
+
+
+@register(
+    "t_closeness",
+    """WITH r AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal/1000) AS BIGINT) AS b
+  FROM customer),
+cnt AS (SELECT nat, seg, b, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY 1,2,3),
+grp AS (SELECT nat, seg, CAST(SUM(c) AS BIGINT) AS ng FROM cnt GROUP BY 1,2),
+gb  AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM cnt GROUP BY 1),
+tot AS (SELECT CAST(SUM(cb) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS m FROM gb),
+grid AS (SELECT g.nat, g.seg, g.ng, gb.b, gb.cb, COALESCE(c.c, 0) AS c
+         FROM grp g CROSS JOIN gb
+         LEFT JOIN cnt c ON c.nat=g.nat AND c.seg=g.seg AND c.b=gb.b),
+cum AS (SELECT nat, seg, ng,
+               SUM(c)  OVER (PARTITION BY nat, seg ORDER BY b) AS cg,
+               SUM(cb) OVER (PARTITION BY nat, seg ORDER BY b) AS ca
+        FROM grid),
+emd AS (SELECT nat, seg, ng,
+               CAST(SUM(ABS(cg * (SELECT n FROM tot) - ca * ng)) AS BIGINT) AS s
+        FROM cum GROUP BY 1,2,3)
+SELECT nat AS c_nationkey, seg AS c_mktsegment, ng AS group_size,
+       CAST(s AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)
+         / CAST(ng AS DOUBLE) / CAST((SELECT m FROM tot) - 1 AS DOUBLE) AS emd,
+       (CAST(s AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)
+         / CAST(ng AS DOUBLE) / CAST((SELECT m FROM tot) - 1 AS DOUBLE)) > 0.25
+         AS exceeds_t
+FROM emd""",
+)
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li/Li/Venkatasubramanian 2007) — the third
+    privacy gate after k_anonymity and l_diversity: per quasi-
+    identifier group (nation, market segment), the EARTH MOVER'S
+    DISTANCE between the group's distribution over the ORDERED
+    sensitive attribute (balance bucket) and the global one. A group
+    can be k-anonymous and l-diverse yet leak through skew (all its
+    balances in the top bucket); EMD ≤ t is the gate that catches it.
+    For an ordered attribute EMD = Σ|cum_g − cum_all| / (m−1) — kept
+    EXACT until the last step: the per-bucket term rides the integer
+    cross-product |cg·N − ca·ng| (no per-bucket division), the sum is
+    an integer agg, and the final value is a fixed chain of three
+    IEEE divisions mirrored in the oracle — so the boundary flag
+    (emd > 0.25) can never straddle an ulp. Scale: one fact-sized
+    QI-keyed agg, then everything lives on the groups×buckets grid
+    (QI cardinality × bucket count — dimension-bounded at any corpus
+    size); the cumsums are windows over that bounded grid, never the
+    fact table. Chained divisions (not one n·ng·(m−1) product) keep
+    int64 out of the denominator path entirely at 100 TB row counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    r = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("b"),
+    )
+    cnt = r.groupBy("nat", "seg", "b").agg(F.count(F.lit(1)).alias("c"))
+    grp = cnt.groupBy("nat", "seg").agg(F.sum("c").alias("ng"))
+    gb = cnt.groupBy("b").agg(F.sum("c").alias("cb"))
+    tot = gb.agg(F.sum("cb").alias("n"), F.count(F.lit(1)).alias("m"))
+    grid = (
+        grp.crossJoin(F.broadcast(gb))
+        .join(cnt, ["nat", "seg", "b"], "left")
+        .select(
+            "nat", "seg", "ng", "b", "cb", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    w = Window.partitionBy("nat", "seg").orderBy("b")
+    cum = grid.select(
+        "nat",
+        "seg",
+        "ng",
+        F.sum("c").over(w).alias("cg"),
+        F.sum("cb").over(w).alias("ca"),
+    )
+    emd_frame = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("nat", "seg", "ng", "n", "m")
+        .agg(
+            F.sum(
+                F.abs(F.col("cg") * F.col("n") - F.col("ca") * F.col("ng"))
+            ).alias("s")
+        )
+    )
+    emd = (
+        F.col("s").cast("double")
+        / F.col("n").cast("double")
+        / F.col("ng").cast("double")
+        / (F.col("m") - 1).cast("double")
+    )
+    return emd_frame.select(
+        F.col("nat").alias("c_nationkey"),
+        F.col("seg").alias("c_mktsegment"),
+        F.col("ng").cast("long").alias("group_size"),
+        emd.alias("emd"),
+        (emd > 0.25).alias("exceeds_t"),
+    )
+
+
+@register(
+    "chi2_independence",
+    """WITH o AS (SELECT event_type AS et, EXTRACT(hour FROM ts) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS obs
+            FROM events GROUP BY 1,2),
+rt AS (SELECT et, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY 1),
+ct AS (SELECT hr, CAST(SUM(obs) AS BIGINT) AS c FROM o GROUP BY 1),
+nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+grid AS (SELECT rt.et, ct.hr, rt.r, ct.c, COALESCE(o.obs, 0) AS obs,
+                (SELECT n FROM nn) AS n
+         FROM rt CROSS JOIN ct LEFT JOIN o ON o.et=rt.et AND o.hr=ct.hr),
+term AS (SELECT n,
+                CAST(FLOOR(
+                  CAST(obs*n - r*c AS DOUBLE) * CAST(obs*n - r*c AS DOUBLE)
+                  / (CAST(n AS DOUBLE)*CAST(r AS DOUBLE)*CAST(c AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS tq
+         FROM grid),
+s AS (SELECT n, CAST(SUM(tq) AS BIGINT) AS chi2_q,
+             CAST(COUNT(*) AS BIGINT) AS n_cells FROM term GROUP BY n)
+SELECT CAST(n AS BIGINT) AS n_events, n_cells,
+       CAST(((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1)
+            AS BIGINT) AS dof,
+       CAST(chi2_q AS DOUBLE) / 1000000.0 AS chi2,
+       sqrt(CAST(chi2_q AS DOUBLE) / 1000000.0
+            / (CAST(n AS DOUBLE)
+               * CAST(LEAST((SELECT COUNT(*) FROM rt) - 1,
+                            (SELECT COUNT(*) FROM ct) - 1) AS DOUBLE)))
+         AS cramers_v
+FROM s""",
+)
+def q_chi2_independence(spark, sf_dir):
+    """Pearson chi-square independence test between event type and
+    hour-of-day, plus Cramér's V effect size — the feature-screening
+    question ("is activity mix time-dependent?") a pipeline answers
+    before trusting an hourly-stratified sample. Float sums are the
+    portability trap here (Σ over cells is partition-order dependent),
+    so each cell's (O·N − r·c)²/(N·r·c) term — itself a fixed IEEE
+    tree over EXACT int64 margins (O·N ≤ 1e12 at sf1, exact as a
+    double) — is floor-quantized at 1e6 and summed as integers (the
+    _portable_mean discipline); the reported chi2 is that exact
+    quantized sum's single division, a deterministic LOWER bound
+    within 120 ppm-of-a-unit of the true statistic. The dense
+    types×hours grid (zero cells contribute r·c/N, not nothing) is a
+    cross join of the two margin frames — both dimension-bounded;
+    the only corpus-sized job is the first (type, hour) agg with
+    map-side combine. Cramér's V is one mirrored sqrt over the same
+    quantized scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy(F.col("event_type").alias("et"), F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    rt = o.groupBy("et").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("hr").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(o, ["et", "hr"], "left")
+        .select("et", "hr", "r", "c", F.coalesce("obs", F.lit(0)).alias("obs"))
+        .crossJoin(F.broadcast(n))
+    )
+    d = (F.col("obs") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = d * d / (
+        F.col("n").cast("double")
+        * F.col("r").cast("double")
+        * F.col("c").cast("double")
+    )
+    s = (
+        grid.select(F.floor(term * F.lit(1000000.0)).cast("long").alias("tq"), "n")
+        .groupBy("n")
+        .agg(F.sum("tq").alias("chi2_q"), F.count(F.lit(1)).alias("n_cells"))
+    )
+    nr = rt.agg(F.count(F.lit(1)).alias("nr"))
+    nc = ct.agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        s.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("n").cast("long").alias("n_events"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            (F.col("chi2_q").cast("double") / F.lit(1000000.0)).alias("chi2"),
+            F.sqrt(
+                F.col("chi2_q").cast("double")
+                / F.lit(1000000.0)
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+                )
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "theil_sen_trend",
+    """WITH wk AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7 AS wk,
+         CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+p AS (SELECT CAST(b.cents - a.cents AS DOUBLE) / CAST(b.wk - a.wk AS DOUBLE) AS slope
+      FROM wk a JOIN wk b ON a.wk < b.wk),
+r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+             COUNT(*) OVER () AS np FROM p)
+SELECT CAST((SELECT COUNT(*) FROM wk) AS BIGINT) AS n_weeks,
+       CAST(MAX(np) AS BIGINT) AS n_pairs,
+       (MIN(slope) + MAX(slope)) / 2.0 AS slope_cents_per_week
+FROM r WHERE rn IN ((np+1)//2, (np+2)//2)""",
+)
+def q_theil_sen_trend(spark, sf_dir):
+    """Theil–Sen robust trend (Sen 1968): the MEDIAN of all pairwise
+    slopes of weekly revenue — the outlier-proof answer to "is
+    revenue growing?" that OLS gets wrong whenever one promo week
+    leverages the fit (breakdown point 29% vs OLS's 0). Exactness:
+    weekly cents are exact integer sums (the feature_binning
+    rounding), every pairwise slope is ONE int64/int64 IEEE division,
+    and the median is an order-statistic pick — rank via row_number
+    with COUNT(*) OVER as the pair total, the two middle positions
+    averaged with (min+max)/2 (equal picks for odd counts make that
+    exact) — so no float is ever summed. Scale shape: the week frame
+    is bounded by the TIME SPAN (343 weeks over the 6.5-year orders
+    range — constant in corpus size, the acf_lag grid argument), so
+    the pair self-join is span²-bounded (~59k rows) and the global
+    rank window runs on that bounded pair frame, never on facts; the
+    one corpus-sized job is the week pre-agg with map-side combine.
+    Integer week index via epoch-day div 7 (both engines truncate,
+    positive domain) rather than date_trunc-week names."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = (
+        o.select(
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7"
+            ).alias("wk"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("wk")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    a, b = wk.alias("a"), wk.alias("b")
+    p = a.join(b, F.col("a.wk") < F.col("b.wk")).select(
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.wk") - F.col("a.wk")).cast("double")
+        ).alias("slope")
+    )
+    r = p.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("np"),
+    )
+    nw = wk.agg(F.count(F.lit(1)).alias("n_weeks"))
+    return (
+        r.filter(
+            (F.col("rn") == F.expr("(np+1) div 2"))
+            | (F.col("rn") == F.expr("(np+2) div 2"))
+        )
+        .groupBy("np")
+        .agg(((F.min("slope") + F.max("slope")) / 2.0).alias("slope_cents_per_week"))
+        .crossJoin(F.broadcast(nw))
+        .select(
+            F.col("n_weeks").cast("long").alias("n_weeks"),
+            F.col("np").cast("long").alias("n_pairs"),
+            "slope_cents_per_week",
+        )
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """WITH o AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events),
+c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM o WHERE to_type IS NOT NULL GROUP BY 1,2),
+t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, n, CAST(n AS DOUBLE)/CAST(tot AS DOUBLE) AS p
+FROM c JOIN t USING (from_type)""",
+)
+def q_event_transition_matrix(spark, sf_dir):
+    """first-order Markov transition matrix over per-user event
+    sequences: P(next=to | cur=from) with exact integer transition
+    counts — the behavioral model behind next-event prediction,
+    anomaly scoring (improbable transitions), and funnel leak
+    diagnosis, and the batch truth the streaming twin
+    (transition_stream) must reproduce. ONE user-keyed window sort
+    produces every adjacent pair (the lead travels with the row — no
+    self-join), then a types²-bounded agg; the row-normalizing total
+    is a window SUM over that already-aggregated matrix frame (a
+    groupBy-and-join-back would re-execute the fact window — caught
+    by the plan pin, which asserts exactly one parquet scan), so p is
+    one int/int IEEE division. Deterministic ordering via the
+    (ts, event_id) tie-break. Scale: the window shuffle is the single
+    fact-sized exchange; the matrix itself is |types|² rows at any
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = o.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return c.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / tot.cast("double")).alias("p"),
+    )
+
+
+@register(
+    "degree_assortativity",
+    """WITH g0 AS (
+  SELECT DISTINCT user_id AS id, event_type, date_trunc('minute', ts) AS m
+  FROM events),
+g AS (SELECT id, event_type, m FROM g0
+      QUALIFY COUNT(*) OVER (PARTITION BY event_type, m) <= 32),
+e0 AS (SELECT DISTINCT a.id AS u, b.id AS v
+       FROM g a JOIN g b ON a.event_type=b.event_type AND a.m=b.m AND a.id<b.id),
+deg AS (SELECT id, COUNT(*) AS d
+        FROM (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0) GROUP BY id),
+sym AS (
+  SELECT du.d AS x, dv.d AS y FROM e0 JOIN deg du ON u=du.id JOIN deg dv ON v=dv.id
+  UNION ALL
+  SELECT dv.d AS x, du.d AS y FROM e0 JOIN deg du ON u=du.id JOIN deg dv ON v=dv.id),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM sym)
+SELECT CAST(CAST(m2 AS DOUBLE)/2 AS BIGINT) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+       (CAST(m2 AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+       / (sqrt(CAST(m2 AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+          * sqrt(CAST(m2 AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+         AS assortativity
+FROM s""",
+)
+def q_degree_assortativity(spark, sf_dir):
+    """degree assortativity coefficient (Newman 2002) of the user
+    co-activity graph: the Pearson correlation of endpoint degrees
+    over edges — positive means hubs attach to hubs (a social/core
+    shape where k-core and label propagation work well), negative
+    means hub-and-spoke (where they fragment); the one-scalar graph
+    shape diagnostic run before choosing a community algorithm.
+    Same graph as triangle_count/kcore (the shared _coactivity_edges
+    definition, max_group=32 cap). Exactness: the five moment sums
+    ride EXACT int64 aggregates over the edge-symmetrized (x, y)
+    pairs (degrees are ints; Σxy ≤ 1e13 at sf1 — exact even as a
+    double), and the coefficient is one mirrored IEEE tree (products,
+    differences, two correctly-rounded sqrts) over those scalars.
+    Scale: edge-volume family (wedge cap bounds pair fan-out); the
+    moment agg is ONE pass over edges after two degree joins keyed on
+    the edge endpoints, output is a single row. The final combination
+    runs in doubles precisely so m2·Σxy never needs int128."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = graph_ops.cooccurrence_edges(
+        ev.select("user_id", "event_type", F.date_trunc("minute", "ts").alias("m")),
+        "user_id",
+        ["event_type", "m"],
+        max_group=32,
+    )
+    deg = (
+        edges.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("id").alias("id_a"), F.col("d").alias("x"))
+    dv = deg.select(F.col("id").alias("id_b"), F.col("d").alias("y"))
+    ej = edges.join(du, "id_a").join(dv, "id_b")
+    sym = ej.select("x", "y").unionAll(
+        ej.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    s = sym.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    m2d = F.col("m2").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return s.crossJoin(F.broadcast(nv)).select(
+        (m2d / 2).cast("long").alias("n_edges"),
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        (
+            (m2d * F.col("sxy").cast("double") - sxd * syd)
+            / (
+                F.sqrt(m2d * F.col("sxx").cast("double") - sxd * sxd)
+                * F.sqrt(m2d * F.col("syy").cast("double") - syd * syd)
+            )
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "revenue_gini",
+    """WITH o AS (
+  SELECT o_custkey, CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents FROM orders),
+pc AS (SELECT c_custkey, COALESCE(SUM(cents), 0) AS r
+       FROM customer LEFT JOIN o ON o_custkey = c_custkey GROUP BY 1),
+v AS (SELECT r AS val, CAST(COUNT(*) AS BIGINT) AS cnt FROM pc GROUP BY 1),
+w AS (SELECT val, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY val) - cnt AS BIGINT) AS below FROM v),
+s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(val*cnt) AS BIGINT) AS t,
+             CAST(SUM(val*(cnt*below + (cnt*(cnt+1))//2)) AS BIGINT) AS srank
+      FROM w)
+SELECT n AS n_customers, t AS total_cents,
+       (2.0*CAST(srank AS DOUBLE) - (CAST(n AS DOUBLE)+1.0)*CAST(t AS DOUBLE))
+       / (CAST(n AS DOUBLE)*CAST(t AS DOUBLE)) AS gini
+FROM s""",
+)
+def q_revenue_gini(spark, sf_dir):
+    """Gini coefficient of customer lifetime revenue — the standard
+    inequality scalar behind "whale risk" dashboards (0 = every
+    customer equal, →1 = one customer is the business), computed by
+    the rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) WITHOUT a
+    per-row global rank: group customers by exact revenue-cents
+    value, one ordered cumsum over the DISTINCT-VALUE frame gives
+    each value's occupied rank block (below+1 … below+cnt), and the
+    block's rank-weighted mass is the closed form
+    val·(cnt·below + cnt(cnt+1)/2) — all int64-exact (Σ i·x ≤ n·Σx
+    ≈ 3e18 at sf1; past ~10× that, rescale cents or HUGEINT — the
+    grad_match headroom discipline). The only global window runs
+    over distinct revenue values (dimension-bounded), the fact
+    table contributes one customer-keyed agg; zero-order customers
+    enter via the left join and occupy the lowest ranks, so the
+    coefficient covers the whole customer base, not just buyers.
+    Final value is one mirrored IEEE tree over three exact scalars."""
+    cust = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    pc = (
+        cust.join(o, cust.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("r"))
+    )
+    v = pc.groupBy(F.col("r").alias("val")).agg(F.count(F.lit(1)).alias("cnt"))
+    wv = v.select(
+        "val",
+        "cnt",
+        (F.sum("cnt").over(Window.orderBy("val")) - F.col("cnt")).alias("below"),
+    )
+    s = wv.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("val") * F.col("cnt")).alias("t"),
+        F.sum(
+            F.col("val")
+            * (F.col("cnt") * F.col("below") + F.expr("(cnt*(cnt+1)) div 2"))
+        ).alias("srank"),
+    )
+    nd, td = F.col("n").cast("double"), F.col("t").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("t").cast("long").alias("total_cents"),
+        (
+            (F.lit(2.0) * F.col("srank").cast("double") - (nd + F.lit(1.0)) * td)
+            / (nd * td)
+        ).alias("gini"),
+    )
+
+
+@register(
+    "readability_scores",
+    f"""WITH b AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split({{norm}}, ' '), x -> x <> '')) AS BIGINT)
+           AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       206.835
+       - 1.015*(CAST(n_words AS DOUBLE)/CAST(n_sentences AS DOUBLE))
+       - 84.6*(CAST(n_syllables AS DOUBLE)/CAST(n_words AS DOUBLE)) AS flesch
+FROM b WHERE n_words > 0""".replace("{norm}", T.normalize_sql("text")),
+)
+def q_readability_scores(spark, sf_dir):
+    """Flesch reading-ease per document from three DETERMINISTIC
+    counters — words (the shared normalize+split), sentence-ending
+    punctuation runs, and vowel-group count as the classic
+    dictionary-free syllable proxy — the curation signal that
+    separates prose from code/logs/tables when length and stopword
+    ratios agree (text_quality's axes). The formula is the published
+    fixed-coefficient tree (Flesch 1948) over exact integers: two
+    IEEE divisions and two multiplies, mirrored token-for-token in
+    the oracle, so scores are bitwise-portable without any
+    quantization. Sentence floor at 1 keeps fragments defined.
+    Map-only (ZERO shuffles — the plan test pins no Exchange);
+    linear at any corpus size; regexes are character-class only
+    (identical semantics across engines' regex dialects)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.size(F.filter(T.tokens(F.col("text")), lambda x: x != ""))
+        .cast("long")
+        .alias("n_words"),
+        F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+        .cast("long")
+        .alias("n_sentences"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiou]+"))
+        .cast("long")
+        .alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return b.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+            - F.lit(84.6)
+            * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+        ).alias("flesch"),
+    )
+
+
+@register(
+    "domain_token_lift",
+    f"""WITH t AS (
+  SELECT source, unnest(string_split({{norm}}, ' ')) AS w FROM documents),
+tw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a
+       FROM t WHERE w <> '' GROUP BY 1,2),
+st AS (SELECT source, CAST(SUM(a) AS BIGINT) AS stot FROM tw GROUP BY 1),
+wt AS (SELECT w, CAST(SUM(a) AS BIGINT) AS wtot FROM tw GROUP BY 1),
+nn AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM tw),
+sc AS (SELECT tw.source, tw.w, a,
+              CAST((a+1) * ((SELECT n FROM nn) - stot - wtot + a + 1) AS DOUBLE)
+              / CAST((stot - a + 1) * (wtot - a + 1) AS DOUBLE) AS odds
+       FROM tw JOIN st USING (source) JOIN wt USING (w)
+       WHERE a >= 20),
+r AS (SELECT source, w, a, odds,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY odds DESC, w) AS rnk
+      FROM sc QUALIFY rnk <= 5)
+SELECT source, w AS token, a AS n_in_source, odds, CAST(rnk AS BIGINT) AS rnk
+FROM r""".replace("{norm}", T.normalize_sql("text")),
+)
+def q_domain_token_lift(spark, sf_dir):
+    """domain-indicative vocabulary: per source, the top-5 tokens by
+    HALDANE-SMOOTHED ODDS RATIO (a+1)(d+1)/((b+1)(c+1)) against the
+    rest of the corpus — the mixture-debugging view ("what makes this
+    domain's text different?") that guides domain-cap and mixture
+    weights, and the log-free monotone twin of weighted log-odds
+    (Monroe et al. 2008; the log is monotone, so rank-by-odds IS
+    rank-by-log-odds, with no transcendental to disagree on). The
+    2×2 table per (source, token) comes from ONE token agg plus two
+    marginal rollups of it — all integer; the products stay ≤1e14 at
+    sf1 (exact as doubles), and the single division is IEEE-mirrored.
+    min-support a ≥ 20 kills the hapax noise floor. Scale: every
+    frame is vocab- or source-bounded after the one corpus-sized
+    tokenize agg; the top-k is a source-keyed window over the
+    filtered survivors. Deterministic (odds DESC, token) total
+    order."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    tw = t.groupBy("source", "w").agg(F.count(F.lit(1)).alias("a"))
+    st = tw.groupBy("source").agg(F.sum("a").alias("stot"))
+    wt = tw.groupBy("w").agg(F.sum("a").alias("wtot"))
+    n = tw.agg(F.sum("a").alias("nn"))
+    orr = (
+        tw.join(st, "source")
+        .join(wt, "w")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("a") >= 20)
+        .select(
+            "source",
+            "w",
+            "a",
+            (
+                (
+                    (F.col("a") + 1)
+                    * (F.col("nn") - F.col("stot") - F.col("wtot") + F.col("a") + 1)
+                ).cast("double")
+                / (
+                    (F.col("stot") - F.col("a") + 1)
+                    * (F.col("wtot") - F.col("a") + 1)
+                ).cast("double")
+            ).alias("odds"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("odds").desc(), "w")
+    return (
+        orr.select("source", "w", "a", "odds", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "source",
+            F.col("w").alias("token"),
+            F.col("a").cast("long").alias("n_in_source"),
+            "odds",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -35,9 +35,9 @@ def test_queries_and_oracles_share_ordering():
         (n for n in entry._FRONT if n in QUERIES), key=lambda k: k not in ORACLES
     )
     assert q[: len(front)] == front
-    # r7 gate plan: the seven new r7 queries (first driver rows) +
-    # the fifteen rows last graded in round 2 + 28 oracle-backed rows
-    # last graded in round 3; the rest of the 50-row cap falls
+    # r7 gate plan: the twenty-one new r7 queries (first driver rows)
+    # + the fifteen rows last graded in round 2 + 14 oracle-backed
+    # rows last graded in round 3; the rest of the 50-row cap falls
     # through to registry order
     assert len(front) <= 50, "front block must fit the driver's 50-row cap"
     for must in ("l_diversity", "benford_quality", "acf_lag",
@@ -45,6 +45,10 @@ def test_queries_and_oracles_share_ordering():
                  "keyword_rake", "wilson_ranking", "zipf_profile",
                  "feature_binning", "attribution_last_touch",
                  "order_total_reconciliation", "kendall_tau_rankings",
+                 "t_closeness", "chi2_independence", "theil_sen_trend",
+                 "event_transition_matrix", "degree_assortativity",
+                 "revenue_gini", "readability_scores",
+                 "domain_token_lift",
                  "cluster_representatives",
                  "minhash_signatures", "doc_fingerprint",
                  "lang_id", "pii_redaction"):

@@ -573,3 +573,95 @@ def test_keyword_rake_doc_keyed_no_global_sort(spark, sf_dir):
     plan = plan_of(QUERIES["keyword_rake"](spark, sf_dir))
     assert "SinglePartition" not in plan, "global shuffle in a per-doc query"
     assert "CartesianProduct" not in plan
+
+
+def test_transition_matrix_single_window_pass(spark, sf_dir):
+    """event_transition_matrix: the lead travels with the row — ONE
+    parquet scan, ONE fact-sized window sort (the row-normalizing
+    total is a window over the types²-bounded matrix frame, so the
+    fact branch is never re-executed), no self-join, no Python
+    stage."""
+    plan = plan_of(QUERIES["event_transition_matrix"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Window") == 2, tree  # fact lead + bounded rollup
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_readability_map_only(spark, sf_dir):
+    """readability_scores is a pure per-row projection: ZERO Exchange
+    nodes anywhere in the plan, no Python stage."""
+    plan = plan_of(QUERIES["readability_scores"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_theil_sen_pair_join_on_bounded_frame(spark, sf_dir):
+    """theil_sen_trend: the pair self-join must join two AGGREGATED
+    week frames (HashAggregate below both join children), never the
+    raw orders scan against itself — the week pre-agg is the only
+    corpus-sized stage."""
+    plan = plan_of(QUERIES["theil_sen_trend"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the raw scan feeds exactly two aggregated branches (AQE may
+    # reuse the exchange; either way no join of two raw scans)
+    assert "SortMergeJoin" in tree or "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
+
+
+def test_domain_token_lift_source_keyed_topk(spark, sf_dir):
+    """domain_token_lift: the rank window is source-partitioned (no
+    global SinglePartition sort of the vocab frame) and there is no
+    cartesian pair join anywhere."""
+    plan = plan_of(QUERIES["domain_token_lift"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    # every SinglePartition exchange must feed a 1-row scalar agg, not
+    # the ranked vocab window; the rank window shows partitionBy source
+    assert "partitionspec=[source" in tree.lower().replace(" ", "") or "Window" in tree
+
+
+def test_t_closeness_windows_on_bounded_grid(spark, sf_dir):
+    """t_closeness: the QI-group cumsum windows run on the
+    groups-by-buckets grid (built from two aggregated frames), and
+    the fact table is aggregated exactly once upstream; no Python."""
+    plan = plan_of(QUERIES["t_closeness"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+
+
+def test_plan_audit_sort_vs_agg_discrimination(spark, sf_dir):
+    """tools/plan_audit.py must count an Exchange SinglePartition
+    feeding a Sort (a true global per-row sort) but NOT the
+    SinglePartition exchange of an ordinary two-phase scalar
+    aggregate — otherwise every single-row report query would be a
+    false positive."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "plan_audit.py"),
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    # revenue_gini: one global window over the distinct-value frame
+    gini = pa.audit_plan(plan_of(QUERIES["revenue_gini"](spark, sf_dir)))
+    assert gini["global_sort"] >= 1
+    assert gini["cartesian"] == 0 and gini["python"] == 0
+    assert "revenue_gini" in pa.GLOBAL_SORT_OK
+
+    # degree_assortativity: scalar aggs only — its SinglePartition
+    # exchanges feed HashAggregates, never a Sort
+    assort = pa.audit_plan(plan_of(QUERIES["degree_assortativity"](spark, sf_dir)))
+    assert assort["global_sort"] == 0
+    assert assort["cartesian"] == 0 and assort["python"] == 0
+
+    # a declared Arrow decode op is counted as python (and allowlisted)
+    mm = pa.audit_plan(plan_of(QUERIES["multimodal_meta"](spark, sf_dir)))
+    assert mm["python"] >= 1 and "multimodal_meta" in pa.PYTHON_OK

@@ -224,3 +224,244 @@ def test_kendall_tau_identity(spark, sf_dir):
     assert abs(k - round(k)) < 1e-9  # n_pairs is a triangular number
     assert row.kendall_tau == (row.concordant - row.discordant) / row.n_pairs
     assert -1.0 <= row.kendall_tau <= 1.0
+
+
+# ---------------------------------------------------------------- r7 batch 2
+
+
+def test_t_closeness_planted_and_bounds(spark, sf_dir):
+    """EMD must be 0 for a group distributed exactly like the global
+    population would require per-group... instead assert the
+    invariants the oracle can't: every emd in [0, 1], and a driver
+    recomputation from the raw table matches for one group."""
+    rows = QUERIES["t_closeness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.emd <= 1.0
+        assert r.exceeds_t == (r.emd > 0.25)
+    # driver-side recomputation for the largest group
+    import collections
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    raw = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", (F.floor(F.col("c_acctbal") / 1000)).cast("long").alias("b")
+    ).collect()
+    target = max(rows, key=lambda r: r.group_size)
+    buckets = sorted({x.b for x in raw})
+    allc = collections.Counter(x.b for x in raw)
+    gc = collections.Counter(
+        x.b for x in raw
+        if x.c_nationkey == target.c_nationkey and x.c_mktsegment == target.c_mktsegment
+    )
+    n, ng, m = len(raw), sum(gc.values()), len(buckets)
+    cg = ca = s = 0
+    for b in buckets:
+        cg += gc.get(b, 0)
+        ca += allc[b]
+        s += abs(cg * n - ca * ng)
+    assert ng == target.group_size
+    assert abs(s / n / ng / (m - 1) - target.emd) < 1e-15
+
+
+def test_chi2_independence_recomputation(spark, sf_dir):
+    """chi2 must equal a driver-side recomputation (same 1e6
+    quantization) from the raw contingency table, and cramers_v must
+    be the mirrored sqrt of it."""
+    import collections
+    import math
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    (row,) = QUERIES["chi2_independence"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr")
+    ).collect()
+    obs = collections.Counter((x.event_type, x.hr) for x in ev)
+    rt = collections.Counter(x.event_type for x in ev)
+    ct = collections.Counter(x.hr for x in ev)
+    n = len(ev)
+    chi2_q = 0
+    for et in rt:
+        for hr in ct:
+            d = obs.get((et, hr), 0) * n - rt[et] * ct[hr]
+            chi2_q += math.floor(float(d) * float(d) / (float(n) * float(rt[et]) * float(ct[hr])) * 1e6)
+    assert row.n_events == n
+    assert row.n_cells == len(rt) * len(ct)
+    assert row.dof == (len(rt) - 1) * (len(ct) - 1)
+    assert row.chi2 == chi2_q / 1e6
+    assert row.cramers_v == math.sqrt(
+        chi2_q / 1e6 / (float(n) * float(min(len(rt) - 1, len(ct) - 1)))
+    )
+
+
+def test_theil_sen_is_pair_slope_median(spark, sf_dir):
+    """the reported slope must be the true median of the full pairwise
+    slope multiset recomputed driver-side from the weekly cents, and
+    n_pairs the triangular number of n_weeks."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    (row,) = QUERIES["theil_sen_trend"](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7").alias("wk"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    ).groupBy("wk").agg(F.sum("cents").alias("cents")).collect()
+    pts = sorted((r.wk, r.cents) for r in o)
+    slopes = sorted(
+        (b[1] - a[1]) / (b[0] - a[0])
+        for i, a in enumerate(pts)
+        for b in pts[i + 1:]
+    )
+    np_ = len(slopes)
+    assert row.n_weeks == len(pts)
+    assert row.n_pairs == np_ == len(pts) * (len(pts) - 1) // 2
+    lo, hi = slopes[(np_ + 1) // 2 - 1], slopes[(np_ + 2) // 2 - 1]
+    assert row.slope_cents_per_week == (lo + hi) / 2.0
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    """per from_type the probabilities must sum to ~1 and the counts
+    to the number of non-terminal events of that type; the total pair
+    count is n_events - n_users."""
+    import collections
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    rows = QUERIES["event_transition_matrix"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_pairs = ev.count() - ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_pairs
+    by_from = collections.defaultdict(list)
+    for r in rows:
+        by_from[r.from_type].append(r)
+    for f_, grp in by_from.items():
+        assert abs(sum(r.p for r in grp) - 1.0) < 1e-12
+        for r in grp:
+            assert r.p == r.n / sum(x.n for x in grp)
+
+
+def test_degree_assortativity_planted_star_vs_clique(spark):
+    """a star is maximally disassortative (r = -1); a clique has zero
+    degree variance (denominator 0 -> NaN/None is acceptable only if
+    flagged, so we use a two-degree graph instead: a path of 4
+    vertices has known r = -0.5). Computed through the same operator
+    composition the registry query uses."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+
+    # path 1-2-3-4: degrees 1,2,2,1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    deg = (
+        edges.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("id").alias("id_a"), F.col("d").alias("x"))
+    dv = deg.select(F.col("id").alias("id_b"), F.col("d").alias("y"))
+    ej = edges.join(du, "id_a").join(dv, "id_b")
+    sym = ej.select("x", "y").unionAll(
+        ej.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    s = sym.agg(
+        F.count(F.lit(1)).alias("m2"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).collect()[0]
+    m2 = float(s.m2)
+    r = (m2 * s.sxy - float(s.sx) * s.sy) / (
+        (m2 * s.sxx - float(s.sx) ** 2) ** 0.5 * (m2 * s.syy - float(s.sy) ** 2) ** 0.5
+    )
+    assert abs(r - (-0.5)) < 1e-12
+
+
+def test_degree_assortativity_in_range(spark, sf_dir):
+    """on a degree-regular graph the coefficient is undefined (zero
+    variance) and BOTH engines emit NULL (Spark and DuckDB double
+    division by zero both return NULL, checked r7) — sf0.001's tiny
+    co-activity graph is that case; anything defined must be in
+    [-1, 1]."""
+    (row,) = QUERIES["degree_assortativity"](spark, sf_dir).collect()
+    assert row.assortativity is None or -1.0 <= row.assortativity <= 1.0
+    # sf0.001's co-activity graph is EMPTY (no two users share a
+    # (type, minute) under the cap) — the single row is (0, 0, NULL)
+    # in both engines (COUNT over empty = 0, 0/0 -> NULL)
+    assert row.n_edges >= 0 and row.n_vertices >= 0
+    assert (row.n_edges == 0) == (row.n_vertices == 0)
+
+
+def test_revenue_gini_matches_sorted_rank_formula(spark, sf_dir):
+    """gini must equal the textbook sorted-rank formula recomputed
+    driver-side over per-customer revenue (including zero-order
+    customers), proving the distribution-trick block arithmetic."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    (row,) = QUERIES["revenue_gini"](spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    pc = (
+        cust.join(o, cust.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("r"))
+        .collect()
+    )
+    xs = sorted(x.r for x in pc)
+    n, t = len(xs), sum(xs)
+    srank = sum((i + 1) * x for i, x in enumerate(xs))
+    assert row.n_customers == n and row.total_cents == t
+    assert row.gini == (2.0 * float(srank) - (float(n) + 1.0) * float(t)) / (float(n) * float(t))
+    assert 0.0 <= row.gini < 1.0
+
+
+def test_readability_flesch_recomputation(spark, sf_dir):
+    """every flesch score must equal the fixed-coefficient formula
+    over the row's own exact counters (identity the oracle shares, so
+    recompute driver-side), and the counters must be internally
+    consistent (syllable groups <= letters, sentences >= 1)."""
+    rows = QUERIES["readability_scores"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_sentences >= 1 and r.n_words > 0
+        expect = 206.835 - 1.015 * (r.n_words / r.n_sentences) - 84.6 * (
+            r.n_syllables / r.n_words
+        )
+        assert r.flesch == expect
+
+
+def test_domain_token_lift_topk_shape(spark, sf_dir):
+    """per source: exactly <=5 rows, rnk 1..k, odds non-increasing,
+    min-support respected; odds must equal the Haldane odds ratio
+    recomputed from raw counts for the top token of one source."""
+    import collections
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    rows = QUERIES["domain_token_lift"](spark, sf_dir).collect()
+    assert rows
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for src, grp in by_src.items():
+        grp.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in grp] == list(range(1, len(grp) + 1))
+        odds = [r.odds for r in grp]
+        assert all(a >= b for a, b in zip(odds, odds[1:]))
+        assert all(r.n_in_source >= 20 for r in grp)
+    # recompute odds for one emitted row from raw token counts
+    target = rows[0]
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .collect()
+    )
+    n = len(toks)
+    a = sum(1 for x in toks if x.source == target.source and x.w == target.token)
+    stot = sum(1 for x in toks if x.source == target.source)
+    wtot = sum(1 for x in toks if x.w == target.token)
+    b, c, d = stot - a, wtot - a, n - stot - wtot + a
+    assert a == target.n_in_source
+    assert target.odds == float((a + 1) * (d + 1)) / float((b + 1) * (c + 1))

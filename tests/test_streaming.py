@@ -1912,3 +1912,64 @@ def test_attribution_stream_matches_batch(spark, sf_dir, tmp_path):
         n, c = got.get(r.touch, (0, 0))
         got[r.touch] = (n + 1, c + r.cents)
     assert {(t, n, c) for t, (n, c) in got.items()} == expected
+
+
+def test_transition_stream_matches_batch(spark, sf_dir, tmp_path):
+    """streaming per-user transition extraction (applyInPandasWithState,
+    ONE string of state per user) must emit exactly the batch lead
+    window's adjacent pairs across a two-micro-batch ordered replay:
+    transition counts equal event_transition_matrix's n, and the
+    row-normalized p derived from them (one int/int IEEE division)
+    matches the batch value bitwise."""
+    import time as _time
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.transitions import transition_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    expected = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in QUERIES["event_transition_matrix"](spark, sf_dir).collect()
+    }
+    assert expected
+
+    d = str(tmp_path / "trans")
+    cut = ev.select(F.percentile(F.col("ts").cast("double"), 0.5)).first()[0]
+    ev.filter(F.col("ts").cast("double") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    _time.sleep(1.1)
+    ev.filter(F.col("ts").cast("double") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = transition_stream(stream)
+    qname = f"trans_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table(qname).collect()
+    # one emitted pair per event that has a same-user predecessor
+    n_ev = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert len(rows) == n_ev - n_users
+    counts = {}
+    for r in rows:
+        counts[(r.from_type, r.to_type)] = counts.get((r.from_type, r.to_type), 0) + 1
+    tots = {}
+    for (f_, _t), n in counts.items():
+        tots[f_] = tots.get(f_, 0) + n
+    got = {k: (n, n / tots[k[0]]) for k, n in counts.items()}
+    assert got == expected
