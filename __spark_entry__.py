@@ -59,6 +59,12 @@ _FRONT = [
     "revenue_gini",
     "readability_scores",
     "domain_token_lift",
+    # --- r7 third batch (first driver rows): rank-sum A/B test,
+    # trigram path mining, offline changepoint, RFM segments ---
+    "mann_whitney_u",
+    "session_path_topk",
+    "changepoint_detection",
+    "rfm_segmentation",
     # --- stale-cohort rotation (VERDICT r4 item 5 discipline): the
     # fifteen rows not driver-graded since ROUND 2 ---
     "cluster_representatives",
@@ -88,7 +94,9 @@ _FRONT = [
     # nation_trade_volume, returned_revenue_customers,
     # revenue_concentration, small_qty_revenue, supplier_part_variety)
     # wait for the r8 rotation so every r7 gate slot lands a hard
-    # hash_match row ---
+    # hash_match row (batch 3 took four more slots: important_parts,
+    # join_key_skew_profile, kcore_portable, label_propagation also
+    # wait for r8) ---
     "bpe_merges",
     "conversion_lag",
     "customer_order_distribution",
@@ -99,10 +107,6 @@ _FRONT = [
     "hard_negative_mining",
     "heavy_hitters_cms",
     "hll_portable_rollup",
-    "important_parts",
-    "join_key_skew_profile",
-    "kcore_portable",
-    "label_propagation",
 ]
 
 

@@ -11008,3 +11008,305 @@ def q_domain_token_lift(spark, sf_dir):
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r7 third batch: nonparametric A/B testing, path mining, offline
+# changepoint, and RFM customer segmentation.
+
+
+@register(
+    "mann_whitney_u",
+    """WITH j AS (
+  SELECT CAST(round(o_totalprice*100,0) AS BIGINT) AS cents,
+         c_mktsegment = 'BUILDING' AS ga
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+v AS (SELECT cents AS val,
+             CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM j GROUP BY 1),
+w AS (SELECT val, ca, cb, ca+cb AS t,
+             CAST(SUM(ca+cb) OVER (ORDER BY val) - (ca+cb) AS BIGINT) AS below
+      FROM v),
+s AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(SUM(ca*(2*below + t + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(t*t*t - t) AS BIGINT) AS tcorr
+      FROM w)
+SELECT na AS n_a, nb AS n_b,
+       CAST(r2a - na*(na+1) AS DOUBLE)/2.0 AS u_a,
+       (CAST(r2a - na*(na+1) AS DOUBLE)/2.0
+        - CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/2.0)
+       / sqrt(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/12.0
+              * ((CAST(na+nb AS DOUBLE)+1.0)
+                 - CAST(tcorr AS DOUBLE)
+                   / (CAST(na+nb AS DOUBLE)*(CAST(na+nb AS DOUBLE)-1.0)))) AS z
+FROM s""",
+)
+def q_mann_whitney_u(spark, sf_dir):
+    """Mann–Whitney U rank-sum test (Mann & Whitney 1947): does the
+    BUILDING segment spend differently per order than everyone else?
+    — the nonparametric A/B primitive that needs no normality
+    assumption (chi2_independence's categorical sibling; Wilson/
+    Kendall complete the inference suite). The portability work is
+    making RANKS exact without ranking rows: group the pooled sample
+    by exact cents value, one ordered cumsum over the distinct-VALUE
+    frame (revenue_gini's distribution trick) gives each value's rank
+    block, and DOUBLED midranks 2·below+t+1 keep the tie-midrank
+    .5s in int64 — so 2·U_A and the Σ(t³−t) tie correction are EXACT
+    integers, and U/z are one mirrored IEEE tree (a correctly-rounded
+    sqrt, no float ever summed). Scale: one fact join + one value agg
+    with map-side combine; the window runs over distinct cents values
+    (dimension-bounded, plan_audit-allowlisted); single-row output."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_mktsegment") == "BUILDING").alias("ga")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    j = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+        "cents", "ga"
+    )
+    v = j.groupBy(F.col("cents").alias("val")).agg(
+        F.sum(F.when(F.col("ga"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("ga"), 0).otherwise(1)).alias("cb"),
+    )
+    w = Window.orderBy("val")
+    wv = v.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        (
+            F.sum(F.col("ca") + F.col("cb")).over(w)
+            - (F.col("ca") + F.col("cb"))
+        ).alias("below"),
+    )
+    s = wv.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("below") + F.col("t") + 1)).alias("r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tcorr"),
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    nd = (F.col("na") + F.col("nb")).cast("double")
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    z = (u2.cast("double") / F.lit(2.0) - nad * nbd / F.lit(2.0)) / F.sqrt(
+        nad
+        * nbd
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tcorr").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (u2.cast("double") / F.lit(2.0)).alias("u_a"),
+        z.alias("z"),
+    )
+
+
+@register(
+    "session_path_topk",
+    """WITH p AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events),
+c AS (SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p WHERE e3 IS NOT NULL GROUP BY 1,2,3)
+SELECT e1, e2, e3, n FROM c ORDER BY n DESC, e1, e2, e3 LIMIT 20""",
+)
+def q_session_path_topk(spark, sf_dir):
+    """top-20 three-step user paths (event trigrams) — the path-mining
+    view behind "how do users actually reach a purchase?" dashboards,
+    and the order-3 extension of event_transition_matrix's bigram
+    model (a path that outcounts its transition-product is a
+    correlated FLOW, not two independent hops). Both leads ride the
+    SAME user-keyed window sort (one fact exchange — the plan pin
+    asserts one Window and one scan), the trigram agg is types³-
+    bounded, and the top-k is a TakeOrdered on the total
+    (n DESC, path) order. All-integer; linear at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    c = p.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(20)
+        .select("e1", "e2", "e3", F.col("n").cast("long").alias("n"))
+    )
+
+
+@register(
+    "changepoint_detection",
+    """WITH wk AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7 AS wk,
+         CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+pre AS (SELECT wk,
+               ROW_NUMBER() OVER (ORDER BY wk) AS i,
+               SUM(cents) OVER (ORDER BY wk) AS s1,
+               COUNT(*) OVER () AS nw,
+               SUM(cents) OVER () AS st
+        FROM wk QUALIFY i >= 4 AND nw - i >= 4),
+cand AS (SELECT wk, i, nw,
+                CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(i AS DOUBLE)
+                + CAST(st - s1 AS DOUBLE)*CAST(st - s1 AS DOUBLE)/CAST(nw - i AS DOUBLE)
+                  AS score,
+                CAST(s1 AS DOUBLE)/CAST(i AS DOUBLE) AS mean_before,
+                CAST(st - s1 AS DOUBLE)/CAST(nw - i AS DOUBLE) AS mean_after
+         FROM pre)
+SELECT CAST(DATE '1970-01-01' + INTERVAL ((wk+1)*7) DAY AS DATE) AS split_week,
+       CAST(i AS BIGINT) AS weeks_before, CAST(nw - i AS BIGINT) AS weeks_after,
+       mean_before, mean_after, score
+FROM cand ORDER BY score DESC, wk LIMIT 1""",
+)
+def q_changepoint_detection(spark, sf_dir):
+    """offline changepoint detection on weekly revenue — one round of
+    binary segmentation (Scott & Knott 1974's split step; the OFFLINE
+    complement to cusum_alerts' online Page test): the week boundary
+    minimizing two-segment SSE, found via the prefix-sum identity
+    argmin SSE == argmax S₁²/n₁ + S₂²/n₂ (Σx² cancels — so the
+    scoring needs NO sum of squares, just the cumsum the week frame
+    already carries; S ≤ ~2e13 cents is exact as a double, and each
+    candidate's score is a fixed IEEE tree, identical ulp-for-ulp in
+    both engines, making even the argmax tie-break deterministic).
+    Minimum segment length 4 weeks per side (the standard guard —
+    edge splits otherwise win on one partial week). Scale: the
+    candidate frame IS the span-bounded week frame (343 rows at any
+    corpus size; theil_sen_trend's argument), the corpus pays one
+    week pre-agg; the winner is a 1-row TakeOrdered."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = (
+        o.select(
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7"
+            ).alias("wk"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("wk")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.orderBy("wk")
+    pre = wk.select(
+        "wk",
+        F.row_number().over(w).alias("i"),
+        F.sum("cents").over(w).alias("s1"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("nw"),
+        F.sum("cents").over(Window.partitionBy(F.lit(1))).alias("st"),
+    ).filter((F.col("i") >= 4) & (F.col("nw") - F.col("i") >= 4))
+    s1d = F.col("s1").cast("double")
+    s2d = (F.col("st") - F.col("s1")).cast("double")
+    n1d = F.col("i").cast("double")
+    n2d = (F.col("nw") - F.col("i")).cast("double")
+    cand = pre.select(
+        "wk",
+        "i",
+        "nw",
+        (s1d * s1d / n1d + s2d * s2d / n2d).alias("score"),
+        (s1d / n1d).alias("mean_before"),
+        (s2d / n2d).alias("mean_after"),
+    )
+    return (
+        cand.orderBy(F.col("score").desc(), "wk")
+        .limit(1)
+        .select(
+            F.expr("date_add(DATE '1970-01-01', CAST((wk+1)*7 AS INT))").alias(
+                "split_week"
+            ),
+            F.col("i").cast("long").alias("weeks_before"),
+            (F.col("nw") - F.col("i")).cast("long").alias("weeks_after"),
+            "mean_before",
+            "mean_after",
+            "score",
+        )
+    )
+
+
+@register(
+    "rfm_segmentation",
+    """WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+  FROM orders),
+mx AS (SELECT MAX(d) AS maxd FROM o),
+per AS (SELECT o_custkey,
+               datediff('day', MAX(d), (SELECT maxd FROM mx)) AS rec,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(cents) AS BIGINT) AS money
+        FROM o GROUP BY 1),
+scored AS (SELECT o_custkey, money,
+                  NTILE(4) OVER (ORDER BY rec DESC, o_custkey) AS r_score,
+                  NTILE(4) OVER (ORDER BY freq ASC, o_custkey) AS f_score,
+                  NTILE(4) OVER (ORDER BY money ASC, o_custkey) AS m_score
+           FROM per)
+SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(money) AS BIGINT) AS total_cents
+FROM scored GROUP BY 1,2,3""",
+)
+def q_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation (Hughes 1994's recency/frequency/
+    monetary quartiles — the classic CRM segmentation): per buying
+    customer, days-since-last-order, order count, and lifetime cents,
+    each quartile-scored 1–4 (4 = best: most recent / most frequent /
+    highest spend), reported as the segment-cell dictionary (counts +
+    exact cents — never the per-customer rows). Determinism: all
+    three metrics are exact integers off ONE customer-keyed fact agg;
+    NTILE runs over TOTAL (metric, custkey) orders so ties can't flip
+    quartile membership, and NTILE's earlier-buckets-get-the-
+    remainder rule is identical in Spark and DuckDB (feature_binning's
+    argument). Scale: the three NTILEs are global sorts over the
+    CUSTOMER-dimension frame (not facts) — feature_binning's
+    documented wart, same 100 TB replacement (approx-quantile
+    boundaries + map-only scoring), which this query's ≤64-row output
+    makes drop-in; plan_audit-allowlisted with that justification."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    mx = o.agg(F.max("d").alias("maxd"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("lastd"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("money"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("maxd"), F.col("lastd")).cast("long").alias("rec"),
+            "freq",
+            "money",
+        )
+    )
+    scored = per.select(
+        "money",
+        F.ntile(4).over(Window.orderBy(F.col("rec").desc(), "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.col("freq").asc(), "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.col("money").asc(), "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("money").cast("long").alias("total_cents"),
+        )
+        .select(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+            "n_customers",
+            "total_cents",
+        )
+    )

@@ -35,8 +35,8 @@ def test_queries_and_oracles_share_ordering():
         (n for n in entry._FRONT if n in QUERIES), key=lambda k: k not in ORACLES
     )
     assert q[: len(front)] == front
-    # r7 gate plan: the twenty-one new r7 queries (first driver rows)
-    # + the fifteen rows last graded in round 2 + 14 oracle-backed
+    # r7 gate plan: the twenty-five new r7 queries (first driver rows)
+    # + the fifteen rows last graded in round 2 + 10 oracle-backed
     # rows last graded in round 3; the rest of the 50-row cap falls
     # through to registry order
     assert len(front) <= 50, "front block must fit the driver's 50-row cap"
@@ -49,6 +49,8 @@ def test_queries_and_oracles_share_ordering():
                  "event_transition_matrix", "degree_assortativity",
                  "revenue_gini", "readability_scores",
                  "domain_token_lift",
+                 "mann_whitney_u", "session_path_topk",
+                 "changepoint_detection", "rfm_segmentation",
                  "cluster_representatives",
                  "minhash_signatures", "doc_fingerprint",
                  "lang_id", "pii_redaction"):

@@ -665,3 +665,34 @@ def test_plan_audit_sort_vs_agg_discrimination(spark, sf_dir):
     # a declared Arrow decode op is counted as python (and allowlisted)
     mm = pa.audit_plan(plan_of(QUERIES["multimodal_meta"](spark, sf_dir)))
     assert mm["python"] >= 1 and "multimodal_meta" in pa.PYTHON_OK
+
+
+def test_session_path_single_window_takeordered(spark, sf_dir):
+    """session_path_topk: both leads ride ONE user-keyed window sort
+    over ONE scan, and the top-20 is a TakeOrdered, never a global
+    sort of the trigram frame."""
+    plan = plan_of(QUERIES["session_path_topk"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1, tree
+    assert tree.count("Scan parquet") == 1, tree
+    assert "TakeOrderedAndProject" in tree
+
+
+def test_mann_whitney_value_frame_window(spark, sf_dir):
+    """mann_whitney_u: the customer dim arrives broadcast and the rank
+    cumsum runs on the distinct-value frame (below an aggregate), not
+    on raw orders; no Python, no cartesian."""
+    plan = plan_of(QUERIES["mann_whitney_u"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_changepoint_takeordered_one_scan(spark, sf_dir):
+    """changepoint_detection: candidates come from the span-bounded
+    week frame (one scan, one pre-agg) and the winner is a 1-row
+    TakeOrdered."""
+    plan = plan_of(QUERIES["changepoint_detection"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "TakeOrderedAndProject" in tree

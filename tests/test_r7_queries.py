@@ -465,3 +465,126 @@ def test_domain_token_lift_topk_shape(spark, sf_dir):
     b, c, d = stot - a, wtot - a, n - stot - wtot + a
     assert a == target.n_in_source
     assert target.odds == float((a + 1) * (d + 1)) / float((b + 1) * (c + 1))
+
+
+# ---------------------------------------------------------------- r7 batch 3
+
+
+def test_mann_whitney_matches_scipy_free_recomputation(spark, sf_dir):
+    """U and z must equal a driver-side midrank recomputation from the
+    raw joined sample (ties handled by the midrank convention), and
+    U_A + U_B must equal n_a*n_b (the U-statistic identity)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    (row,) = QUERIES["mann_whitney_u"](spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    rows = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .select("cents", (F.col("c_mktsegment") == "BUILDING").alias("ga"))
+        .collect()
+    )
+    pooled = sorted((r.cents, r.ga) for r in rows)
+    # midranks via value blocks
+    import collections
+
+    blocks = collections.Counter(v for v, _ in pooled)
+    below, midrank = {}, {}
+    c = 0
+    for v in sorted(blocks):
+        midrank[v] = c + (blocks[v] + 1) / 2.0
+        c += blocks[v]
+    ra = sum(midrank[v] for v, ga in pooled if ga)
+    na = sum(1 for _, ga in pooled if ga)
+    nb = len(pooled) - na
+    ua = ra - na * (na + 1) / 2.0
+    assert row.n_a == na and row.n_b == nb
+    assert row.u_a == ua
+    # identity: U_A + U_B = na*nb
+    rb = sum(midrank[v] for v, ga in pooled if not ga)
+    ub = rb - nb * (nb + 1) / 2.0
+    assert ua + ub == float(na * nb)
+    n = na + nb
+    tcorr = sum(t**3 - t for t in blocks.values())
+    import math
+
+    z = (ua - na * nb / 2.0) / math.sqrt(
+        float(na) * float(nb) / 12.0
+        * ((float(n) + 1.0) - float(tcorr) / (float(n) * (float(n) - 1.0)))
+    )
+    assert abs(row.z - z) < 1e-12
+
+
+def test_session_paths_sum_and_order(spark, sf_dir):
+    """trigram counts must be <= the bigram counts of their prefix
+    (every trigram embeds its leading bigram) and the output must be
+    count-descending."""
+    rows = QUERIES["session_path_topk"](spark, sf_dir).collect()
+    assert rows and all(r.n >= 1 for r in rows)
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    big = {
+        (r.from_type, r.to_type): r.n
+        for r in QUERIES["event_transition_matrix"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.n <= big[(r.e1, r.e2)]
+        assert r.n <= big[(r.e2, r.e3)]
+
+
+def test_changepoint_is_argmax_of_split_score(spark, sf_dir):
+    """the reported split must maximize S1²/n1 + S2²/n2 over ALL
+    admissible splits recomputed driver-side from the weekly cents,
+    and the two means must recompose to the global mean."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    (row,) = QUERIES["changepoint_detection"](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7").alias("wk"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    ).groupBy("wk").agg(F.sum("cents").alias("cents")).collect()
+    pts = sorted((r.wk, r.cents) for r in o)
+    nw = len(pts)
+    st = sum(c for _, c in pts)
+    best = None
+    s1 = 0
+    for i, (wk, c) in enumerate(pts, start=1):
+        s1 += c
+        if i < 4 or nw - i < 4:
+            continue
+        score = float(s1) * float(s1) / float(i) + float(st - s1) * float(st - s1) / float(nw - i)
+        key = (score, -wk)
+        if best is None or key > best[0]:
+            best = (key, wk, i, s1)
+    assert row.weeks_before == best[2]
+    assert row.score == best[0][0]
+    assert row.mean_before == float(best[3]) / float(best[2])
+    # recomposition: n1*m1 + n2*m2 == total cents
+    total = row.mean_before * row.weeks_before + row.mean_after * row.weeks_after
+    assert abs(total - float(st)) < 1e-3
+
+
+def test_rfm_quartiles_balanced_and_complete(spark, sf_dir):
+    """segment counts must sum to the buying-customer count, each
+    quartile marginal must be NTILE-balanced (sizes differ by <=1),
+    and total cents must equal the orders total."""
+    import collections
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    rows = QUERIES["rfm_segmentation"](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    n_buyers = o.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_buyers
+    total = o.select(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    ).first()[0]
+    assert sum(r.total_cents for r in rows) == total
+    for axis in ("r_score", "f_score", "m_score"):
+        marg = collections.Counter()
+        for r in rows:
+            marg[getattr(r, axis)] += r.n_customers
+        assert set(marg) == {1, 2, 3, 4}
+        assert max(marg.values()) - min(marg.values()) <= 1

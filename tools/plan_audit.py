@@ -67,6 +67,13 @@ GLOBAL_SORT_OK = {
     "token_budget_mixture",
     # vocab-coverage cumsum over the distinct-token df frame
     "vocab_coverage",
+    # rank-block cumsum over the distinct-cents-value frame
+    "mann_whitney_u",
+    # prefix sums over the span-bounded week frame (343 rows)
+    "changepoint_detection",
+    # three NTILEs over the customer-dimension frame; docstring
+    # documents the approx-quantile + map-only 100 TB replacement
+    "rfm_segmentation",
 }
 
 
