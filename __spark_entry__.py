@@ -65,6 +65,10 @@ _FRONT = [
     "session_path_topk",
     "changepoint_detection",
     "rfm_segmentation",
+    # --- r7 fourth batch (first driver rows): FD profiling and
+    # Haar timescale energy ---
+    "fd_discovery",
+    "haar_energy",
     # --- stale-cohort rotation (VERDICT r4 item 5 discipline): the
     # fifteen rows not driver-graded since ROUND 2 ---
     "cluster_representatives",
@@ -94,8 +98,9 @@ _FRONT = [
     # nation_trade_volume, returned_revenue_customers,
     # revenue_concentration, small_qty_revenue, supplier_part_variety)
     # wait for the r8 rotation so every r7 gate slot lands a hard
-    # hash_match row (batch 3 took four more slots: important_parts,
-    # join_key_skew_profile, kcore_portable, label_propagation also
+    # hash_match row (batches 3-4 took six more slots:
+    # important_parts, join_key_skew_profile, kcore_portable,
+    # label_propagation, heavy_hitters_cms, hll_portable_rollup also
     # wait for r8) ---
     "bpe_merges",
     "conversion_lag",
@@ -105,8 +110,6 @@ _FRONT = [
     "embedding_outlier_score",
     "funnel_analysis",
     "hard_negative_mining",
-    "heavy_hitters_cms",
-    "hll_portable_rollup",
 ]
 
 

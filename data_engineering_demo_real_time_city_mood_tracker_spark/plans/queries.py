@@ -11310,3 +11310,199 @@ def q_rfm_segmentation(spark, sf_dir):
             "total_cents",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r7 fourth batch: data-profiling FDs and wavelet timescale energy.
+
+
+def _fd_candidate(df, lhs: str, rhs: str, table: str):
+    """one FD candidate profile: LHS-keyed distinct-RHS agg, then a
+    single-row rollup — both integer; reused by q_fd_discovery for
+    every candidate (each is an independent one-shuffle job)."""
+    g = df.groupBy(F.col(lhs).alias("k")).agg(
+        F.countDistinct(rhs).alias("nd")
+    )
+    return g.agg(
+        F.lit(f"{table}.{lhs}").alias("lhs"),
+        F.lit(f"{table}.{rhs}").alias("rhs"),
+        F.count(F.lit(1)).alias("n_lhs_groups"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_violating"),
+        F.max("nd").alias("max_rhs_per_lhs"),
+    ).select(
+        "lhs",
+        "rhs",
+        F.col("n_lhs_groups").cast("long").alias("n_lhs_groups"),
+        F.col("n_violating").cast("long").alias("n_violating"),
+        F.col("max_rhs_per_lhs").cast("long").alias("max_rhs_per_lhs"),
+        (F.col("n_violating") == 0).alias("holds"),
+        (
+            F.col("n_violating").cast("double")
+            / F.col("n_lhs_groups").cast("double")
+        ).alias("violation_rate"),
+    )
+
+
+def _fd_candidate_sql(table: str, lhs: str, rhs: str) -> str:
+    return f"""SELECT '{table}.{lhs}' AS lhs, '{table}.{rhs}' AS rhs,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(MAX(nd) AS BIGINT) AS max_rhs_per_lhs,
+       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS violation_rate
+FROM (SELECT {lhs} AS k, COUNT(DISTINCT {rhs}) AS nd FROM {table} GROUP BY 1)"""
+
+
+_FD_CANDIDATES = [
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_linestatus"),
+    ("lineitem", "l_partkey", "l_returnflag"),
+]
+
+
+@register(
+    "fd_discovery",
+    "\nUNION ALL\n".join(_fd_candidate_sql(t, l, r) for t, l, r in _FD_CANDIDATES),
+)
+def q_fd_discovery(spark, sf_dir):
+    """functional-dependency profiling (the Metanome/Papenbrock data-
+    profiling family, restricted to a declared candidate set — the
+    honest distributed shape: exhaustive lattice search is a driver
+    algorithm, per-candidate verification is the cluster job): for
+    each candidate LHS→RHS over the star schema, the number of LHS
+    groups, how many witness a violation (>1 distinct RHS), the worst
+    group's RHS count, an exact holds verdict, and the violation
+    rate — the schema-inference signal that catches denormalization
+    drift (a violated c_custkey→c_mktsegment would mean duplicated
+    customers disagree) and documents real-world key-likeness the FK
+    audit can't see. Exactness: per candidate ONE LHS-keyed
+    distinct-count agg (partial-distinct map-side) and an all-integer
+    rollup; violation_rate is the single int/int IEEE division. The
+    candidate verifications are independent single-shuffle jobs
+    unioned into one 6-row frame — linear each, no interaction.
+    Complements fk_integrity_audit (inclusion) with dependency
+    discovery."""
+    cust = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    frames = {"customer": cust, "orders": o, "lineitem": li}
+    parts = [
+        _fd_candidate(frames[t], l, r, t) for t, l, r in _FD_CANDIDATES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_HAAR_LEVELS = range(1, 7)
+
+
+def _haar_level_sql(k: int) -> str:
+    m, h = 1 << k, 1 << (k - 1)
+    return f"""SELECT event_type, CAST({k} AS BIGINT) AS level,
+       CAST((SELECT t FROM t0) // {m} AS BIGINT) AS n_coefs,
+       CAST(SUM((a - b)*(a - b)) AS BIGINT) AS energy
+FROM (
+  SELECT event_type, idx // {m} AS j,
+         CAST(SUM(CASE WHEN (idx // {h}) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN (idx // {h}) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM base WHERE idx // {m} < (SELECT t FROM t0) // {m}
+  GROUP BY 1, 2)
+GROUP BY event_type"""
+
+
+@register(
+    "haar_energy",
+    """WITH raw AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('minute', ts)) / 60 AS BIGINT) AS em
+  FROM events),
+t0 AS (SELECT MIN(em) AS m0, MAX(em) - MIN(em) + 1 AS t FROM raw),
+base AS (SELECT event_type, em - (SELECT m0 FROM t0) AS idx FROM raw)
+"""
+    + " UNION ALL ".join(_haar_level_sql(k) for k in _HAAR_LEVELS),
+)
+def q_haar_energy(spark, sf_dir):
+    """Haar wavelet energy decomposition of the per-minute event-count
+    signal, levels 1–6 (2-minute to 64-minute detail scales) — the
+    timescale variance profile that tells bursty-at-seconds from
+    drifting-at-hours traffic in one 30-row frame (Haar 1910; the
+    multi-resolution twin of acf_lag's lag view). The level-k detail
+    coefficient is the DIFFERENCE OF ADJACENT HALF-BLOCK COUNTS
+    (A−B over 2^(k-1)-minute halves), so every coefficient and its
+    squared energy stay EXACT int64 — and since absent minutes
+    contribute zero to a block COUNT, the dyadic grid never needs to
+    be materialized densely (unlike acf's value grid). Plan shape:
+    the corpus pays ONE (type, minute) count agg (map-side combine),
+    reclaimably checkpointed (ngram_novelty's single-materialization
+    trick), then the six levels are INDEPENDENT div/parity rollups
+    of that span-bounded minute frame (43k rows/type at a 30-day
+    span regardless of event volume) — 6 tiny aggs, not 6 fact scans
+    (plan-pinned: at most one scan, no Generate). A chained dyadic
+    pyramid (each level halving the previous) was measured and
+    REJECTED: the unmaterialized two-consumer lineage per level
+    re-executes the chain 2^k times (sf1 3.5→12.7 s). Trailing
+    partial blocks excluded per level via t div 2^k, exactly as the
+    oracle. Integer minute index from epoch seconds (date_trunc
+    makes em exact in both engines). Output |types|×6 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) / 60)
+        .cast("long")
+        .alias("em"),
+    )
+    t0 = base.agg(
+        F.min("em").alias("m0"), (F.max("em") - F.min("em") + 1).alias("t")
+    )
+    # the ONE corpus-sized job: per-minute counts, then everything
+    # below runs on span-bounded frames (43k rows/type at a 30-day
+    # span regardless of event volume)
+    cur = (
+        base.crossJoin(F.broadcast(t0))
+        .groupBy("event_type", "t", (F.col("em") - F.col("m0")).alias("idx"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    levels = []
+    for k in _HAAR_LEVELS:
+        m, h = 1 << k, 1 << (k - 1)
+        pair = (
+            cur.select(
+                "event_type",
+                "t",
+                F.expr(f"idx div {m}").alias("jdx"),
+                F.expr(f"(idx div {h}) % 2").alias("par"),
+                "c",
+            )
+            .filter(F.col("jdx") < F.expr(f"t div {m}"))
+            .groupBy("event_type", "t", "jdx")
+            .agg(
+                F.sum(F.when(F.col("par") == 0, F.col("c")).otherwise(0)).alias("a"),
+                F.sum(F.when(F.col("par") == 1, F.col("c")).otherwise(0)).alias("b"),
+            )
+        )
+        levels.append(
+            pair.groupBy("event_type", "t")
+            .agg(
+                F.lit(k).cast("long").alias("level"),
+                F.sum(
+                    (F.col("a") - F.col("b")) * (F.col("a") - F.col("b"))
+                ).alias("energy"),
+            )
+            .select(
+                "event_type",
+                "level",
+                F.expr(f"CAST(t div {m} AS BIGINT)").alias("n_coefs"),
+                F.col("energy").cast("long").alias("energy"),
+            )
+        )
+    out = levels[0]
+    for p in levels[1:]:
+        out = out.unionAll(p)
+    return out

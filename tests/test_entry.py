@@ -35,10 +35,10 @@ def test_queries_and_oracles_share_ordering():
         (n for n in entry._FRONT if n in QUERIES), key=lambda k: k not in ORACLES
     )
     assert q[: len(front)] == front
-    # r7 gate plan: the twenty-five new r7 queries (first driver rows)
-    # + the fifteen rows last graded in round 2 + 10 oracle-backed
-    # rows last graded in round 3; the rest of the 50-row cap falls
-    # through to registry order
+    # r7 gate plan: the twenty-seven new r7 queries (first driver
+    # rows) + the fifteen rows last graded in round 2 + 8 oracle-
+    # backed rows last graded in round 3; the rest of the 50-row cap
+    # falls through to registry order
     assert len(front) <= 50, "front block must fit the driver's 50-row cap"
     for must in ("l_diversity", "benford_quality", "acf_lag",
                  "burst_detection", "stl_decompose", "linkpred_topk",
@@ -51,6 +51,7 @@ def test_queries_and_oracles_share_ordering():
                  "domain_token_lift",
                  "mann_whitney_u", "session_path_topk",
                  "changepoint_detection", "rfm_segmentation",
+                 "fd_discovery", "haar_energy",
                  "cluster_representatives",
                  "minhash_signatures", "doc_fingerprint",
                  "lang_id", "pii_redaction"):

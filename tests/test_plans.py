@@ -696,3 +696,30 @@ def test_changepoint_takeordered_one_scan(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1, tree
     assert "TakeOrderedAndProject" in tree
+
+
+def test_fd_discovery_partial_distinct_no_python(spark, sf_dir):
+    """fd_discovery: each candidate is an independent single-shuffle
+    distinct-count agg — no cartesian, no Python, and the union keeps
+    one scan per candidate (6 scans for 6 candidates, 3 tables)."""
+    plan = plan_of(QUERIES["fd_discovery"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert tree.count("Scan parquet") == 6, tree
+
+
+def test_haar_energy_pyramid_single_fact_pass(spark, sf_dir):
+    """haar_energy: the dyadic pyramid pays ONE corpus-sized job (the
+    checkpointed minute-count agg) — the executed plan's six level
+    branches must scan the materialized RDD, never re-scan parquet
+    (at most the one scan that feeds the checkpoint), with no dense
+    grid Generate and no Python."""
+    df = QUERIES["haar_energy"](spark, sf_dir)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 1, tree
+    assert "Generate" not in tree, "dense grid explode crept in"
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    spark.catalog.clearCache()

@@ -588,3 +588,56 @@ def test_rfm_quartiles_balanced_and_complete(spark, sf_dir):
             marg[getattr(r, axis)] += r.n_customers
         assert set(marg) == {1, 2, 3, 4}
         assert max(marg.values()) - min(marg.values()) <= 1
+
+
+# ---------------------------------------------------------------- r7 batch 4
+
+
+def test_fd_discovery_verdicts(spark, sf_dir):
+    """keyed candidates (c_custkey->segment, l_orderkey->linestatus?)
+    must report holds consistent with a driver recomputation, and the
+    violation rate must be n_violating/n_lhs_groups exactly."""
+    rows = {(r.lhs, r.rhs): r for r in QUERIES["fd_discovery"](spark, sf_dir).collect()}
+    assert len(rows) == 6
+    # the customer key is a real key: c_custkey -> c_mktsegment holds
+    key_row = rows[("customer.c_custkey", "customer.c_mktsegment")]
+    assert key_row.holds and key_row.n_violating == 0 and key_row.max_rhs_per_lhs == 1
+    for r in rows.values():
+        assert r.holds == (r.n_violating == 0)
+        assert r.violation_rate == r.n_violating / r.n_lhs_groups
+        assert 1 <= r.max_rhs_per_lhs
+        assert 0 <= r.n_violating <= r.n_lhs_groups
+
+
+def test_haar_energy_matches_numpy_recomputation(spark, sf_dir):
+    """every (type, level) energy must equal a numpy Haar
+    recomputation over the dense minute-count series, and n_coefs
+    must be floor(T / 2^k)."""
+    import collections
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    rows = QUERIES["haar_energy"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) / 60)
+        .cast("long")
+        .alias("em"),
+    ).collect()
+    m0 = min(r.em for r in ev)
+    t = max(r.em for r in ev) - m0 + 1
+    series = collections.defaultdict(lambda: collections.Counter())
+    for r in ev:
+        series[r.event_type][r.em - m0] += 1
+    got = {(r.event_type, r.level): (r.n_coefs, r.energy) for r in rows}
+    assert len(got) == len(series) * 6
+    for et, cnt in series.items():
+        for k in range(1, 7):
+            m, h = 1 << k, 1 << (k - 1)
+            nc = t // m
+            energy = 0
+            for j in range(nc):
+                a = sum(cnt.get(i, 0) for i in range(j * m, j * m + h))
+                b = sum(cnt.get(i, 0) for i in range(j * m + h, (j + 1) * m))
+                energy += (a - b) ** 2
+            assert got[(et, k)] == (nc, energy), (et, k)
