@@ -69,6 +69,10 @@ _FRONT = [
     # Haar timescale energy ---
     "fd_discovery",
     "haar_energy",
+    # --- r7 fifth batch (first driver rows): graph tail profile and
+    # SQ8 distortion QA ---
+    "degree_distribution",
+    "sq8_recon_error",
     # --- stale-cohort rotation (VERDICT r4 item 5 discipline): the
     # fifteen rows not driver-graded since ROUND 2 ---
     "cluster_representatives",
@@ -98,18 +102,16 @@ _FRONT = [
     # nation_trade_volume, returned_revenue_customers,
     # revenue_concentration, small_qty_revenue, supplier_part_variety)
     # wait for the r8 rotation so every r7 gate slot lands a hard
-    # hash_match row (batches 3-4 took six more slots:
+    # hash_match row (batches 3-5 took eight more slots:
     # important_parts, join_key_skew_profile, kcore_portable,
-    # label_propagation, heavy_hitters_cms, hll_portable_rollup also
-    # wait for r8) ---
+    # label_propagation, heavy_hitters_cms, hll_portable_rollup,
+    # funnel_analysis, hard_negative_mining also wait for r8) ---
     "bpe_merges",
     "conversion_lag",
     "customer_order_distribution",
     "distribution_drift",
     "dominant_part_suppliers",
     "embedding_outlier_score",
-    "funnel_analysis",
-    "hard_negative_mining",
 ]
 
 

@@ -11506,3 +11506,152 @@ def q_haar_energy(spark, sf_dir):
     for p in levels[1:]:
         out = out.unionAll(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# r7 fifth batch: graph shape profiling and quantizer QA.
+
+
+@register(
+    "degree_distribution",
+    """WITH g0 AS (
+  SELECT DISTINCT user_id AS id, event_type, date_trunc('minute', ts) AS m
+  FROM events),
+g AS (SELECT id, event_type, m FROM g0
+      QUALIFY COUNT(*) OVER (PARTITION BY event_type, m) <= 32),
+e0 AS (SELECT DISTINCT a.id AS u, b.id AS v
+       FROM g a JOIN g b ON a.event_type=b.event_type AND a.m=b.m AND a.id<b.id),
+deg AS (SELECT id, COUNT(*) AS d
+        FROM (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0) GROUP BY id),
+h AS (SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM deg GROUP BY 1),
+n AS (SELECT CAST(SUM(n_vertices) AS BIGINT) AS n FROM h),
+c AS (SELECT degree, n_vertices,
+             CAST(SUM(n_vertices) OVER (ORDER BY degree DESC) AS BIGINT) AS n_ge
+      FROM h)
+SELECT CAST(degree AS BIGINT) AS degree, n_vertices, n_ge,
+       CAST((1000000 * n_ge) // (SELECT n FROM n) AS BIGINT) AS ccdf_ppm
+FROM c""",
+)
+def q_degree_distribution(spark, sf_dir):
+    """degree distribution + CCDF of the co-activity graph in ppm —
+    the heavy-tail diagnostic (is this graph power-law-ish or
+    Poisson-ish?) that sizes every downstream cap: max_group,
+    linkpred's superhub exclusion, and the salting threshold all key
+    off how fat this tail is; degree_assortativity says WHO hubs
+    attach to, this says HOW MANY hubs there are (zipf_profile's
+    rank-frequency question asked of the graph). Same shared edge
+    definition (max_group=32). All-integer: degree histogram off the
+    degree agg, survival counts via ONE ordered cumsum over the
+    distinct-DEGREE frame (dimension-bounded — distinct degrees, not
+    vertices), CCDF as floor-ppm (both engines' integer div). Output
+    rows = distinct degrees."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = graph_ops.cooccurrence_edges(
+        ev.select("user_id", "event_type", F.date_trunc("minute", "ts").alias("m")),
+        "user_id",
+        ["event_type", "m"],
+        max_group=32,
+    )
+    deg = (
+        edges.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    h = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_vertices")
+    )
+    n = h.agg(F.sum("n_vertices").alias("n"))
+    return (
+        h.crossJoin(F.broadcast(n))
+        .select(
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.sum("n_vertices")
+            .over(Window.orderBy(F.col("degree").desc()))
+            .alias("n_ge"),
+            "n",
+        )
+        .select(
+            "degree",
+            "n_vertices",
+            F.col("n_ge").cast("long").alias("n_ge"),
+            F.expr("CAST((1000000 * n_ge) div n AS BIGINT)").alias("ccdf_ppm"),
+        )
+    )
+
+
+@register(
+    "sq8_recon_error",
+    """WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+dims AS (SELECT UNNEST(range(1, 65)) AS i),
+st AS (
+  SELECT d.i, MIN(v.vec[d.i]) AS mn, MAX(v.vec[d.i]) - MIN(v.vec[d.i]) AS rg
+  FROM v CROSS JOIN dims d GROUP BY d.i
+),
+cr AS (
+  SELECT v.vec_id, st.i,
+         v.vec[st.i] - st.mn
+         - CASE WHEN st.rg > 0 THEN
+             (CAST(CASE WHEN st.rg > 0 THEN LEAST(255, GREATEST(0,
+                  CAST(FLOOR((v.vec[st.i] - st.mn) * 255.0 / st.rg) AS BIGINT)))
+                  ELSE 0 END AS DOUBLE) + 0.5) * st.rg / 255.0
+           ELSE 0.0 END AS e
+  FROM v CROSS JOIN st
+)
+SELECT CAST(i AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR((e * e) * 1e12) AS BIGINT)) AS BIGINT) AS sse_q12,
+       CAST(MAX(CAST(FLOOR(ABS(e) * 1e9) AS BIGINT)) AS BIGINT) AS max_abs_q9
+FROM cr GROUP BY i""",
+)
+def q_sq8_recon_error(spark, sf_dir):
+    """per-dimension SQ8 reconstruction-error report — the quantizer
+    QA that closes the compression loop (embedding_sq8_topk proves
+    the RANKING, this measures the DISTORTION): for each dimension,
+    the 1e12-quantized summed squared error and 1e9-quantized worst
+    absolute error of the midpoint reconstruction mn + (c+0.5)·rg/255
+    against the float values — the frame that decides whether a
+    dimension needs more bits (PQ) or is dead (embedding_dim_stats'
+    variance view, now in reconstruction units). Exactness: the
+    quantizer is the SAME literal-array train the topk uses (the
+    oracle re-derives it in its per-dim stats CTE), each element's
+    error is a fixed IEEE tree, and both metrics floor-quantize PER
+    ELEMENT before the integer agg (the _portable_mean discipline —
+    no float sum anywhere). Scale: map-only encode+error, one
+    dim-keyed agg after posexplode (rows×64 — the explode is the
+    honest cost, same as embedding_dim_stats); trainer state is two
+    64-float literals."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, ranges = pq.train_sq8(emb, "embedding", 64)
+    mn = pq._dbl_array(mins)
+    rg = pq._dbl_array(ranges)
+    code = pq.sq8_code_expr(F.col("embedding"), mins, ranges)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    adj = F.zip_with(
+        code,
+        rg,
+        lambda c, r: F.when(
+            r > 0, (c.cast("double") + F.lit(0.5)) * r / F.lit(255.0)
+        ).otherwise(F.lit(0.0)),
+    )
+    d1 = F.zip_with(v, mn, lambda x, m: x - m)
+    err = F.zip_with(d1, adj, lambda a, b: a - b)
+    e = emb.select(F.posexplode(err).alias("pos", "e")).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.floor((F.col("e") * F.col("e")) * F.lit(1e12)).cast("long").alias("se_q"),
+        F.floor(F.abs(F.col("e")) * F.lit(1e9)).cast("long").alias("ae_q"),
+    )
+    return (
+        e.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("se_q").cast("long").alias("sse_q12"),
+            F.max("ae_q").cast("long").alias("max_abs_q9"),
+        )
+        .select(F.col("dim").cast("long").alias("dim"), "n", "sse_q12", "max_abs_q9")
+    )

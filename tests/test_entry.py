@@ -35,8 +35,8 @@ def test_queries_and_oracles_share_ordering():
         (n for n in entry._FRONT if n in QUERIES), key=lambda k: k not in ORACLES
     )
     assert q[: len(front)] == front
-    # r7 gate plan: the twenty-seven new r7 queries (first driver
-    # rows) + the fifteen rows last graded in round 2 + 8 oracle-
+    # r7 gate plan: the twenty-nine new r7 queries (first driver
+    # rows) + the fifteen rows last graded in round 2 + 6 oracle-
     # backed rows last graded in round 3; the rest of the 50-row cap
     # falls through to registry order
     assert len(front) <= 50, "front block must fit the driver's 50-row cap"
@@ -52,6 +52,7 @@ def test_queries_and_oracles_share_ordering():
                  "mann_whitney_u", "session_path_topk",
                  "changepoint_detection", "rfm_segmentation",
                  "fd_discovery", "haar_energy",
+                 "degree_distribution", "sq8_recon_error",
                  "cluster_representatives",
                  "minhash_signatures", "doc_fingerprint",
                  "lang_id", "pii_redaction"):

@@ -723,3 +723,22 @@ def test_haar_energy_pyramid_single_fact_pass(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     spark.catalog.clearCache()
+
+
+def test_degree_distribution_bounded_cumsum(spark, sf_dir):
+    """degree_distribution: the survival cumsum runs over the
+    distinct-degree frame (below the histogram aggregate), no
+    cartesian, no Python."""
+    plan = plan_of(QUERIES["degree_distribution"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sq8_recon_error_map_only_encode(spark, sf_dir):
+    """sq8_recon_error: the quantizer rides as constant-folded literal
+    arrays — the error pass is scan -> project/explode -> one
+    dim-keyed agg, with no join and no Python."""
+    plan = plan_of(QUERIES["sq8_recon_error"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -641,3 +641,48 @@ def test_haar_energy_matches_numpy_recomputation(spark, sf_dir):
                 b = sum(cnt.get(i, 0) for i in range(j * m + h, (j + 1) * m))
                 energy += (a - b) ** 2
             assert got[(et, k)] == (nc, energy), (et, k)
+
+
+# ---------------------------------------------------------------- r7 batch 5
+
+
+def test_degree_distribution_partitions_vertices(spark, sf_dir):
+    """histogram sums to the vertex count, CCDF is monotone
+    nonincreasing in degree and hits 1e6 ppm at the minimum degree...
+    (floor-ppm: the smallest degree's n_ge == n so exactly 1e6)."""
+    rows = sorted(
+        QUERIES["degree_distribution"](spark, sf_dir).collect(),
+        key=lambda r: r.degree,
+    )
+    if not rows:  # empty graph at sf0.001 is legitimate
+        return
+    n = sum(r.n_vertices for r in rows)
+    assert rows[0].n_ge == n and rows[0].ccdf_ppm == 1_000_000
+    prev = None
+    for r in rows:
+        assert r.ccdf_ppm == (1_000_000 * r.n_ge) // n
+        if prev is not None:
+            assert r.n_ge < prev.n_ge
+        prev = r
+    assert rows[-1].n_ge == rows[-1].n_vertices
+
+
+def test_sq8_recon_error_bounds(spark, sf_dir):
+    """quantization theory: midpoint reconstruction error is bounded
+    by half a quantization step per dimension (+1 ulp headroom), so
+    max_abs_q9 <= ceil(step/2 * 1e9); every dim reports every
+    vector."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import pq
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    mins, ranges = pq.train_sq8(emb, "embedding", 64)
+    rows = {r.dim: r for r in QUERIES["sq8_recon_error"](spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(1, 65))
+    for d, r in rows.items():
+        assert r.n == n_vec
+        step = ranges[d - 1] / 255.0
+        assert r.max_abs_q9 <= int((step / 2.0) * 1e9) + 1
+        # mse consistency: sse <= n * max_abs^2 (quantized headroom)
+        assert r.sse_q12 <= r.n * ((r.max_abs_q9 + 1) ** 2) // 1_000_000 + r.n

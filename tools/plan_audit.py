@@ -69,6 +69,8 @@ GLOBAL_SORT_OK = {
     "vocab_coverage",
     # rank-block cumsum over the distinct-cents-value frame
     "mann_whitney_u",
+    # survival cumsum over the distinct-degree frame
+    "degree_distribution",
     # prefix sums over the span-bounded week frame (343 rows)
     "changepoint_detection",
     # three NTILEs over the customer-dimension frame; docstring
