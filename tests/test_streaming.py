@@ -1973,3 +1973,67 @@ def test_transition_stream_matches_batch(spark, sf_dir, tmp_path):
         tots[f_] = tots.get(f_, 0) + n
     got = {k: (n, n / tots[k[0]]) for k, n in counts.items()}
     assert got == expected
+
+
+def test_attribution_stream_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """the attribution state machine must survive a checkpointed
+    RESTART between micro-batches: run 1 drains file 1 and stops,
+    run 2 starts from the same checkpoint and drains file 2 — the
+    parquet sink's manifest-committed union must equal the batch
+    assignment exactly (no duplicate credits for run-1 purchases, no
+    lost carried state for run-2 purchases whose touch arrived in
+    run 1)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.attribution import attribution_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    expected = {
+        (r.touch, r.n_purchases, r.revenue_cents)
+        for r in QUERIES["attribution_last_touch"](spark, sf_dir).collect()
+    }
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+
+    d = str(tmp_path / "attr_in")
+    ckpt = str(tmp_path / "attr_ckpt")
+    out = str(tmp_path / "attr_out")
+    cut = ev.select(F.percentile(F.col("ts").cast("double"), 0.5)).first()[0]
+    ev.filter(F.col("ts").cast("double") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        q = (
+            attribution_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()  # drains file 1, commits state to the checkpoint
+    run1_rows = spark.read.parquet(out).count()
+    assert 0 < run1_rows < n_purch
+
+    ev.filter(F.col("ts").cast("double") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()  # restart from checkpoint: must process ONLY file 2
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == n_purch
+    assert len({r.event_id for r in rows}) == n_purch
+    got = {}
+    for r in rows:
+        n, c = got.get(r.touch, (0, 0))
+        got[r.touch] = (n + 1, c + r.cents)
+    assert {(t, n, c) for t, (n, c) in got.items()} == expected
