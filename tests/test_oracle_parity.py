@@ -98,7 +98,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
         sparse_at_toy_sf = {
             "triangle_count", "label_propagation", "pagerank_portable",
             "kcore_portable", "important_parts", "clustering_coefficient",
-            "linkpred_topk", "burst_detection",
+            "linkpred_topk", "burst_detection", "degree_distribution",
         }
         assert name in sparse_at_toy_sf and sf_dir.rstrip("/").endswith(
             "sf0.001"
