@@ -73,6 +73,10 @@ _FRONT = [
     # SQ8 distortion QA ---
     "degree_distribution",
     "sq8_recon_error",
+    # --- r7 sixth batch (first driver rows): KS shape test and
+    # Spearman rank correlation ---
+    "ks_test",
+    "spearman_rho",
     # --- stale-cohort rotation (VERDICT r4 item 5 discipline): the
     # fifteen rows not driver-graded since ROUND 2 ---
     "cluster_representatives",
@@ -102,16 +106,15 @@ _FRONT = [
     # nation_trade_volume, returned_revenue_customers,
     # revenue_concentration, small_qty_revenue, supplier_part_variety)
     # wait for the r8 rotation so every r7 gate slot lands a hard
-    # hash_match row (batches 3-5 took eight more slots:
+    # hash_match row (batches 3-6 took ten more slots:
     # important_parts, join_key_skew_profile, kcore_portable,
     # label_propagation, heavy_hitters_cms, hll_portable_rollup,
-    # funnel_analysis, hard_negative_mining also wait for r8) ---
+    # funnel_analysis, hard_negative_mining, dominant_part_suppliers,
+    # embedding_outlier_score also wait for r8) ---
     "bpe_merges",
     "conversion_lag",
     "customer_order_distribution",
     "distribution_drift",
-    "dominant_part_suppliers",
-    "embedding_outlier_score",
 ]
 
 

@@ -11655,3 +11655,190 @@ def q_sq8_recon_error(spark, sf_dir):
         )
         .select(F.col("dim").cast("long").alias("dim"), "n", "sse_q12", "max_abs_q9")
     )
+
+
+# --------------------------------------------------------------------------
+# r7 sixth batch: the remaining two nonparametric inference primitives.
+
+
+@register(
+    "ks_test",
+    """WITH j AS (
+  SELECT CAST(round(o_totalprice*100,0) AS BIGINT) AS cents,
+         c_mktsegment = 'BUILDING' AS ga
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+v AS (SELECT cents AS val,
+             CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM j GROUP BY 1),
+cum AS (SELECT CAST(SUM(ca) OVER (ORDER BY val) AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER (ORDER BY val) AS BIGINT) AS cumb
+        FROM v),
+s AS (SELECT MAX(cuma) AS na, MAX(cumb) AS nb FROM cum),
+d AS (SELECT (SELECT na FROM s) AS na, (SELECT nb FROM s) AS nb,
+             CAST(MAX(ABS(cuma * (SELECT nb FROM s)
+                          - cumb * (SELECT na FROM s))) AS BIGINT) AS dmax
+      FROM cum)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(dmax AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d,
+       CAST(dmax AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+       * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+              / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) AS ks_stat
+FROM d""",
+)
+def q_ks_test(spark, sf_dir):
+    """two-sample Kolmogorov–Smirnov test of BUILDING-segment vs
+    other order values — the distribution-SHAPE companion to
+    mann_whitney_u's location test (two samples can share a median
+    and still differ in spread/tails; D catches it, U doesn't),
+    completing the nonparametric inference suite. D = max |F_A −
+    F_B| stays EXACT until the last step: both empirical CDFs ride
+    one value-block cumsum over the distinct-cents frame and the sup
+    is taken over the INTEGER cross-products |cumA·n_B − cumB·n_A|
+    (no per-step division to round), so the max is exact and D/the
+    scaled KS statistic are one mirrored IEEE tree each. D need only
+    be evaluated AT sample points (the empirical CDF is a step
+    function — the sup between steps equals the sup at the left
+    step). Scale: one fact join + one value agg; the cumsum runs on
+    the distinct-value frame (dimension-bounded,
+    plan_audit-allowlisted); single-row output; cum·n ≤ n² keeps
+    int64 to ~3e9 rows/side."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_mktsegment") == "BUILDING").alias("ga")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    j = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+        "cents", "ga"
+    )
+    v = j.groupBy(F.col("cents").alias("val")).agg(
+        F.sum(F.when(F.col("ga"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("ga"), 0).otherwise(1)).alias("cb"),
+    )
+    w = Window.orderBy("val")
+    cum = v.select(
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    s = cum.agg(F.max("cuma").alias("na"), F.max("cumb").alias("nb"))
+    d = (
+        cum.crossJoin(F.broadcast(s))
+        .select(
+            F.abs(
+                F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+            ).alias("dn"),
+            "na",
+            "nb",
+        )
+        .groupBy("na", "nb")
+        .agg(F.max("dn").alias("dmax"))
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    return d.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (F.col("dmax").cast("double") / (nad * nbd)).alias("ks_d"),
+        (
+            F.col("dmax").cast("double")
+            / (nad * nbd)
+            * F.sqrt(nad * nbd / (nad + nbd))
+        ).alias("ks_stat"),
+    )
+
+
+@register(
+    "spearman_rho",
+    """WITH o AS (
+  SELECT o_custkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+  FROM orders),
+per AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS f,
+               CAST(SUM(cents) AS BIGINT) AS m
+        FROM o GROUP BY 1),
+vf AS (SELECT f AS val, CAST(COUNT(*) AS BIGINT) AS cnt FROM per GROUP BY 1),
+rf AS (SELECT val, CAST(2*(SUM(cnt) OVER (ORDER BY val) - cnt) + cnt + 1 AS BIGINT)
+              AS r2f FROM vf),
+vm AS (SELECT m AS val, CAST(COUNT(*) AS BIGINT) AS cnt FROM per GROUP BY 1),
+rm AS (SELECT val, CAST(2*(SUM(cnt) OVER (ORDER BY val) - cnt) + cnt + 1 AS BIGINT)
+              AS r2m FROM vm),
+j AS (SELECT per.o_custkey, rf.r2f, rm.r2m
+      FROM per JOIN rf ON per.f = rf.val JOIN rm ON per.m = rm.val),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r2f) AS BIGINT) AS sx, CAST(SUM(r2m) AS BIGINT) AS sy,
+             CAST(SUM(r2f*r2m) AS BIGINT) AS sxy,
+             CAST(SUM(r2f*r2f) AS BIGINT) AS sxx,
+             CAST(SUM(r2m*r2m) AS BIGINT) AS syy
+      FROM j)
+SELECT n AS n_customers,
+       (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+         AS spearman_rho
+FROM s""",
+)
+def q_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation between a customer's order COUNT and
+    lifetime REVENUE — the monotone-association question ("do
+    frequent buyers spend more overall?") answered without Pearson's
+    linearity/outlier fragility, and the third correlation primitive
+    next to Kendall τ (k-bounded pairs) and the moment-based
+    assortativity: this one ranks the FULL customer base with NO
+    per-row global sort — midranks come from the distribution trick
+    (one cumsum per metric over its distinct-value frame), DOUBLED
+    (2·below+t+1) so tie-midrank halves stay int64 (mann_whitney_u's
+    move), and Pearson-on-ranks is scale-invariant so the doubled
+    ranks give the same ρ through the same mirrored IEEE tree. The
+    rank maps join back as broadcast value→rank dictionaries. Moment
+    sums Σr² ≤ 4n³ keep int64 to ~1e6 customers — beyond that,
+    rescale to HUGEINT or sample (documented, the grad_match
+    discipline). One fact agg + two value aggs; single-row output."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("f"), F.sum("cents").alias("m")
+    )
+
+    def ranked(col, alias):
+        v = per.groupBy(F.col(col).alias("val")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return v.select(
+            "val",
+            (
+                2 * (F.sum("cnt").over(Window.orderBy("val")) - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias(alias),
+        )
+
+    rf = ranked("f", "r2f")
+    rm = ranked("m", "r2m")
+    j = (
+        per.join(F.broadcast(rf), per.f == rf.val)
+        .drop("val")
+        .join(F.broadcast(rm), per.m == rm.val)
+        .drop("val")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2f").alias("sx"),
+        F.sum("r2m").alias("sy"),
+        F.sum(F.col("r2f") * F.col("r2m")).alias("sxy"),
+        F.sum(F.col("r2f") * F.col("r2f")).alias("sxx"),
+        F.sum(F.col("r2m") * F.col("r2m")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        (
+            (nd * F.col("sxy").cast("double") - sxd * syd)
+            / (
+                F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
+                * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
+            )
+        ).alias("spearman_rho"),
+    )

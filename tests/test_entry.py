@@ -35,8 +35,8 @@ def test_queries_and_oracles_share_ordering():
         (n for n in entry._FRONT if n in QUERIES), key=lambda k: k not in ORACLES
     )
     assert q[: len(front)] == front
-    # r7 gate plan: the twenty-nine new r7 queries (first driver
-    # rows) + the fifteen rows last graded in round 2 + 6 oracle-
+    # r7 gate plan: the thirty-one new r7 queries (first driver
+    # rows) + the fifteen rows last graded in round 2 + 4 oracle-
     # backed rows last graded in round 3; the rest of the 50-row cap
     # falls through to registry order
     assert len(front) <= 50, "front block must fit the driver's 50-row cap"
@@ -53,6 +53,7 @@ def test_queries_and_oracles_share_ordering():
                  "changepoint_detection", "rfm_segmentation",
                  "fd_discovery", "haar_energy",
                  "degree_distribution", "sq8_recon_error",
+                 "ks_test", "spearman_rho",
                  "cluster_representatives",
                  "minhash_signatures", "doc_fingerprint",
                  "lang_id", "pii_redaction"):

@@ -742,3 +742,15 @@ def test_sq8_recon_error_map_only_encode(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "Join" not in tree, tree
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ks_spearman_value_frame_windows(spark, sf_dir):
+    """ks_test / spearman_rho: fact tables feed ONE agg each; the
+    cumsums run over distinct-value frames; the rank dictionaries
+    join back broadcast; no cartesian, no Python."""
+    for name in ("ks_test", "spearman_rho"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_of(QUERIES["spearman_rho"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

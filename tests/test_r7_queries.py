@@ -686,3 +686,85 @@ def test_sq8_recon_error_bounds(spark, sf_dir):
         assert r.max_abs_q9 <= int((step / 2.0) * 1e9) + 1
         # mse consistency: sse <= n * max_abs^2 (quantized headroom)
         assert r.sse_q12 <= r.n * ((r.max_abs_q9 + 1) ** 2) // 1_000_000 + r.n
+
+
+# ---------------------------------------------------------------- r7 batch 6
+
+
+def test_ks_matches_driver_recomputation(spark, sf_dir):
+    """D must equal the sup of |F_A - F_B| recomputed driver-side
+    from the raw joined sample, and the scaled statistic must be the
+    mirrored sqrt expression."""
+    import math
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    (row,) = QUERIES["ks_test"](spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    rows = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .select("cents", (F.col("c_mktsegment") == "BUILDING").alias("ga"))
+        .collect()
+    )
+    a = sorted(r.cents for r in rows if r.ga)
+    b = sorted(r.cents for r in rows if not r.ga)
+    na, nb = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    import bisect
+
+    dmax = max(
+        abs(bisect.bisect_right(a, v) * nb - bisect.bisect_right(b, v) * na)
+        for v in vals
+    )
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.ks_d == float(dmax) / (float(na) * float(nb))
+    assert row.ks_stat == row.ks_d * math.sqrt(
+        float(na) * float(nb) / (float(na) + float(nb))
+    )
+    assert 0.0 <= row.ks_d <= 1.0
+
+
+def test_spearman_matches_scipy_free_recomputation(spark, sf_dir):
+    """rho must equal Pearson-on-midranks recomputed driver-side, be
+    in [-1, 1], and be strongly positive on this data (more orders
+    monotonically means more total revenue)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    (row,) = QUERIES["spearman_rho"](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    per = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("f"), F.sum("cents").alias("m"))
+        .collect()
+    )
+
+    def doubled_midranks(vals):
+        import collections
+
+        cnt = collections.Counter(vals)
+        below, out = 0, {}
+        for v in sorted(cnt):
+            out[v] = 2 * below + cnt[v] + 1
+            below += cnt[v]
+        return out
+
+    rf = doubled_midranks([r.f for r in per])
+    rm = doubled_midranks([r.m for r in per])
+    n = len(per)
+    sx = sum(rf[r.f] for r in per)
+    sy = sum(rm[r.m] for r in per)
+    sxy = sum(rf[r.f] * rm[r.m] for r in per)
+    sxx = sum(rf[r.f] ** 2 for r in per)
+    syy = sum(rm[r.m] ** 2 for r in per)
+    rho = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+        (float(n) * float(sxx) - float(sx) * float(sx)) ** 0.5
+        * (float(n) * float(syy) - float(sy) * float(sy)) ** 0.5
+    )
+    assert row.n_customers == n
+    assert row.spearman_rho == rho
+    assert 0.5 < row.spearman_rho <= 1.0

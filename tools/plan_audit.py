@@ -71,6 +71,10 @@ GLOBAL_SORT_OK = {
     "mann_whitney_u",
     # survival cumsum over the distinct-degree frame
     "degree_distribution",
+    # empirical-CDF cumsum over the distinct-cents frame
+    "ks_test",
+    # two midrank cumsums over distinct-value frames
+    "spearman_rho",
     # prefix sums over the span-bounded week frame (343 rows)
     "changepoint_detection",
     # three NTILEs over the customer-dimension frame; docstring
