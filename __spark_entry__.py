@@ -30,91 +30,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # purpose; ~50 slots rotate each round (VERDICT r4 item 5: re-grade
 # the stalest cohort).
 _FRONT = [
-    # --- new r7 queries (first driver rows): the privacy twin,
-    # Benford digit conformance, lagged autocorrelation, burst
-    # intervals, integer STL decomposition, common-neighbor link
-    # prediction, and RAKE keyword extraction ---
-    "l_diversity",
-    "benford_quality",
-    "acf_lag",
-    "burst_detection",
-    "stl_decompose",
-    "linkpred_topk",
-    "keyword_rake",
-    "wilson_ranking",
-    "zipf_profile",
+    # --- r8 re-planned queries (fresh hash rows for the new plans):
+    # the two ex-NTILE global-sort queries now scored map-only
+    # against ntile_boundary_values literals, and acf_lag's
+    # degenerate-grid n_pairs>0 guard ---
     "feature_binning",
-    "attribution_last_touch",
-    "order_total_reconciliation",
-    "kendall_tau_rankings",
-    # --- r7 second batch (first driver rows): t-closeness EMD gate,
-    # chi-square independence, Theil-Sen robust trend, Markov
-    # transitions, graph mixing, revenue Gini, Flesch readability,
-    # and domain-indicative vocabulary ---
-    "t_closeness",
-    "chi2_independence",
-    "theil_sen_trend",
-    "event_transition_matrix",
-    "degree_assortativity",
-    "revenue_gini",
-    "readability_scores",
-    "domain_token_lift",
-    # --- r7 third batch (first driver rows): rank-sum A/B test,
-    # trigram path mining, offline changepoint, RFM segments ---
-    "mann_whitney_u",
-    "session_path_topk",
-    "changepoint_detection",
     "rfm_segmentation",
-    # --- r7 fourth batch (first driver rows): FD profiling and
-    # Haar timescale energy ---
-    "fd_discovery",
-    "haar_energy",
-    # --- r7 fifth batch (first driver rows): graph tail profile and
-    # SQ8 distortion QA ---
-    "degree_distribution",
-    "sq8_recon_error",
-    # --- r7 sixth batch (first driver rows): KS shape test and
-    # Spearman rank correlation ---
-    "ks_test",
-    "spearman_rho",
-    # --- stale-cohort rotation (VERDICT r4 item 5 discipline): the
-    # fifteen rows not driver-graded since ROUND 2 ---
-    "cluster_representatives",
-    "doc_chunking",
-    "doc_fingerprint",
-    "lang_id",
-    "minhash_signatures",
-    "mixture_sample",
-    "ngram_freq",
-    "pii_redaction",
-    "repetition_ratio",
-    "sequence_packing",
-    "stopword_removal",
-    "stratified_kfold",
-    "temperature_sample",
-    "text_quality",
-    "token_count",
-    # --- 14 of the 39 rows last graded in ROUND 3 (oracle-backed
-    # ones only — rows-only pagerank_topk / binary_ingest and the
-    # window/rollup family (shard_export, snapshot_time_travel,
-    # data_quality_report, gap_fill_minutes, robust_outliers,
-    # multi_res_rollup, paned_sliding_window, session_window_native,
-    # dedup_embedding_banded, ewma_minutes, seasonal_baseline,
-    # negative_sampling, association_rules, cdc_apply,
-    # cohort_retention, and — yielded to the eight batch-2 r7 queries
-    # — late_sole_suppliers, multimodal_meta, nation_market_share,
-    # nation_trade_volume, returned_revenue_customers,
-    # revenue_concentration, small_qty_revenue, supplier_part_variety)
-    # wait for the r8 rotation so every r7 gate slot lands a hard
-    # hash_match row (batches 3-6 took ten more slots:
-    # important_parts, join_key_skew_profile, kcore_portable,
-    # label_propagation, heavy_hitters_cms, hll_portable_rollup,
-    # funnel_analysis, hard_negative_mining, dominant_part_suppliers,
-    # embedding_outlier_score also wait for r8) ---
-    "bpe_merges",
-    "conversion_lag",
-    "customer_order_distribution",
-    "distribution_drift",
+    "acf_lag",
+    # --- new r8 queries (first driver rows): weighted bipartite
+    # projection, per-day drift timeline, the IVF recall-vs-nprobe
+    # curve, and isotonic (PAVA minimax) calibration ---
+    "bipartite_projection",
+    "drift_timeline",
+    "ivf_nprobe_recall",
+    "isotonic_calibration",
+    # --- the full ≤r3 stale cohort (VERDICT r7 item 2): every query
+    # whose latest driver grade is round 3 — oracle-backed ones give
+    # hard hash rows; _ordered pushes the two rows-only members
+    # (binary_ingest, pagerank_topk) behind the hash-backed block ---
+    "association_rules",
+    "binary_ingest",
+    "cdc_apply",
+    "cohort_retention",
+    "data_quality_report",
+    "dedup_embedding_banded",
+    "dominant_part_suppliers",
+    "embedding_outlier_score",
+    "ewma_minutes",
+    "funnel_analysis",
+    "gap_fill_minutes",
+    "hard_negative_mining",
+    "heavy_hitters_cms",
+    "hll_portable_rollup",
+    "important_parts",
+    "join_key_skew_profile",
+    "kcore_portable",
+    "label_propagation",
+    "late_sole_suppliers",
+    "multi_res_rollup",
+    "multimodal_meta",
+    "nation_market_share",
+    "nation_trade_volume",
+    "negative_sampling",
+    "pagerank_topk",
+    "paned_sliding_window",
+    "returned_revenue_customers",
+    "revenue_concentration",
+    "robust_outliers",
+    "seasonal_baseline",
+    "session_window_native",
+    "shard_export",
+    "small_qty_revenue",
+    "snapshot_time_travel",
+    "supplier_part_variety",
+    # --- oldest r4 rows fill the remaining cap slots (oracle-backed
+    # picks from the 34-query r4 cohort; the rest rotate in r9) ---
+    "big_orders",
+    "brand_revenue",
+    "daily_summary",
+    "exact_quantiles",
 ]
 
 

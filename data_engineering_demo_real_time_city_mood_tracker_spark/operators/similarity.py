@@ -620,3 +620,130 @@ def rp_rerank_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "cos_sim", "rnk")
     )
+
+
+def ivf_multiprobe_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """The recall-vs-nprobe CURVE in one pass: for every probe budget
+    in ``nprobes``, per-budget recall@k of seeded-centroid IVF against
+    the exact brute-force ground truth, plus the candidate volume that
+    budget paid — the measured knob document every IVF deployment
+    reads before picking n_probe (ann_recall_eval's posture, extended
+    from one operating point to the curve).
+
+    One query-cell ranking (row_number over n_centroids broadcast
+    scores, kept to max(nprobes) cells) serves ALL budgets: a
+    candidate (query, corpus) pair belongs to budget np iff the
+    corpus cell's rank among the query's cells is ≤ np, so the
+    explode over budgets multiplies only the CANDIDATE frame (k-ish ×
+    |queries| × |nprobes|), never the corpus. Candidate scoring costs
+    one cid-keyed join exactly like ivf_topk; ground truth is
+    brute_force_topk over the same query set. Output: (nprobe,
+    n_queries, total_hits, recall_at_k, total_candidates) — exact
+    integers plus ONE division, so the SQL oracle reproduces it
+    bitwise. Seeded centroids (first n_centroids ids) keep the whole
+    curve oracle-portable, same trade as ivf_topk."""
+    max_np = max(nprobes)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    cent = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("centv")
+    )
+    c_assign = ivf_assignments(
+        c.select(F.col("corpus_id").alias("id"), F.col("cvec").alias("vec")),
+        cent.select("cid", F.col("centv").alias("cvec")),
+    ).select(F.col("id").alias("corpus_id"), "cid")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    qscore = (
+        q.withColumn("_qn", vectors.norm(F.col("qvec")))
+        .join(F.broadcast(cent.withColumn("_cn", vectors.norm(F.col("centv")))))
+        .select(
+            "query_id",
+            "qvec",
+            "cid",
+            (
+                vectors.dot(F.col("qvec"), F.col("centv"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("c_sim"),
+        )
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("cid").asc()
+    )
+    qprobe = (
+        qscore.withColumn("cell_rank", F.row_number().over(qw))
+        .filter(F.col("cell_rank") <= max_np)
+        .select("query_id", "qvec", "cid", "cell_rank")
+    )
+
+    cand = (
+        c.withColumn("_cn", vectors.norm(F.col("cvec")))
+        .join(c_assign, "corpus_id")
+        .join(F.broadcast(qprobe.withColumn("_qn", vectors.norm(F.col("qvec")))), "cid")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            "cell_rank",
+            (
+                vectors.dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cos_sim"),
+        )
+        .join(
+            F.broadcast(
+                corpus.sparkSession.range(1).select(
+                    F.explode(
+                        F.array(*[F.lit(int(np_)) for np_ in nprobes]).cast(
+                            "array<long>"
+                        )
+                    ).alias("nprobe")
+                )
+            ),
+            F.col("cell_rank") <= F.col("nprobe"),
+        )
+    )
+
+    aw = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    appr = (
+        cand.withColumn("rnk", F.row_number().over(aw))
+        .filter(F.col("rnk") <= k)
+        .select("nprobe", "query_id", "corpus_id")
+    )
+    cc = cand.groupBy("nprobe", "query_id").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    exact = brute_force_topk(corpus, queries, vec_col, id_col, k=k).select(
+        "query_id", "corpus_id"
+    )
+    hits = (
+        appr.join(exact, ["query_id", "corpus_id"])
+        .groupBy("nprobe", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        cc.join(hits, ["nprobe", "query_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(F.coalesce("n_hits", F.lit(0))).cast("long").alias("total_hits"),
+            (
+                F.sum(F.coalesce("n_hits", F.lit(0))).cast("double")
+                / (F.lit(k) * F.count(F.lit(1)))
+            ).alias(f"recall_at_{k}"),
+            F.sum("n_cand").cast("long").alias("total_candidates"),
+        )
+    )

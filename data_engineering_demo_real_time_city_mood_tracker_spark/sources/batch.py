@@ -279,3 +279,4 @@ def read_json_meta(spark: SparkSession, path: str) -> dict | None:
     finally:
         stream.close()
     return json.loads(data.decode("utf-8"))
+

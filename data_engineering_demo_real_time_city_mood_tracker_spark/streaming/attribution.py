@@ -95,6 +95,9 @@ def attribution_stream(
             ignore_index=True,
         ).ffill()
         last_t = cand_t.iloc[-1]
+        # the pd.notna guard keeps a NULL event_type from ever reaching
+        # str(): a NULL touch does not displace the carried one, exactly
+        # the batch last_value(..., ignorenulls) semantics (r7 ADVICE)
         if last_t is not None and pd.notna(last_t):
             state.update((str(last_t), int(cand_us.iloc[-1])))
         if not is_conv.any():

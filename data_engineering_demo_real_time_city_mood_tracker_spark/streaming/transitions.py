@@ -65,7 +65,12 @@ def transition_stream(
             return
         (prev,) = state.get if state.exists else (None,)
         cur = pdf[type_col].astype("object")
-        state.update((str(cur.iloc[-1]),))
+        # carry the last type verbatim; a NULL type is stored as a
+        # true NULL (not the string 'None') so the next batch's first
+        # row gets a NULL from_type and is dropped — exactly the batch
+        # lag window's NULL propagation (r7 ADVICE)
+        last = cur.iloc[-1]
+        state.update((None if pd.isna(last) else str(last),))
         frm = cur.shift(1)
         if prev is not None:
             frm.iloc[0] = prev

@@ -35,29 +35,34 @@ def test_queries_and_oracles_share_ordering():
         (n for n in entry._FRONT if n in QUERIES), key=lambda k: k not in ORACLES
     )
     assert q[: len(front)] == front
-    # r7 gate plan: the thirty-one new r7 queries (first driver
-    # rows) + the fifteen rows last graded in round 2 + 4 oracle-
-    # backed rows last graded in round 3; the rest of the 50-row cap
+    # r8 gate plan: the re-planned queries (feature_binning /
+    # rfm_segmentation NTILE-literal plans, acf_lag's degenerate
+    # guard) + new r8 queries + the ENTIRE ≤r3 stale cohort (VERDICT
+    # r7 item 2) + oldest-r4 fillers; the rest of the 50-row cap
     # falls through to registry order
     assert len(front) <= 50, "front block must fit the driver's 50-row cap"
-    for must in ("l_diversity", "benford_quality", "acf_lag",
-                 "burst_detection", "stl_decompose", "linkpred_topk",
-                 "keyword_rake", "wilson_ranking", "zipf_profile",
-                 "feature_binning", "attribution_last_touch",
-                 "order_total_reconciliation", "kendall_tau_rankings",
-                 "t_closeness", "chi2_independence", "theil_sen_trend",
-                 "event_transition_matrix", "degree_assortativity",
-                 "revenue_gini", "readability_scores",
-                 "domain_token_lift",
-                 "mann_whitney_u", "session_path_topk",
-                 "changepoint_detection", "rfm_segmentation",
-                 "fd_discovery", "haar_energy",
-                 "degree_distribution", "sq8_recon_error",
-                 "ks_test", "spearman_rho",
-                 "cluster_representatives",
-                 "minhash_signatures", "doc_fingerprint",
-                 "lang_id", "pii_redaction"):
-        assert must in front, f"{must} must be front-loaded for the r7 gate"
+    for must in ("feature_binning", "rfm_segmentation", "acf_lag",
+                 "bipartite_projection", "drift_timeline",
+                 "ivf_nprobe_recall", "isotonic_calibration",
+                 # every query whose latest driver grade is round 3
+                 "association_rules", "binary_ingest", "cdc_apply",
+                 "cohort_retention", "data_quality_report",
+                 "dedup_embedding_banded", "dominant_part_suppliers",
+                 "embedding_outlier_score", "ewma_minutes",
+                 "funnel_analysis", "gap_fill_minutes",
+                 "hard_negative_mining", "heavy_hitters_cms",
+                 "hll_portable_rollup", "important_parts",
+                 "join_key_skew_profile", "kcore_portable",
+                 "label_propagation", "late_sole_suppliers",
+                 "multi_res_rollup", "multimodal_meta",
+                 "nation_market_share", "nation_trade_volume",
+                 "negative_sampling", "pagerank_topk",
+                 "paned_sliding_window", "returned_revenue_customers",
+                 "revenue_concentration", "robust_outliers",
+                 "seasonal_baseline", "session_window_native",
+                 "shard_export", "small_qty_revenue",
+                 "snapshot_time_travel", "supplier_part_variety"):
+        assert must in front, f"{must} must be front-loaded for the r8 gate"
     # oracle dict must follow the same front-loaded order restricted
     # to oracle-backed names (driver zips them positionally by name)
     assert o == [n for n in q if n in ORACLES]

@@ -1320,3 +1320,67 @@ def test_governance_gates_invariants(spark, sf_dir):
     assert sum(r.n_rows for r in ka) == cust_n
     assert all(r.n_rows == r.group_size * r.n_groups for r in ka)
     assert all(r.below_k5 == (r.group_size < 5) for r in ka)
+
+
+def test_ntile_boundary_values_matches_ntile(spark):
+    """ntile_score_expr over ntile_boundary_values literals must equal
+    F.ntile over the global (value, key) window bit-for-bit — tie-heavy
+    values, several k, and the n < k degenerate case."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.quantiles import (
+        ntile_boundary_values,
+        ntile_score_expr,
+    )
+
+    df = spark.range(0, 997).select(
+        ((F.col("id") * F.col("id")) % 53 + 1).alias("v"),
+        F.col("id").alias("key"),
+    )
+    for k in (4, 10, 31):
+        bounds = ntile_boundary_values(df, [("v", "key", k)])["v"]
+        assert len(bounds) == k - 1
+        got = df.select(
+            "key", ntile_score_expr(bounds, F.col("v"), F.col("key")).alias("b")
+        )
+        exp = df.select(
+            "key",
+            F.ntile(k).over(Window.orderBy("v", "key")).cast("long").alias("b"),
+        )
+        assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    tiny = spark.range(0, 3).select(
+        F.lit(7).cast("long").alias("v"), F.col("id").alias("key")
+    )
+    bounds = ntile_boundary_values(tiny, [("v", "key", 10)])["v"]
+    assert len(bounds) == 2  # ranks 1, 2 exist; ranks >= n select no row
+    got = sorted(
+        (r.key, r.b)
+        for r in tiny.select(
+            "key", ntile_score_expr(bounds, F.col("v"), F.col("key")).alias("b")
+        ).collect()
+    )
+    assert got == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_ntile_boundary_refinement_still_exact(spark):
+    """forcing target_bucket_rows below every bucket count makes the
+    Munro-Paterson refinement loop fire; boundaries must not change."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.quantiles import (
+        ntile_boundary_values,
+    )
+
+    df = spark.range(0, 500).select(
+        # one hot octave: values 2048..2303 all share the top-11-bit
+        # grid only partially — plus heavy ties
+        (F.col("id") % 256 + 2048).alias("v"),
+        F.col("id").alias("key"),
+    )
+    plain = ntile_boundary_values(df, [("v", "key", 4)])["v"]
+    refined = ntile_boundary_values(
+        df, [("v", "key", 4)], target_bucket_rows=3
+    )["v"]
+    assert plain == refined

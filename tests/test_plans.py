@@ -550,7 +550,7 @@ def test_linkpred_no_cartesian_wedges_keyed(spark, sf_dir):
     at build time via the operator's internals instead: run it and
     assert the persisted-edge discipline released its caches.)"""
     q = QUERIES["linkpred_topk"](spark, sf_dir)
-    assert q.count() > 0 or True  # materialized k-row frame
+    q.count()  # materialize the k-row frame (0 rows is legal at toy SF)
     jc = spark._jsparkSession.sharedState().cacheManager()
     assert jc.isEmpty(), "linkpred left CacheManager entries behind"
 
@@ -754,3 +754,30 @@ def test_ks_spearman_value_frame_windows(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     plan = plan_of(QUERIES["spearman_rho"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_feature_binning_no_global_sort_no_join(spark, sf_dir):
+    """feature_binning (r8): NTILE scored map-only against
+    ntile_boundary_values literals — the final plan is scan → literal
+    comparisons → 10-group agg: no SinglePartition exchange, no
+    window, no join (the r7 scale wart is gone)."""
+    plan = plan_of(QUERIES["feature_binning"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "SinglePartition" not in plan, "global shuffle crept back"
+    assert tree.count("Window") == 0, tree
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rfm_segmentation_no_global_sort_no_join(spark, sf_dir):
+    """rfm_segmentation (r8): all three quartile scores are literal
+    comparisons over the one-shuffle customer agg — no SinglePartition
+    exchange, no window, no join; CacheManager stays empty (the
+    boundary build leaves nothing persisted)."""
+    plan = plan_of(QUERIES["rfm_segmentation"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "SinglePartition" not in plan, "global shuffle crept back"
+    assert tree.count("Window") == 0, tree
+    assert "Join" not in tree
+    jc = spark._jsparkSession.sharedState().cacheManager()
+    assert jc.isEmpty(), "rfm boundary build left CacheManager entries"

@@ -5,6 +5,7 @@ append mode, JSON stream parsing, and the foreachBatch document sink.
 
 from __future__ import annotations
 
+import datetime
 import json
 import uuid
 
@@ -2037,3 +2038,58 @@ def test_attribution_stream_checkpoint_restart_exactly_once(spark, sf_dir, tmp_p
         n, c = got.get(r.touch, (0, 0))
         got[r.touch] = (n + 1, c + r.cents)
     assert {(t, n, c) for t, (n, c) in got.items()} == expected
+
+
+def test_transition_stream_null_type_crosses_batch_as_null(spark, tmp_path):
+    """a NULL event_type carried across a micro-batch boundary must be
+    stored as a TRUE NULL, not the string 'None' (r7 ADVICE): the next
+    batch's first row then gets a NULL from_type and is dropped —
+    matching the batch lag window's NULL propagation. Batch 1 ends on
+    a NULL-typed event on purpose so the state write is the one under
+    test."""
+    import time as _time
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.streaming.transitions import transition_stream
+
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    b1 = spark.createDataFrame(
+        [
+            (1, 1, datetime.datetime(2024, 1, 1, 0, 0, 1), "A"),
+            (1, 2, datetime.datetime(2024, 1, 1, 0, 0, 2), None),
+            (1, 3, datetime.datetime(2024, 1, 1, 0, 0, 3), "B"),
+            (1, 4, datetime.datetime(2024, 1, 1, 0, 0, 4), None),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, 5, datetime.datetime(2024, 1, 1, 0, 0, 5), "C"),
+            (1, 6, datetime.datetime(2024, 1, 1, 0, 0, 6), "D"),
+        ],
+        schema,
+    )
+    d = str(tmp_path / "null_trans")
+    b1.coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    qname = f"ntrans_{uuid.uuid4().hex[:8]}"
+    q = (
+        transition_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.from_type, r.to_type, r.event_id) for r in spark.table(qname).collect()}
+    # batch lag semantics: event 3 (pred type NULL) and event 5 (pred
+    # type NULL, ACROSS the boundary) are dropped; 'None'→'C' must not
+    # appear
+    assert got == {("A", None, 2), ("B", None, 4), ("C", "D", 6)}

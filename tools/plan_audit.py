@@ -56,9 +56,6 @@ GLOBAL_SORT_OK = {
     "revenue_gini",
     # span²-bounded pair frame (343 weeks -> ~59k rows at ANY corpus)
     "theil_sen_trend",
-    # NTILE over orders at gate SF; docstring documents the
-    # approx-quantile + repartitionByRange 100 TB replacement
-    "feature_binning",
     # aggregated part-revenue frame (dimension-bounded)
     "revenue_concentration",
     # block prefix-sum over the aggregated block frame (two-level scan)
@@ -77,9 +74,9 @@ GLOBAL_SORT_OK = {
     "spearman_rho",
     # prefix sums over the span-bounded week frame (343 rows)
     "changepoint_detection",
-    # three NTILEs over the customer-dimension frame; docstring
-    # documents the approx-quantile + map-only 100 TB replacement
-    "rfm_segmentation",
+    # r8: feature_binning and rfm_segmentation left this list — their
+    # NTILEs are now scored map-only against ntile_boundary_values
+    # literals (zero global sorts; the r7 verdict's ask)
 }
 
 
