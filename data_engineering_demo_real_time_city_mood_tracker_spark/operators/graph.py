@@ -755,7 +755,8 @@ def k_core_rounds(
 def common_neighbor_link_prediction(
     edges: DataFrame,
     k: int = 100,
-    max_center_degree: int | None = 256,
+    max_center_degree: int | str | None = "auto",
+    wedges_per_edge: int = 40,
     src_col: str = "id_a",
     dst_col: str = "id_b",
 ) -> DataFrame:
@@ -779,6 +780,24 @@ def common_neighbor_link_prediction(
     the candidate pair, one anti-join against the edge list, then a
     k-bounded TakeOrdered — no driver loop.
 
+    ``max_center_degree="auto"`` (default since r8) derives the cap
+    from the measured degree distribution instead of a fixed number:
+    cap = the largest degree whose cumulative wedge volume
+    Σ_{v: d(v) ≤ cap} d(v)² stays within ``wedges_per_edge`` ×
+    |directed edges| — i.e. enumeration work is budgeted PER EDGE, so
+    it scales linearly with the corpus by construction. The r8 A/B
+    that forced this: the co-activity graph's degree scale grows
+    ~linearly with SF (sf0.1 degrees 12–57, sf1 157–465), so fixed
+    256 silently degraded from a no-op into "exclude the top half"
+    at 10×, fixed 128 returned ZERO candidates at sf1, and fixed 512
+    cost 7.5× the wall for a completely different top-100. The
+    distribution is collected driver-side from the distinct-degree
+    frame (degree_distribution's boundedness argument) and the cap
+    enters the plan as a literal; the SQL oracle derives the SAME
+    cap from the same integer cumsum, so the choice is
+    hash-portable. Falls back to the minimum degree when even the
+    smallest degree class exceeds the budget (never silently empty).
+
     .. note:: **EXECUTES at call time** (bm25_rank's contract): the
        k-bounded result is eagerly checkpointed so the persisted edge
        list and degree frame release immediately — the returned
@@ -799,6 +818,21 @@ def common_neighbor_link_prediction(
         F.col("u").alias("w"), F.col("v").alias("x")
     )
     deg = sym.groupBy("w").agg(F.count(F.lit(1)).alias("d")).persist()
+    if max_center_degree == "auto":
+        dist = sorted(
+            (r["d"], r["c"])
+            for r in deg.groupBy("d")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        budget = wedges_per_edge * sum(d * c for d, c in dist)
+        cap, cum = (dist[0][0] if dist else 0), 0
+        for d, c in dist:
+            cum += d * d * c
+            if cum > budget:
+                break
+            cap = d
+        max_center_degree = cap
     centers = sym
     if max_center_degree is not None:
         small = deg.filter(F.col("d") <= max_center_degree).select("w")

@@ -5163,10 +5163,16 @@ def q_triangle_count(spark, sf_dir):
     co-occurrence group fan-out (oracle mirrors via QUALIFY): without
     it a 10× corpus measured 23× wall — trending (type, minute) groups
     make EDGE COUNT quadratic before triangles are even enumerated,
-    and the cap is what bounds it (9.4× → 2-3× post-cap)."""
+    and the cap is what bounds it (9.4× → 2-3× post-cap). The edge
+    list is eagerly localCheckpointed before the enumeration (r8):
+    triangle_counts references it from six join arms, and an
+    unmaterialized builder lineage re-inlines the whole co-occurrence
+    pipeline per arm — 36 parquet scans in the r7 logical plan,
+    analyzer cost and a re-execution hazard for nothing (haar's
+    multi-consumer lesson applied to graphs)."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
 
-    edges = _coactivity_edges(spark, sf_dir)
+    edges = _coactivity_edges(spark, sf_dir).localCheckpoint(eager=True)
     return graph_ops.triangle_counts(edges)
 
 
@@ -5224,10 +5230,15 @@ def q_clustering_coefficient(spark, sf_dir):
     coefficient and are excluded identically in both engines. Reuses
     the degree-ordered triangle enumeration (O(m^{3/2}) wedges) plus
     one vertex-keyed degree agg and a left join — no new scale
-    hazards beyond triangle_count's documented max_group cap."""
+    hazards beyond triangle_count's documented max_group cap. The
+    edge list is eagerly localCheckpointed first (r8 verdict item):
+    the triangle + degree consumers re-inlined the co-occurrence
+    builder 40× into the r7 logical plan; one materialization makes
+    the lineage appear once and drops the plan to zero parquet
+    scans."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
 
-    edges = _coactivity_edges(spark, sf_dir)
+    edges = _coactivity_edges(spark, sf_dir).localCheckpoint(eager=True)
     tri = graph_ops.triangle_counts(edges)
     deg = (
         edges.select(F.explode(F.array("id_a", "id_b")).alias("id"))
@@ -9852,8 +9863,17 @@ e0 AS (
 ),
 sym AS (SELECT u AS w, v AS x FROM e0 UNION ALL SELECT v, u FROM e0),
 deg AS (SELECT w, COUNT(*) AS d FROM sym GROUP BY w),
+dist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d),
+budget AS (SELECT 40 * SUM(d * c) AS w FROM dist),
+cum AS (SELECT d, SUM(d * d * c) OVER (ORDER BY d) AS cw FROM dist),
+cap AS (
+  SELECT COALESCE(MAX(CASE WHEN cw <= (SELECT w FROM budget) THEN d END),
+                  (SELECT MIN(d) FROM dist)) AS cap
+  FROM cum
+),
 centers AS (
-  SELECT sym.w, sym.x FROM sym JOIN deg ON sym.w = deg.w WHERE deg.d <= 256
+  SELECT sym.w, sym.x FROM sym JOIN deg ON sym.w = deg.w
+  WHERE deg.d <= (SELECT cap FROM cap)
 ),
 cand AS (
   SELECT a.x AS u, b.x AS v, COUNT(*) AS cn
@@ -9877,13 +9897,20 @@ def q_linkpred_topk(spark, sf_dir):
     as triangle_count / kcore / label_propagation, so the community
     queries and the prediction query can never drift onto different
     graphs. See common_neighbor_link_prediction for the wedge-
-    enumeration scale analysis (Σd² over centers, superhub cap 256,
-    anti-join against existing edges, k-bounded TakeOrdered)."""
+    enumeration scale analysis (Σd² over centers, anti-join against
+    existing edges, k-bounded TakeOrdered). The superhub cap is
+    ADAPTIVE since r8 — the degree scale of this graph grows
+    ~linearly with SF (sf0.1 max degree 57, sf1 min degree 157!), so
+    the old fixed 256 was a no-op at bench SFs and a silent
+    half-the-graph exclusion at 10×; the wedge-budget rule (work ≤
+    40 wedges per edge, cap from the integer degree-distribution
+    cumsum, mirrored as CTEs in the oracle) keeps the SAME answers
+    at sf ≤ 0.1 and a bounded, measured operating point beyond."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
 
     edges = _coactivity_edges(spark, sf_dir)
     return graph_ops.common_neighbor_link_prediction(
-        edges, k=100, max_center_degree=256
+        edges, k=100, max_center_degree="auto", wedges_per_edge=40
     )
 
 
@@ -10792,7 +10819,10 @@ def q_degree_assortativity(spark, sf_dir):
         "user_id",
         ["event_type", "m"],
         max_group=32,
-    )
+        # four consumers (degree agg + two endpoint joins + the
+        # symmetrizing union) — materialize once, not 28 re-inlined
+        # builder lineages (r8, triangle_count's argument)
+    ).localCheckpoint(eager=True)
     deg = (
         edges.select(F.explode(F.array("id_a", "id_b")).alias("id"))
         .groupBy("id")

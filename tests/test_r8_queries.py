@@ -141,3 +141,34 @@ def test_ntile_refinement_is_noop_at_bench_sf(spark, sf_dir):
         .first()[0]
     )
     assert mx < 2_000_000
+
+
+def test_linkpred_adaptive_cap_budget_rule(spark):
+    """the auto superhub cap picks the largest degree whose cumulative
+    wedge volume fits wedges_per_edge × |sym edges|, and falls back to
+    the minimum degree class when even that class busts the budget —
+    planted star-plus-ring where the rule is hand-checkable."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import (
+        common_neighbor_link_prediction,
+    )
+
+    # ring 1..6 (degrees 2) plus a hub 99 wired to all six (degrees →
+    # ring vertices 3, hub 6). sym edges = 24; wedge vol = 6·9+36 = 90.
+    ring = [(i, i % 6 + 1) for i in range(1, 7)]
+    edges = spark.createDataFrame(
+        ring + [(99, i) for i in range(1, 7)], "id_a long, id_b long"
+    )
+    # budget 1×24 = 24 < 54 (the d=3 class) → fallback to min degree …
+    # which IS 3 here, so the hub alone is excluded: candidates exist.
+    out = common_neighbor_link_prediction(
+        edges, k=100, max_center_degree="auto", wedges_per_edge=1
+    ).collect()
+    assert out, "fallback-to-min-degree must still enumerate wedges"
+    assert all(r.cn >= 1 for r in out)
+    # generous budget (90 ≤ 4×24=96) → hub included as a center: the
+    # six ring pairs through the hub now score with cn ≥ 1 and pairs
+    # of opposite ring vertices appear
+    rich = common_neighbor_link_prediction(
+        edges, k=100, max_center_degree="auto", wedges_per_edge=4
+    ).collect()
+    assert len(rich) >= len(out)
