@@ -44,6 +44,20 @@ _FRONT = [
     "drift_timeline",
     "ivf_nprobe_recall",
     "isotonic_calibration",
+    # --- r8 second batch (first driver rows): smoothed target
+    # encoding, dyadic half-life LTV, Welch parametric A/B, Hamilton
+    # apportionment, dedup threshold knob curve — plus linkpred under
+    # its new adaptive-cap plan ---
+    "target_encoding",
+    "time_decay_ltv",
+    "welch_ttest",
+    "sample_allocation",
+    "dedup_threshold_sweep",
+    "linkpred_topk",
+    # --- r8 third batch (first driver rows): split-conformal
+    # calibration thresholds and winsorized robust moments ---
+    "conformal_thresholds",
+    "winsorize_stats",
     # --- the full ≤r3 stale cohort (VERDICT r7 item 2): every query
     # whose latest driver grade is round 3 — oracle-backed ones give
     # hard hash rows; _ordered pushes the two rows-only members
@@ -83,12 +97,6 @@ _FRONT = [
     "small_qty_revenue",
     "snapshot_time_travel",
     "supplier_part_variety",
-    # --- oldest r4 rows fill the remaining cap slots (oracle-backed
-    # picks from the 34-query r4 cohort; the rest rotate in r9) ---
-    "big_orders",
-    "brand_revenue",
-    "daily_summary",
-    "exact_quantiles",
 ]
 
 

@@ -321,3 +321,84 @@ def ntile_score_expr(bounds: list[tuple], value, key):
             1,
         ).otherwise(0)
     return e.cast("long")
+
+
+def conformal_rank_select(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    alphas: list[float],
+    n_buckets: int | None = None,
+    target_bucket_rows: int = 2_000_000,
+) -> DataFrame:
+    """(group, n_calib, alpha, threshold): the split-conformal
+    calibration threshold per group — the value at 1-BASED ascending
+    rank min(⌈(1−α)(n+1)⌉, n), the rank that makes prediction sets
+    cover ≥ 1−α for exchangeable scores (Vovk's split-conformal
+    recipe). Same grouped two-phase selection as ``exact_quantiles``
+    (histogram → driver-free bucket location → thin phase-2 sort,
+    windows hash-partitioned on (group, alpha) — never a global
+    sort); only the rank arithmetic differs, and it is one identical
+    IEEE multiply + ceil in the SQL oracle. Ties on value are
+    harmless for the OUTPUT (any row at the target rank carries the
+    same threshold value), so phase 2 orders by value alone;
+    ``key_col`` documents the total order the oracle uses."""
+    if n_buckets is None:
+        n_buckets = max(1024, -(-df.count() // target_bucket_rows))
+    v = F.col(value_col)
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+    targets = stats.select(
+        group_col,
+        "n",
+        "mn",
+        "mx",
+        F.explode(F.array(*[F.lit(float(a)) for a in alphas])).alias("alpha"),
+    ).withColumn(
+        "rk",
+        F.least(
+            F.ceil((F.lit(1.0) - F.col("alpha")) * (F.col("n") + 1)).cast("long"),
+            F.col("n"),
+        ),
+    )
+
+    width = (F.col("mx") - F.col("mn")) / F.lit(n_buckets)
+    bucket = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(F.floor((v - F.col("mn")) / width), F.lit(n_buckets - 1))
+        )
+        .cast("long")
+    )
+    binned = df.join(stats, group_col).withColumn("_b", bucket)
+    hist = binned.groupBy(group_col, "_b").agg(F.count(F.lit(1)).alias("cnt"))
+    cw = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(cw)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    tb = (
+        targets.select(group_col, F.col("n").alias("_nc"), "alpha", "rk")
+        .join(cum, group_col)
+        .filter((F.col("cum_prev") < F.col("rk")) & (F.col("rk") <= F.col("cum")))
+        .select(group_col, "_nc", "alpha", "rk", "_b", "cum_prev")
+    )
+    w = Window.partitionBy(group_col, "alpha").orderBy(value_col)
+    return (
+        binned.join(tb, [group_col, "_b"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == F.col("rk") - F.col("cum_prev"))
+        .select(
+            group_col,
+            F.col("_nc").cast("long").alias("n_calib"),
+            "alpha",
+            v.alias("threshold"),
+        )
+    )

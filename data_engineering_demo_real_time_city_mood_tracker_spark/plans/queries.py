@@ -12287,3 +12287,588 @@ def q_isotonic_calibration(spark, sf_dir):
         (F.col("pos").cast("double") / F.col("n")).alias("raw_rate"),
         "iso_rate",
     )
+
+
+# --------------------------------------------------------------------------
+# r8 second batch: ML-prep encodings, decayed value, parametric A/B,
+# apportionment, and the dedup threshold knob document.
+
+
+@register(
+    "target_encoding",
+    """WITH o AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(cents) AS BIGINT) AS ss
+      FROM o),
+per AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+  FROM o GROUP BY seg
+)
+SELECT seg, n, s,
+       CAST(s AS DOUBLE) / n AS raw_mean_cents,
+       (s + 100 * (CAST(ss AS DOUBLE) / nn)) / (n + 100)
+         AS encoded_cents
+FROM per CROSS JOIN g""",
+)
+def q_target_encoding(spark, sf_dir):
+    """smoothed mean target encoding (the micci-barreca / CatBoost-
+    style categorical encoder every tabular-ML pipeline fits): per
+    customer market segment, the average order value shrunk toward
+    the global prior with pseudo-count m=100 — enc = (Σy + m·prior) /
+    (n + m). The dictionary a feature store persists (categories ×
+    1 row, never per-row output). Exactness: per-segment and global
+    sums are exact cents BIGINTs; prior = ONE IEEE division, the
+    encoder one more mirrored add/divide tree — identical in both
+    engines. Scale: one fact-dim join (customer broadcastable /
+    SMJ at 100 TB), one map-side-combined segment agg, the global
+    prior a broadcast 1-row frame."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    g = o.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("cents").cast("long").alias("ss"),
+    )
+    per = o.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "seg",
+        "n",
+        "s",
+        (F.col("s").cast("double") / F.col("n")).alias("raw_mean_cents"),
+        (
+            (F.col("s") + 100 * (F.col("ss").cast("double") / F.col("nn")))
+            / (F.col("n") + 100)
+        ).alias("encoded_cents"),
+    )
+
+
+@register(
+    "time_decay_ltv",
+    """WITH o AS (
+  SELECT c_mktsegment AS seg,
+         CAST(o_orderdate AS DATE) AS d,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+mx AS (SELECT MAX(d) AS maxd FROM o),
+wk AS (
+  SELECT seg,
+         LEAST(CAST(datediff('day', d, (SELECT maxd FROM mx)) AS BIGINT) // 7,
+               CAST(40 AS BIGINT)) AS k,
+         CAST(SUM(cents) AS BIGINT) AS wcents
+  FROM o GROUP BY 1, 2
+)
+SELECT seg,
+       CAST(SUM(wcents) AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       list_reduce(list(CAST(wcents AS DOUBLE) / (CAST(1 AS BIGINT) << k)
+                        ORDER BY k),
+                   (a, x) -> a + x) AS decayed_cents
+FROM wk GROUP BY seg""",
+)
+def q_time_decay_ltv(spark, sf_dir):
+    """half-life-decayed segment value: revenue weighted by
+    2^-(weeks-ago), the recency-weighted LTV every retention
+    dashboard plots next to the raw total. Determinism without exp():
+    the half-life decay is EXACT dyadic arithmetic — integer weekly
+    cohort sums (span-bounded: ≤ ~340 weeks per segment at any corpus
+    size) divided by an integer 1<<k (shift, never pow), folded in
+    ascending-week order so both engines round the same IEEE sums in
+    the same order (BM25's sorted-fold discipline). Age is capped at
+    40 halvings (weights < 1e-12; also keeps the shift in int64).
+    Scale: one fact-dim join + one (seg, week) map-side-combined agg;
+    the fold runs over the bounded cohort array."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    mx = o.agg(F.max("d").alias("maxd"))
+    wk = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(
+            "seg",
+            F.least(
+                F.floor(F.datediff(F.col("maxd"), F.col("d")) / 7).cast("long"),
+                F.lit(40).cast("long"),
+            ).alias("k"),
+        )
+        .agg(F.sum("cents").cast("long").alias("wcents"))
+    )
+    return (
+        wk.groupBy("seg")
+        .agg(
+            F.sum("wcents").cast("long").alias("total_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_weeks"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "k",
+                        # column-shift via SQL (the PySpark wrapper
+                        # only takes a literal shift count)
+                        F.expr(
+                            "CAST(wcents AS DOUBLE)"
+                            " / shiftleft(1L, CAST(k AS INT))"
+                        ).alias("w"),
+                    )
+                )
+            ).alias("_kw"),
+        )
+        .select(
+            "seg",
+            "total_cents",
+            "n_weeks",
+            F.aggregate(F.col("_kw"), F.lit(0.0), lambda a, x: a + x["w"]).alias(
+                "decayed_cents"
+            ),
+        )
+    )
+
+
+@register(
+    "welch_ttest",
+    """WITH q AS (
+  SELECT event_type,
+         CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END AS is_day,
+         CAST(round(value * 100, 0) AS BIGINT) AS cv
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(is_day) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN is_day = 1 THEN cv ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN is_day = 1 THEN cv * cv ELSE 0 END) AS BIGINT) AS q1,
+         CAST(SUM(1 - is_day) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN is_day = 0 THEN cv ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN is_day = 0 THEN cv * cv ELSE 0 END) AS BIGINT) AS q2
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n1, n2,
+       CAST(s1 AS DOUBLE) / (100 * n1) AS mean_day,
+       CAST(s2 AS DOUBLE) / (100 * n2) AS mean_night,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND
+                 (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                   / (n1 * (n1 - 1))
+                 + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                   / (n2 * (n2 - 1)) > 0
+            THEN (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                          / (n1 * (n1 - 1))
+                        + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                          / (n2 * (n2 - 1)))
+            ELSE NULL END AS t_stat
+FROM s""",
+)
+def q_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t statistic for day-vs-night value
+    means per event type — the PARAMETRIC twin of mann_whitney_u
+    (which settles the same A/B question rank-based); a curation
+    pipeline runs both before trusting a shift. Exactness: counts and
+    centi-unit sums/squares are exact BIGINTs off ONE conditional
+    agg; the statistic is a single mirrored IEEE tree (divisions,
+    one correctly-rounded sqrt — ln/exp never appear). Degenerate
+    guards (a side smaller than 2, zero pooled variance) yield NULL
+    identically in both engines. Scale: one map-side-combined scan;
+    output is one row per type. int64 headroom: Σcv² ≤ 1e8·rows —
+    exact to ~9e10 rows per type; past that, drop the centi-unit
+    scaling or widen to DECIMAL (revenue_gini's documented escape)."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.when(F.hour("ts") < 12, 1).otherwise(0).alias("is_day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cv"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.sum("is_day").cast("long").alias("n1"),
+        F.sum(F.when(F.col("is_day") == 1, F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("is_day") == 1, F.col("cv") * F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("q1"),
+        F.sum(1 - F.col("is_day")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("is_day") == 0, F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(F.when(F.col("is_day") == 0, F.col("cv") * F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("q2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    se1 = (d("q1") - d("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") * (F.col("n1") - 1)
+    )
+    se2 = (d("q2") - d("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") * (F.col("n2") - 1)
+    )
+    return s.select(
+        "event_type",
+        "n1",
+        "n2",
+        (d("s1") / (100 * F.col("n1"))).alias("mean_day"),
+        (d("s2") / (100 * F.col("n2"))).alias("mean_night"),
+        F.when(
+            (F.col("n1") >= 2) & (F.col("n2") >= 2) & (se1 + se2 > 0),
+            (d("s1") / F.col("n1") - d("s2") / F.col("n2"))
+            / F.sqrt(se1 + se2),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("t_stat"),
+    )
+
+
+@register(
+    "sample_allocation",
+    """WITH st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM st),
+qf AS (
+  SELECT event_type, n,
+         (10000 * n) // (SELECT nn FROM tot) AS quota_floor,
+         (10000 * n) % (SELECT nn FROM tot) AS remainder
+  FROM st
+),
+rk AS (
+  SELECT a.event_type, a.n, a.quota_floor, a.remainder,
+         1 + CAST(COALESCE(SUM(CASE WHEN b.remainder > a.remainder
+                    OR (b.remainder = a.remainder
+                        AND b.event_type < a.event_type)
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS rnk
+  FROM qf a LEFT JOIN qf b ON a.event_type != b.event_type
+  GROUP BY a.event_type, a.n, a.quota_floor, a.remainder
+),
+lv AS (SELECT 10000 - SUM(quota_floor) AS leftover FROM qf)
+SELECT event_type, n, CAST(quota_floor AS BIGINT) AS quota_floor,
+       CAST(remainder AS BIGINT) AS remainder, rnk,
+       CAST(quota_floor + CASE WHEN rnk <= (SELECT leftover FROM lv)
+                               THEN 1 ELSE 0 END AS BIGINT) AS allocated
+FROM rk""",
+)
+def q_sample_allocation(spark, sf_dir):
+    """Hamilton largest-remainder apportionment of a 10k-row sample
+    budget across event-type strata — the exact integer answer to
+    'how many rows does each stratum get' that proportional float
+    rounding gets wrong (allocations that don't sum to the budget).
+    quota_floor = B·n div N, leftover seats go to the largest
+    remainders (ties broken by stratum name). ALL integer arithmetic;
+    the remainder ranking is a T²-bounded self-join over the stratum
+    frame (T = type dimension) — no window, no sort, matching
+    isotonic_calibration's bounded-frame join posture. Σallocated =
+    B exactly (test-asserted). Scale: one map-side-combined count;
+    everything after runs on the ≤T-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = st.agg(F.sum("n").cast("long").alias("nn"))
+    qf = st.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        F.expr("10000 * n div nn").alias("quota_floor"),
+        (10000 * F.col("n") % F.col("nn")).alias("remainder"),
+    )
+    a, b = qf.alias("a"), qf.alias("b")
+    rk = (
+        a.join(
+            F.broadcast(b),
+            F.col("a.event_type") != F.col("b.event_type"),
+            "left",
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").alias("n"),
+            F.col("a.quota_floor").alias("quota_floor"),
+            F.col("a.remainder").alias("remainder"),
+        )
+        .agg(
+            (
+                1
+                + F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("b.remainder") > F.col("a.remainder"))
+                            | (
+                                (F.col("b.remainder") == F.col("a.remainder"))
+                                & (F.col("b.event_type") < F.col("a.event_type"))
+                            ),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("rnk")
+        )
+    )
+    lv = qf.agg((10000 - F.sum("quota_floor")).alias("leftover"))
+    return rk.crossJoin(F.broadcast(lv)).select(
+        "event_type",
+        "n",
+        F.col("quota_floor").cast("long").alias("quota_floor"),
+        F.col("remainder").cast("long").alias("remainder"),
+        "rnk",
+        (
+            F.col("quota_floor")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated"),
+    )
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""WITH sh0 AS (
+  SELECT DISTINCT doc_id AS id, unnest({_SH3}) AS shingle FROM documents
+),
+sh AS (
+  SELECT id, shingle FROM sh0
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+         LEAST(CAST(FLOOR((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10)
+                    AS BIGINT), 9) AS band
+  FROM inter
+  JOIN sizes sa ON id_a = sa.id
+  JOIN sizes sb ON id_b = sb.id
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+),
+bands AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM scored GROUP BY band
+),
+docmax AS (
+  SELECT id, MAX(band) AS mb FROM (
+    SELECT id_a AS id, band FROM scored
+    UNION ALL SELECT id_b, band FROM scored
+  ) t GROUP BY id
+),
+dh AS (SELECT mb, CAST(COUNT(*) AS BIGINT) AS n_docs FROM docmax GROUP BY mb)
+SELECT b.band,
+       b.n_pairs,
+       (SELECT SUM(b2.n_pairs) FROM bands b2 WHERE b2.band >= b.band)
+         AS pairs_at_or_above,
+       COALESCE((SELECT SUM(d.n_docs) FROM dh d WHERE d.mb >= b.band), 0)
+         AS docs_touched_at_or_above
+FROM bands b""",
+)
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """the dedup THRESHOLD knob document (ivf_nprobe_recall's posture
+    applied to near-dup pruning): from ONE shingle-keyed candidate
+    pass (dedup_ngram_topk's exact-Jaccard machinery, same max_df=50
+    hot-shingle cap), the per-0.1-band pair histogram plus, for every
+    band, how many candidate pairs and how many DISTINCT documents a
+    dedup run at that threshold would touch — the table that turns
+    'pick 0.8' into a measured retention decision. The curve starts
+    at 0.1 — no dedup run ever prunes below that, and keeping the
+    sub-0.1 noise floor out of the checkpoint/doc-max passes was
+    measured worth ~2× at bench SF (the candidate JOIN cost is
+    threshold-independent; only the downstream volume shrinks).
+    Cumulative ≥-band sums ride correlated subqueries over the
+    ≤9-row band frames (bounded joins, no window, no extra corpus
+    pass; doc counts via each doc's max band). Band =
+    floor(jaccard·10) clamped to 9, the same int-division double
+    both engines compute bitwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.1, max_df=50
+    )
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.least(F.floor(F.col("jaccard") * 10).cast("long"), F.lit(9).cast("long")).alias(
+            "band"
+        ),
+    ).localCheckpoint(eager=True)
+    bands = scored.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    docmax = (
+        scored.select(F.col("id_a").alias("id"), "band")
+        .unionAll(scored.select(F.col("id_b").alias("id"), "band"))
+        .groupBy("id")
+        .agg(F.max("band").alias("mb"))
+    )
+    dh = docmax.groupBy("mb").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    b2 = bands.select(F.col("band").alias("b2"), F.col("n_pairs").alias("p2"))
+    cum_p = (
+        bands.join(F.broadcast(b2), F.col("b2") >= F.col("band"))
+        .groupBy("band", "n_pairs")
+        .agg(F.sum("p2").cast("long").alias("pairs_at_or_above"))
+    )
+    d2 = dh.select(F.col("mb").alias("m2"), F.col("n_docs").alias("d2"))
+    return (
+        cum_p.join(F.broadcast(d2), F.col("m2") >= F.col("band"), "left")
+        .groupBy("band", "n_pairs", "pairs_at_or_above")
+        .agg(
+            F.coalesce(F.sum("d2"), F.lit(0))
+            .cast("long")
+            .alias("docs_touched_at_or_above")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# r8 third batch: conformal calibration thresholds and winsorized moments.
+
+
+@register(
+    "conformal_thresholds",
+    """WITH s AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS score,
+         event_id
+  FROM events WHERE event_id % 10 < 3
+),
+o AS (
+  SELECT event_type, score,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY score, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_calib, alpha,
+       CAST(score AS BIGINT) AS threshold_cents
+FROM o, (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.05 AS DOUBLE))) a(alpha)
+WHERE rn = CAST(least(ceil((1.0 - alpha) * (n + 1)), CAST(n AS DOUBLE))
+                AS BIGINT)""",
+)
+def q_conformal_thresholds(spark, sf_dir):
+    """split-conformal calibration (Vovk; the distribution-free
+    coverage recipe every production scorer ships with): on a held-out
+    calibration split (event_id % 10 < 3 — the same hash-determinism
+    as train_test_split), the per-type nonconformity threshold at
+    rank ⌈(1−α)(n+1)⌉ (clamped to n) guarantees ≥1−α coverage for
+    exchangeable scores. Spark side reuses exact_quantiles' two-phase
+    selection machinery posture via a rank select with NO global
+    sort: ranks come from the operator's bucket histogram
+    (operators/quantiles.py exact_rank_select below uses the same
+    grouped two-phase plan — per-type windows are hash-partitioned by
+    event_type). Ranks and scores are exact integers; α enters only
+    through the identical ceil arithmetic. The oracle keeps the lazy
+    window formulation the distributed plan exists to avoid."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.quantiles import conformal_rank_select
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_id") % 10 < 3).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("score"),
+        "event_id",
+    )
+    out = conformal_rank_select(
+        s, "event_type", "score", "event_id", [0.1, 0.05]
+    )
+    return out.select(
+        "event_type",
+        "n_calib",
+        "alpha",
+        F.col("threshold").cast("long").alias("threshold_cents"),
+    )
+
+
+@register(
+    "winsorize_stats",
+    """WITH v AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cv
+  FROM events
+),
+o AS (
+  SELECT event_type, cv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cv) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+b AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(floor(0.01 * (n - 1)) AS BIGINT)
+                  THEN cv END) AS lo,
+         MAX(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT)
+                  THEN cv END) AS hi
+  FROM o GROUP BY event_type
+)
+SELECT v.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(b.lo AS BIGINT) AS lo_cents, CAST(b.hi AS BIGINT) AS hi_cents,
+       CAST(SUM(cv) AS BIGINT) AS raw_sum,
+       CAST(SUM(GREATEST(LEAST(cv, b.hi), b.lo)) AS BIGINT) AS wins_sum,
+       CAST(SUM(CASE WHEN cv < b.lo OR cv > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped
+FROM v JOIN b ON v.event_type = b.event_type
+GROUP BY v.event_type, b.lo, b.hi""",
+)
+def q_winsorize_stats(spark, sf_dir):
+    """winsorized feature moments: per event type, the p01/p99 EXACT
+    clip bounds (rank floor(p·(n−1)) — exact_quantiles' convention
+    and its two-phase no-global-sort machinery, reused directly) plus
+    raw vs clipped centi-unit sums and the clip count — the
+    robust-scaling dictionary a feature pipeline persists before
+    normalizing a heavy-tailed column. All integers; the clip is
+    GREATEST/LEAST against the broadcast 2-value-per-type bound
+    frame; one extra corpus pass for the clipped re-agg. The oracle
+    keeps the lazy window-rank formulation."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.quantiles import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cv")
+    )
+    qs = exact_quantiles(v, "event_type", "cv", [0.01, 0.99])
+    b = qs.groupBy("event_type").agg(
+        F.max(F.when(F.col("pct") == 0.01, F.col("q_value"))).alias("lo"),
+        F.max(F.when(F.col("pct") == 0.99, F.col("q_value"))).alias("hi"),
+    )
+    return (
+        v.join(b, "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cv").cast("long").alias("raw_sum"),
+            F.sum(F.greatest(F.least(F.col("cv"), F.col("hi")), F.col("lo")))
+            .cast("long")
+            .alias("wins_sum"),
+            F.sum(
+                F.when(
+                    (F.col("cv") < F.col("lo")) | (F.col("cv") > F.col("hi")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("lo").cast("long").alias("lo_cents"),
+            F.col("hi").cast("long").alias("hi_cents"),
+            "raw_sum",
+            "wins_sum",
+            "n_clipped",
+        )
+    )

@@ -44,6 +44,10 @@ def test_queries_and_oracles_share_ordering():
     for must in ("feature_binning", "rfm_segmentation", "acf_lag",
                  "bipartite_projection", "drift_timeline",
                  "ivf_nprobe_recall", "isotonic_calibration",
+                 "target_encoding", "time_decay_ltv", "welch_ttest",
+                 "sample_allocation", "dedup_threshold_sweep",
+                 "linkpred_topk", "conformal_thresholds",
+                 "winsorize_stats",
                  # every query whose latest driver grade is round 3
                  "association_rules", "binary_ingest", "cdc_apply",
                  "cohort_retention", "data_quality_report",

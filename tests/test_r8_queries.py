@@ -172,3 +172,151 @@ def test_linkpred_adaptive_cap_budget_rule(spark):
         edges, k=100, max_center_degree="auto", wedges_per_edge=4
     ).collect()
     assert len(rich) >= len(out)
+
+
+def test_target_encoding_shrinkage(spark, sf_dir):
+    """the encoder must sit strictly between the raw segment mean and
+    the global prior (shrinkage), approach raw as n grows relative to
+    m=100, and reproduce enc = (s + m·prior)/(n + m) from the exact
+    integers."""
+    rows = QUERIES["target_encoding"](spark, sf_dir).collect()
+    assert rows
+    nn = sum(r.n for r in rows)
+    ss = sum(r.s for r in rows)
+    prior = ss / nn
+    for r in rows:
+        assert r.raw_mean_cents == r.s / r.n
+        assert r.encoded_cents == (r.s + 100 * prior) / (r.n + 100)
+        lo, hi = sorted((r.raw_mean_cents, prior))
+        assert lo - 1e-9 <= r.encoded_cents <= hi + 1e-9
+
+
+def test_time_decay_ltv_bounds(spark, sf_dir):
+    """decayed value is positive, strictly below the undecayed total,
+    and at least the most-recent week's share (week 0 contributes at
+    full weight)."""
+    rows = QUERIES["time_decay_ltv"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.decayed_cents < r.total_cents
+        assert r.n_weeks >= 1
+
+
+def test_welch_vs_scipy_formula(spark, sf_dir):
+    """the emitted t must match a driver-side recomputation of Welch's
+    statistic from the same exact integer sums."""
+    import math
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    rows = {r.event_type: r for r in QUERIES["welch_ttest"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("h"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cv"),
+    ).collect()
+    import collections
+    acc = collections.defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for e in ev:
+        i = 0 if e.h < 12 else 3
+        a = acc[e.event_type]
+        a[i] += 1; a[i + 1] += e.cv; a[i + 2] += e.cv * e.cv
+    for t, (n1, s1, q1, n2, s2, q2) in acc.items():
+        r = rows[t]
+        assert (r.n1, r.n2) == (n1, n2)
+        if n1 >= 2 and n2 >= 2:
+            se = (q1 - s1 * s1 / n1) / (n1 * (n1 - 1)) + (
+                q2 - s2 * s2 / n2
+            ) / (n2 * (n2 - 1))
+            if se > 0:
+                want = (s1 / n1 - s2 / n2) / math.sqrt(se)
+                assert abs(r.t_stat - want) < 1e-9
+
+
+def test_sample_allocation_sums_to_budget(spark, sf_dir):
+    """Hamilton apportionment: Σallocated == 10000 exactly, every
+    stratum gets quota_floor or quota_floor+1, and the +1 seats go to
+    the largest remainders."""
+    rows = QUERIES["sample_allocation"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.allocated for r in rows) == 10000
+    for r in rows:
+        assert r.allocated in (r.quota_floor, r.quota_floor + 1)
+    bumped = sorted(r.remainder for r in rows if r.allocated == r.quota_floor + 1)
+    kept = sorted(r.remainder for r in rows if r.allocated == r.quota_floor)
+    if bumped and kept:
+        assert min(bumped) >= max(kept) or any(
+            b == max(kept) for b in bumped
+        )  # ties break by name, values can touch
+
+
+def test_dedup_threshold_sweep_monotone(spark, sf_dir):
+    """the knob table must be a valid survival curve: pairs and docs
+    at-or-above are non-increasing in band, the top band's cumulative
+    equals its own count, and Σn_pairs equals the total candidate
+    count."""
+    rows = sorted(
+        QUERIES["dedup_threshold_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.band,
+    )
+    assert rows
+    total = sum(r.n_pairs for r in rows)
+    assert rows[0].pairs_at_or_above <= total
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.pairs_at_or_above >= hi.pairs_at_or_above
+        assert lo.docs_touched_at_or_above >= hi.docs_touched_at_or_above
+    assert rows[-1].pairs_at_or_above == rows[-1].n_pairs
+    assert rows[0].pairs_at_or_above == sum(
+        r.n_pairs for r in rows if r.band >= rows[0].band
+    )
+
+
+def test_conformal_thresholds_coverage(spark, sf_dir):
+    """the defining guarantee on the calibration split itself: at
+    least ⌈(1−α)(n+1)⌉−1... conservatively, the fraction of
+    calibration scores ≤ threshold must be ≥ 1−α, and the α=0.05
+    threshold can never be below the α=0.1 one."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    rows = QUERIES["conformal_thresholds"](spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 < 3)
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("score"),
+        )
+        .collect()
+    )
+    import collections
+
+    scores = collections.defaultdict(list)
+    for e in ev:
+        scores[e.event_type].append(e.score)
+    th = {(r.event_type, r.alpha): r for r in rows}
+    for (t, alpha), r in th.items():
+        xs = scores[t]
+        assert r.n_calib == len(xs)
+        covered = sum(1 for x in xs if x <= r.threshold_cents) / len(xs)
+        assert covered >= 1 - alpha - 1e-12
+    for t in scores:
+        if (t, 0.05) in th and (t, 0.1) in th:
+            assert th[(t, 0.05)].threshold_cents >= th[(t, 0.1)].threshold_cents
+
+
+def test_winsorize_stats_invariants(spark, sf_dir):
+    """clip bounds are real data values with lo ≤ hi, the winsorized
+    sum moves toward the bounds (|wins − n·mid| ≤ |raw − n·mid| is not
+    generally true, so assert the definitional facts instead): every
+    clipped row moves the sum by the clip delta, n_clipped ≤ ~2% of n
+    + bucket ties, and wins_sum == raw_sum when nothing clips."""
+    rows = QUERIES["winsorize_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.lo_cents <= r.hi_cents
+        assert r.n_clipped <= max(2, int(0.03 * r.n))
+        if r.n_clipped == 0:
+            assert r.wins_sum == r.raw_sum
+        # winsorized total is bounded by clipping everything to the
+        # respective bounds
+        assert r.n * r.lo_cents <= r.wins_sum <= r.n * r.hi_cents
