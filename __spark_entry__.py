@@ -46,18 +46,20 @@ _FRONT = [
     "isotonic_calibration",
     # --- r8 second batch (first driver rows): smoothed target
     # encoding, dyadic half-life LTV, Welch parametric A/B, Hamilton
-    # apportionment, dedup threshold knob curve — plus linkpred under
-    # its new adaptive-cap plan ---
+    # apportionment, dedup threshold knob curve ---
     "target_encoding",
     "time_decay_ltv",
     "welch_ttest",
     "sample_allocation",
     "dedup_threshold_sweep",
-    "linkpred_topk",
+    # linkpred_topk's adaptive cap provably keeps sf0.01 rows
+    # identical to its green r7 grade (cap >= max degree there), so
+    # it yields its gate slot to the new queries and rotates in r9
     # --- r8 third batch (first driver rows): split-conformal
     # calibration thresholds and winsorized robust moments ---
     "conformal_thresholds",
     "winsorize_stats",
+    "decile_lift",
     # --- the full ≤r3 stale cohort (VERDICT r7 item 2): every query
     # whose latest driver grade is round 3 — oracle-backed ones give
     # hard hash rows; _ordered pushes the two rows-only members

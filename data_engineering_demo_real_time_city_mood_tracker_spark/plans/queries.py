@@ -12872,3 +12872,96 @@ def q_winsorize_stats(spark, sf_dir):
             "n_clipped",
         )
     )
+
+
+@register(
+    "decile_lift",
+    """WITH s AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+d AS (SELECT y, NTILE(10) OVER (ORDER BY cents, event_id) AS decile FROM s),
+g AS (
+  SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM d GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(pos) AS BIGINT) AS tp
+      FROM g)
+SELECT g.decile, g.n, g.pos,
+       CAST(g.pos AS DOUBLE) / g.n AS response_rate,
+       CASE WHEN (SELECT tp FROM t) > 0 THEN
+         CAST((SELECT SUM(g2.pos) FROM g g2 WHERE g2.decile >= g.decile)
+              AS DOUBLE) / (SELECT tp FROM t) END AS cum_capture,
+       CASE WHEN (SELECT tp FROM t) > 0 THEN
+         (CAST(g.pos AS DOUBLE) / g.n)
+           / (CAST((SELECT tp FROM t) AS DOUBLE) / (SELECT tn FROM t))
+       END AS lift
+FROM g""",
+)
+def q_decile_lift(spark, sf_dir):
+    """decile lift / gains table: events ranked into EXACT score
+    deciles (value cents, event_id tiebreak — the NTILE total-order
+    discipline), then per decile the purchase response rate, the
+    cumulative capture of all purchases from the top decile down, and
+    the lift over the base rate — the model-evaluation table every
+    targeting/quality-classifier deployment reads before choosing a
+    cutoff. SECOND consumer of ntile_boundary_values
+    (ops/quantiles.py): deciles come from the stat-free bit-prefix
+    two-phase selection (proxy cents+1 keeps the positive-long
+    precondition; +1 is monotone so the boundaries are exact) and are
+    scored MAP-ONLY — no global sort (feature_binning's r8 plan). The
+    ≥-decile capture sums ride a ≤10-row bounded self-join; base-rate
+    and zero-purchase guards are CASE→NULL in both engines; exact
+    integers + IEEE divisions only."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.quantiles import (
+        ntile_boundary_values,
+        ntile_score_expr,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bounds = ntile_boundary_values(
+        s, [("cents", "event_id", 10)], pos_long_sql=["cents + 1"]
+    )["cents"]
+    g = (
+        s.select(
+            "y",
+            ntile_score_expr(bounds, F.col("cents"), F.col("event_id")).alias(
+                "decile"
+            ),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("tn"), F.sum("pos").cast("long").alias("tp")
+    )
+    g2 = g.select(F.col("decile").alias("d2"), F.col("pos").alias("p2"))
+    cum = (
+        g.join(F.broadcast(g2), F.col("d2") >= F.col("decile"))
+        .groupBy("decile", "n", "pos")
+        .agg(F.sum("p2").cast("long").alias("cum_pos"))
+    )
+    return cum.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n",
+        "pos",
+        (F.col("pos").cast("double") / F.col("n")).alias("response_rate"),
+        F.when(
+            F.col("tp") > 0, F.col("cum_pos").cast("double") / F.col("tp")
+        ).alias("cum_capture"),
+        F.when(
+            F.col("tp") > 0,
+            (F.col("pos").cast("double") / F.col("n"))
+            / (F.col("tp").cast("double") / F.col("tn")),
+        ).alias("lift"),
+    )

@@ -46,8 +46,8 @@ def test_queries_and_oracles_share_ordering():
                  "ivf_nprobe_recall", "isotonic_calibration",
                  "target_encoding", "time_decay_ltv", "welch_ttest",
                  "sample_allocation", "dedup_threshold_sweep",
-                 "linkpred_topk", "conformal_thresholds",
-                 "winsorize_stats",
+                 "conformal_thresholds",
+                 "winsorize_stats", "decile_lift",
                  # every query whose latest driver grade is round 3
                  "association_rules", "binary_ingest", "cdc_apply",
                  "cohort_retention", "data_quality_report",

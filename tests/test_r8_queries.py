@@ -320,3 +320,51 @@ def test_winsorize_stats_invariants(spark, sf_dir):
         # winsorized total is bounded by clipping everything to the
         # respective bounds
         assert r.n * r.lo_cents <= r.wins_sum <= r.n * r.hi_cents
+
+
+def test_decile_lift_gains_table(spark, sf_dir):
+    """deciles are 1..10 with NTILE-balanced sizes, Σpos·capture math
+    is a valid survival curve (cum_capture non-increasing from decile
+    10 down is equivalent to non-decreasing toward 1.0 at decile 1),
+    the decile-1 capture is exactly 1.0, and lift · base_rate equals
+    the decile's response rate."""
+    rows = sorted(
+        QUERIES["decile_lift"](spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    tn = sum(r.n for r in rows)
+    tp = sum(r.pos for r in rows)
+    if tp:
+        base = tp / tn
+        assert abs(rows[0].cum_capture - 1.0) < 1e-12
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo.cum_capture >= hi.cum_capture - 1e-12
+        for r in rows:
+            assert abs(r.lift * base - r.response_rate) < 1e-9
+
+
+def test_acf_lag_drops_degenerate_short_series(spark):
+    """r7 ADVICE guard: an event_type whose dense minute grid is
+    shorter than lag+1 must emit NO row for that lag (the oracle's
+    pairs CTE has none), never an n_pairs=0 NULL-stats row."""
+    import datetime
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES as Q
+
+    # one type with a 2-minute grid: lag 1 has 1 pair, lags 2-3 none
+    rows = spark.createDataFrame(
+        [
+            (1, 1, datetime.datetime(2024, 1, 1, 0, 0, 30), "solo", 1.0, "{}"),
+            (2, 1, datetime.datetime(2024, 1, 1, 0, 1, 30), "solo", 2.0, "{}"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="acf_toy_")
+    rows.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = Q["acf_lag"](spark, d).collect()
+    lags = sorted((r.event_type, r.lag) for r in out)
+    assert lags == [("solo", 1)]
+    assert all(r.n_pairs > 0 for r in out)
