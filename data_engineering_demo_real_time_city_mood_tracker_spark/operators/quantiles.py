@@ -172,11 +172,25 @@ def ntile_boundary_values(
     MONOTONE NON-DECREASING, strictly-positive BIGINT function of
     spec i's value_col (default: the value_col itself). Monotone
     coarsening is enough — equal proxies merely share a bucket (e.g.
-    exact cents for a price double). Preconditions: key_col unique +
-    non-null, value_col non-null, all specs share the value dtype
-    (they ride one stacked phase-2 union)."""
+    exact cents for a price double). Positivity + non-null are
+    ENFORCED (the shared histogram carries min(proxy) per bucket and
+    the builder raises on any ≤ 0 — a negative long's 64-char bin()
+    would otherwise alias into the 63-bit positive octave and
+    silently mis-bin); duplicate value_cols across specs raise (the
+    result dict is keyed by value_col). Remaining preconditions:
+    key_col unique + non-null, all specs share the value dtype (they
+    ride one stacked phase-2 union)."""
     if pos_long_sql is None:
         pos_long_sql = [vc for vc, _kc, _k in specs]
+    # the result dict is keyed by value_col: two specs sharing one
+    # would silently merge their boundary lists and corrupt every
+    # consumer's bucket scores — fail loudly instead (r8 ADVICE).
+    vcs = [vc for vc, _kc, _k in specs]
+    if len(set(vcs)) != len(vcs):
+        raise ValueError(
+            f"ntile_boundary_values: duplicate value_col in specs {vcs}; "
+            "alias the column so each spec keys its own boundary list"
+        )
 
     def octave_bucket(vsql: str):
         return F.expr(
@@ -184,21 +198,35 @@ def ntile_boundary_values(
             f" + shiftright({vsql}, greatest(length(bin({vsql})) - 11, 0))"
         )
 
-    # job 1: one stacked histogram over all specs, collected (bounded)
+    # job 1: one stacked histogram over all specs, collected (bounded).
+    # The stack carries min(proxy) per bucket too: the strictly-
+    # positive-BIGINT precondition on pos_long_sql is ENFORCED here —
+    # a negative long's 64-char bin() would alias it into the 63-bit
+    # positive octave and silently mis-bin (r8 ADVICE); the min ride
+    # costs one extra agg column on the already-bounded shuffle.
     k_specs = len(specs)
     sel = df.select(
-        *[octave_bucket(s).alias(f"_b{i}") for i, s in enumerate(pos_long_sql)]
+        *[octave_bucket(s).alias(f"_b{i}") for i, s in enumerate(pos_long_sql)],
+        *[F.expr(s).alias(f"_v{i}") for i, s in enumerate(pos_long_sql)],
     )
     stacked = sel.select(
         F.expr(
             f"stack({k_specs}, "
-            + ", ".join(f"{i}, _b{i}" for i in range(k_specs))
-            + ") AS (m, _b)"
+            + ", ".join(f"{i}, _b{i}, _v{i}" for i in range(k_specs))
+            + ") AS (m, _b, _v)"
         )
     )
     hist = (
-        stacked.groupBy("m", "_b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        stacked.groupBy("m", "_b")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("_v").alias("mn"))
+        .collect()
     )
+    bad = [r for r in hist if r["mn"] is None or r["mn"] <= 0]
+    if bad:
+        raise ValueError(
+            "ntile_boundary_values: pos_long_sql must be strictly-positive "
+            f"non-null BIGINT; spec {bad[0]['m']} saw min proxy {bad[0]['mn']}"
+        )
     per_m: dict[int, list[tuple[int, int]]] = {}
     for r in hist:
         per_m.setdefault(r["m"], []).append((r["_b"], r["cnt"]))

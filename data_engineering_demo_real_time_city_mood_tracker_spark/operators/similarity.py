@@ -687,6 +687,13 @@ def ivf_multiprobe_recall(
         .select("query_id", "qvec", "cid", "cell_rank")
     )
 
+    np_frame = F.broadcast(
+        corpus.sparkSession.range(1).select(
+            F.explode(
+                F.array(*[F.lit(int(np_)) for np_ in nprobes]).cast("array<long>")
+            ).alias("nprobe")
+        )
+    )
     cand = (
         c.withColumn("_cn", vectors.norm(F.col("cvec")))
         .join(c_assign, "corpus_id")
@@ -701,18 +708,7 @@ def ivf_multiprobe_recall(
                 / (F.col("_qn") * F.col("_cn"))
             ).alias("cos_sim"),
         )
-        .join(
-            F.broadcast(
-                corpus.sparkSession.range(1).select(
-                    F.explode(
-                        F.array(*[F.lit(int(np_)) for np_ in nprobes]).cast(
-                            "array<long>"
-                        )
-                    ).alias("nprobe")
-                )
-            ),
-            F.col("cell_rank") <= F.col("nprobe"),
-        )
+        .join(np_frame, F.col("cell_rank") <= F.col("nprobe"))
     )
 
     aw = Window.partitionBy("nprobe", "query_id").orderBy(
@@ -734,8 +730,15 @@ def ivf_multiprobe_recall(
         .groupBy("nprobe", "query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    # recall denominator = the QUERY SET, not the candidate-bearing
+    # queries: a query with zero candidates at a probe budget still
+    # counts k misses, else the curve inflates (and can go
+    # non-monotone) exactly when the budget is too small to matter
+    # (r8 ADVICE). The spine is |queries| × |nprobes| — broadcast-tiny.
+    spine = q.select("query_id").join(np_frame)
     return (
-        cc.join(hits, ["nprobe", "query_id"], "left")
+        spine.join(cc, ["nprobe", "query_id"], "left")
+        .join(hits, ["nprobe", "query_id"], "left")
         .groupBy("nprobe")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_queries"),
@@ -744,6 +747,8 @@ def ivf_multiprobe_recall(
                 F.sum(F.coalesce("n_hits", F.lit(0))).cast("double")
                 / (F.lit(k) * F.count(F.lit(1)))
             ).alias(f"recall_at_{k}"),
-            F.sum("n_cand").cast("long").alias("total_candidates"),
+            F.sum(F.coalesce("n_cand", F.lit(0)))
+            .cast("long")
+            .alias("total_candidates"),
         )
     )

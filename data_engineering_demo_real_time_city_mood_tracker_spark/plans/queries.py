@@ -12041,7 +12041,8 @@ def q_drift_timeline(spark, sf_dir):
     is, and is bounded [0,1]); the day×bucket probability grid is the
     GLOBAL bucket set per type (a day missing a bucket contributes
     p=0, never a dropped term). The bucket base frame is
-    span-bounded (types × days × ≤5 value buckets) and feeds FOUR
+    span-bounded (types × days × ≤~25 value buckets — the generator
+    caps events.value at 600, so floor(value/25) ≤ 24) and feeds FOUR
     rollups, so it is eagerly localCheckpointed once — haar_energy's
     measured lesson: multi-consumer unmaterialized lineage
     re-executes the corpus scan per consumer. The sorted |pd−pg| fold
@@ -12158,14 +12159,22 @@ hits AS (
   FROM appr a
   JOIN exact e ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id
   GROUP BY 1, 2
+),
+spine AS (
+  SELECT np.nprobe, v.vec_id AS query_id
+  FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+               (CAST(4 AS BIGINT))) np(nprobe)
+  CROSS JOIN v WHERE v.vec_id < 10
 )
-SELECT cc.nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+SELECT s.nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(SUM(COALESCE(h.n_hits, 0)) AS BIGINT) AS total_hits,
        CAST(SUM(COALESCE(h.n_hits, 0)) AS DOUBLE) / (5 * COUNT(*))
          AS recall_at_5,
-       CAST(SUM(cc.n_cand) AS BIGINT) AS total_candidates
-FROM cc LEFT JOIN hits h ON h.nprobe = cc.nprobe AND h.query_id = cc.query_id
-GROUP BY cc.nprobe""",
+       CAST(SUM(COALESCE(cc.n_cand, 0)) AS BIGINT) AS total_candidates
+FROM spine s
+LEFT JOIN cc ON cc.nprobe = s.nprobe AND cc.query_id = s.query_id
+LEFT JOIN hits h ON h.nprobe = s.nprobe AND h.query_id = s.query_id
+GROUP BY s.nprobe""",
 )
 def q_ivf_nprobe_recall(spark, sf_dir):
     """the IVF recall-vs-nprobe CURVE (operators/similarity.py:
@@ -12232,8 +12241,10 @@ def q_isotonic_calibration(spark, sf_dir):
     NOT portable, so both engines compute the CLOSED minimax form
     instead: iso(i) = max_{j≤i} min_{k≥i} (pos[j..k] / n[j..k]) —
     provably the PAVA fit (Robertson-Wright-Dykstra, Ch.1), and pure
-    joins over the BUCKET frame: B ≤ ~21 score buckets → the (j,k)
-    window sums are a B³-tuple join and the minimax two grouped aggs,
+    joins over the BUCKET frame: B ≤ ~121 score buckets (the
+    generator caps events.value at 600, so floor(value/5) ≤ 120) →
+    the (j,k) window sums are a ≤B³ ≈ 1.8M-tuple join (still
+    broadcast-tiny) and the minimax two grouped aggs,
     all broadcast-tiny at ANY corpus size (the corpus pays exactly
     one map-side-combined bucket agg). The bucket base frame feeds
     five rollups, so it is eagerly localCheckpointed once
@@ -12675,10 +12686,10 @@ docmax AS (
 dh AS (SELECT mb, CAST(COUNT(*) AS BIGINT) AS n_docs FROM docmax GROUP BY mb)
 SELECT b.band,
        b.n_pairs,
-       (SELECT SUM(b2.n_pairs) FROM bands b2 WHERE b2.band >= b.band)
-         AS pairs_at_or_above,
-       COALESCE((SELECT SUM(d.n_docs) FROM dh d WHERE d.mb >= b.band), 0)
-         AS docs_touched_at_or_above
+       CAST((SELECT SUM(b2.n_pairs) FROM bands b2 WHERE b2.band >= b.band)
+            AS BIGINT) AS pairs_at_or_above,
+       CAST(COALESCE((SELECT SUM(d.n_docs) FROM dh d WHERE d.mb >= b.band), 0)
+            AS BIGINT) AS docs_touched_at_or_above
 FROM bands b""",
 )
 def q_dedup_threshold_sweep(spark, sf_dir):

@@ -1364,6 +1364,31 @@ def test_ntile_boundary_values_matches_ntile(spark):
     assert got == [(0, 1), (1, 2), (2, 3)]
 
 
+def test_ntile_boundary_values_guards(spark):
+    """the r8 ADVICE guards: duplicate value_cols raise (the result
+    dict would silently merge boundary lists), and a non-positive
+    proxy raises (a negative long's 64-char bin() aliases into the
+    63-bit positive octave and would silently mis-bin)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.quantiles import (
+        ntile_boundary_values,
+    )
+
+    df = spark.range(1, 100).select(
+        F.col("id").alias("v"), F.col("id").alias("key")
+    )
+    with pytest.raises(ValueError, match="duplicate value_col"):
+        ntile_boundary_values(df, [("v", "key", 4), ("v", "key", 10)])
+
+    neg = spark.range(0, 100).select(
+        (F.col("id") - 50).alias("v"), F.col("id").alias("key")
+    )
+    with pytest.raises(ValueError, match="strictly-positive"):
+        ntile_boundary_values(neg, [("v", "key", 4)])
+
+
 def test_ntile_boundary_refinement_still_exact(spark):
     """forcing target_bucket_rows below every bucket count makes the
     Munro-Paterson refinement loop fire; boundaries must not change."""

@@ -61,6 +61,10 @@ def test_ivf_nprobe_recall_curve_monotone(spark, sf_dir):
         r.nprobe: r for r in QUERIES["ivf_nprobe_recall"](spark, sf_dir).collect()
     }
     assert set(rows) == {1, 2, 4}
+    # r9: the denominator is the QUERY SET (constant across budgets),
+    # not the candidate-bearing queries — a zero-candidate query
+    # counts k misses instead of silently dropping out.
+    assert len({r.n_queries for r in rows.values()}) == 1
     for r in rows.values():
         assert 0.0 <= r.recall_at_5 <= 1.0
         assert r.total_hits <= 5 * r.n_queries
