@@ -102,39 +102,50 @@ def ngram_jaccard_pairs(
 def _sized_shingle_rows(
     df: DataFrame, text_col: str, id_col: str, k: int, max_df: int | None
 ) -> DataFrame:
-    """Persisted (id, n, shingle) rows: each doc's DISTINCT k-shingles
-    exploded, with the (post-``max_df``-cap) set size ``n`` carried on
-    every row so set-overlap joins never need a size-lookup join.
+    """(id, n, shingle) rows: each doc's DISTINCT k-shingles exploded,
+    with the (post-``max_df``-cap) set size ``n`` carried on every row
+    so set-overlap joins never need a size-lookup join.
 
     Shared candidate-generation front end for the exact set-similarity
-    joins (Jaccard / containment). The distinct-shingle array is built
-    INLINE in both the size and the explode — two evals per input row,
-    vs per-element re-eval if exploded from a bound column (Generate
-    inlines child projections). Persisted: both sides of a self-join
-    read the materialized bytes instead of re-running the
-    tokenize→shingle pipeline (3-4× at sf0.1).
+    joins (Jaccard / containment / threshold sweep). The DOC-SIZED
+    ARRAY frame ``(id, arr)`` is eagerly localCheckpointed BEFORE the
+    explode — the r9 measured lesson that re-planned this family:
+    size()+explode() over the inline tokenize→shingle expression puts
+    that whole chain inside the un-codegen'd Generate, which
+    re-evaluates it PER OUTPUT ROW (O(shingles²) regex+concat work per
+    doc — 4.2 s vs 0.6 s at sf0.1, ~6× of this family's front-end
+    cost). Exploding a MATERIALIZED plain array column makes the
+    Generate a pointer walk; the barrier costs one doc-sized
+    materialization (arrays are ~text-sized — strictly smaller than
+    the exploded rows the old plan checkpointed).
 
-    The ``max_df`` hot-shingle cap costs one extra map+tiny-agg job,
-    NOT a window sort: hot shingles are found with a shingle-keyed
-    count (O(df) per shingle), collected (bounded: #hot ≤
-    total-shingle-instances / max_df), and embedded as an
-    ``array_except`` literal so the filtered arrays and post-cap set
-    sizes are computed map-side in one pass.
+    The ``max_df`` hot-shingle cap costs one extra map+tiny-agg job
+    over the materialized arrays (the old separate tokenize persist is
+    gone — the array checkpoint IS the shared tokenization), collected
+    (bounded: #hot ≤ total-shingle-instances / max_df) and applied as
+    an ``array_except`` literal; when hot shingles exist the capped
+    arrays are re-materialized so the explode still reads a plain
+    column (array_except inside a Generate would re-eval per output
+    row — the same trap).
+
+    Checkpoint, not persist: the frames back both sides of the
+    caller's self-join but the caller's result is lazy and pair-sized,
+    so they can't be unpersisted here; checkpoint blocks are
+    ContextCleaner-reclaimed once the caller drops the frame, where a
+    persist would sit in the CacheManager forever.
     """
-    from pyspark import StorageLevel
-
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
 
     dsh = F.array_distinct(shingles_from_tokens(F.col("_toks"), k))
-    toked = _toked(df, text_col, id_col)
+    arrf = (
+        _toked(df, text_col, id_col)
+        .select("id", dsh.alias("arr"))
+        .localCheckpoint(eager=True)
+    )
     if max_df is not None:
-        # the df scan and the main pipeline share ONE tokenization:
-        # persist the (id, token-array) frame so the normalize+split
-        # regex work — the dominant CPU cost — runs once, not twice.
-        toked = toked.persist(StorageLevel.MEMORY_AND_DISK)
         hot = [
             r.shingle
-            for r in toked.select(F.explode(dsh).alias("shingle"))
+            for r in arrf.select(F.explode("arr").alias("shingle"))
             .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
@@ -142,26 +153,17 @@ def _sized_shingle_rows(
             .collect()
         ]
         if hot:
-            dsh = F.array_except(dsh, F.array(*[F.lit(s) for s in hot]))
-    # NO filter/extra node on top of this projection: a Filter between
-    # the Generate and the downstream join stops Catalyst collapsing
-    # the shingle pipeline into the Generate, re-evaluating the
-    # tokenize→shingle expression per exploded row (~4× at sf0.1).
-    # Empty arrays simply explode to zero rows — no filter needed.
-    # reclaimable checkpoint, not persist: sh backs both sides of the
-    # caller's self-join but the caller's result is lazy and pair-sized
-    # so sh can't be unpersisted here; checkpoint blocks are
-    # ContextCleaner-reclaimed once the caller drops the frame, where a
-    # persist would sit in the CacheManager forever.
-    sh = toked.select(
-        "id", F.size(dsh).alias("n"), F.explode(dsh).alias("shingle")
+            arrf = arrf.select(
+                "id",
+                F.array_except(
+                    F.col("arr"), F.array(*[F.lit(s) for s in hot])
+                ).alias("arr"),
+            ).localCheckpoint(eager=True)
+    # Empty arrays simply explode to zero rows — no filter needed (a
+    # Filter between Generate and the join would block collapsing).
+    return arrf.select(
+        "id", F.size("arr").alias("n"), F.explode("arr").alias("shingle")
     ).localCheckpoint(eager=max_df is not None)
-    if max_df is not None:
-        # sh's eager checkpoint materialized from toked's cache just
-        # above — release toked now (it IS unpersistable here: sh no
-        # longer depends on it once checkpointed)
-        toked.unpersist()
-    return sh
 
 
 def containment_pairs(
@@ -695,10 +697,12 @@ def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
 
     Safe as a Project-over-Project chain (CollapseProject does not
     duplicate non-cheap multi-referenced expressions). Do NOT explode
-    ``sh`` from a later select — Generate inlines its child projection
-    unconditionally, re-evaluating the whole chain per element; build
-    the array inline inside the explode instead (see
-    ngram_jaccard_pairs)."""
+    ``sh`` from a later select while the chain is unmaterialized —
+    Generate inlines its child projection, re-evaluating the whole
+    tokenize→shingle chain per OUTPUT row (measured 6× of the dedup
+    family's front-end cost, r9); localCheckpoint the array frame
+    first and explode the materialized plain column (see
+    _sized_shingle_rows)."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
 
     return _toked(df, text_col, id_col).select(
@@ -910,8 +914,6 @@ def prefix_filter_jaccard_pairs(
     per-shingle pair blowup shrinks by ~(1-τ)² with zero recall loss.
     Two shuffles, same as the full join, on strictly less data.
     """
-    # reclaimable checkpoint, not persist — see minhash_dedup_pairs
-    arr = _shingle_arrays(df, text_col, id_col, k).localCheckpoint(eager=False)
     # global order = (md5(shingle), shingle): array_sort on the struct
     # sorts field-by-field, and the shingle tiebreak keeps the order
     # total even on (impossible for equal-length hex) hash collisions.
@@ -923,13 +925,26 @@ def prefix_filter_jaccard_pairs(
         ),
         lambda st: st["s"],
     )
-    n = F.size(F.col("sh"))
-    plen = (n - F.ceil(n * F.lit(float(threshold))).cast("int") + 1).cast("int")
-    pref = (
-        arr.select(
-            "id", n.alias("n"),
-            F.explode(F.slice(ordered, F.lit(1), plen)).alias("shingle"),
-        )
+    # reclaimable checkpoint, not persist — see minhash_dedup_pairs.
+    # The ORDERED array (not the raw one) is what gets materialized:
+    # exploding a slice of the inline md5-sort expression would put
+    # that whole chain inside the un-codegen'd Generate (the r9
+    # _sized_shingle_rows lesson — per-output-row re-eval), and the
+    # verify join's array_intersect is order-insensitive, so the
+    # ordered array serves both consumers and the raw one is never
+    # stored.
+    arr = (
+        _shingle_arrays(df, text_col, id_col, k)
+        .select("id", F.size("sh").alias("n"), ordered.alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    plen = (
+        F.col("n")
+        - F.ceil(F.col("n") * F.lit(float(threshold))).cast("int")
+        + 1
+    ).cast("int")
+    pref = arr.select(
+        "id", "n", F.explode(F.slice(F.col("sh"), F.lit(1), plen)).alias("shingle")
     )
     a = pref.alias("a")
     b = pref.alias("b")

@@ -48,6 +48,8 @@ def test_queries_and_oracles_share_ordering():
                  "pagerank_topk", "dedup_threshold_sweep",
                  "ivf_nprobe_recall", "linkpred_topk", "triangle_count",
                  "clustering_coefficient", "degree_assortativity",
+                 "dedup_ngram_topk", "dedup_containment",
+                 "dedup_prefix_filter",
                  # every query whose latest driver grade is round 4
                  "audio_dedup_energy", "big_orders", "bpe_encode",
                  "brand_revenue", "daily_summary", "dedup_simhash",
