@@ -35,6 +35,7 @@ _FRONT = [
     # seasonal-naive rolling-origin backtest, HLL registers as join
     # payloads, and decision-stump Gini split scoring ---
     "kaplan_meier",
+    "log_rank",
     "bh_fdr",
     "seasonal_backtest",
     "hll_sketch_join",

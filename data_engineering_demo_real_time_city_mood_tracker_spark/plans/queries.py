@@ -13573,3 +13573,389 @@ def q_best_split_gini(spark, sf_dir):
             "gini_split"
         ),
     )
+
+
+@register(
+    "log_rank",
+    """WITH u AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd, MAX(CAST(ts AS DATE)) AS ld
+  FROM events GROUP BY 1
+),
+mx AS (SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events),
+per AS (
+  SELECT CASE WHEN date_diff('day', DATE '1970-01-05', fd) % 7 <= 4
+              THEN 1 ELSE 0 END AS g,
+         date_diff('day', fd, ld) AS t,
+         CASE WHEN date_diff('day', ld, (SELECT mxd FROM mx)) >= 3
+              THEN 1 ELSE 0 END AS churned
+  FROM u
+),
+km AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN g = 1 THEN churned ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 - churned ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN g = 0 THEN churned ELSE 0 END) AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN g = 0 THEN 1 - churned ELSE 0 END) AS BIGINT) AS c2
+  FROM per GROUP BY t
+),
+nr AS (
+  SELECT k.t, k.d1, k.d2,
+         CAST((SELECT SUM(k2.d1 + k2.c1) FROM km k2 WHERE k2.t >= k.t)
+              AS BIGINT) AS n1,
+         CAST((SELECT SUM(k2.d2 + k2.c2) FROM km k2 WHERE k2.t >= k.t)
+              AS BIGINT) AS n2
+  FROM km k
+),
+terms AS (
+  SELECT t, d1, d2, n1, n2,
+         CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2) AS e1t,
+         CASE WHEN n1 + n2 > 1
+              THEN CAST(d1 + d2 AS DOUBLE)
+                   * (CAST(n1 AS DOUBLE) / (n1 + n2))
+                   * (1.0 - CAST(n1 AS DOUBLE) / (n1 + n2))
+                   * CAST((n1 + n2) - (d1 + d2) AS DOUBLE)
+                   / CAST((n1 + n2) - 1 AS DOUBLE)
+              ELSE 0.0 END AS vt
+  FROM nr
+),
+res AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1, CAST(SUM(d2) AS BIGINT) AS o2,
+         list_reduce(list(0.0 + e1t ORDER BY t), (x, y) -> x + y) AS e1,
+         list_reduce(list(0.0 + vt ORDER BY t), (x, y) -> x + y) AS v
+  FROM terms
+),
+ng AS (SELECT CAST(SUM(g) AS BIGINT) AS n_weekday,
+              CAST(SUM(1 - g) AS BIGINT) AS n_weekend FROM per)
+SELECT ng.n_weekday, ng.n_weekend, res.o1, res.o2, res.e1, res.v,
+       CASE WHEN res.v > 0 THEN (res.o1 - res.e1) * (res.o1 - res.e1) / res.v
+            ELSE NULL END AS chi2
+FROM res CROSS JOIN ng""",
+)
+def q_log_rank(spark, sf_dir):
+    """log-rank (Mantel–Cox) test between two survival cohorts —
+    kaplan_meier's significance companion (weekday- vs
+    weekend-signup users): do the two tenure curves differ beyond
+    chance? The hypergeometric expectation/variance machinery over
+    the SHARED distinct-duration frame: at each churn time t, group
+    1's expected deaths e1t = d_t·n1_t/n_t and variance term
+    v_t = d_t·(n1_t/n_t)(1−n1_t/n_t)(n_t−d_t)/(n_t−1); the statistic
+    is (O1 − E1)²/V ~ χ²(1). Exactness: O1/O2 and all at-risk counts
+    are exact BIGINTs (≥-cumsum broadcast self-join over the
+    ≤span-days frame); e1t/vt are one fixed IEEE tree per time step,
+    and the two float SUMS ride ORDERED 0.0-seeded folds over the
+    sorted duration array (kaplan_meier's discipline — list_reduce
+    over list(0.0+x ORDER BY t) starts at 0.0+x₁ ≡ the fold seed),
+    so even Σfloat is bitwise on the oracle surface. n_t=1 degenerate
+    → vt=0, V=0 → NULL χ² in both engines. Scale: one user-keyed agg
+    is the only corpus pass; everything else is span-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+    )
+    mx = ev.agg(F.max(F.to_date("ts")).alias("mxd"))
+    per = u.join(F.broadcast(mx)).select(
+        F.when(
+            F.datediff("fd", F.lit("1970-01-05").cast("date")) % 7 <= 4, 1
+        )
+        .otherwise(0)
+        .alias("g"),
+        F.datediff("ld", "fd").cast("long").alias("t"),
+        F.when(F.datediff("mxd", "ld") >= 3, 1).otherwise(0).alias("churned"),
+    )
+    km = per.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("churned")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("g") == 1, 1 - F.col("churned")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("g") == 0, F.col("churned")).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+        F.sum(F.when(F.col("g") == 0, 1 - F.col("churned")).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    k2 = km.select(
+        F.col("t").alias("tj"),
+        (F.col("d1") + F.col("c1")).alias("w1"),
+        (F.col("d2") + F.col("c2")).alias("w2"),
+    )
+    nr = (
+        km.join(F.broadcast(k2), F.col("tj") >= F.col("t"))
+        .groupBy("t", "d1", "d2")
+        .agg(
+            F.sum("w1").cast("long").alias("n1"),
+            F.sum("w2").cast("long").alias("n2"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dt = F.col("d1") + F.col("d2")
+    nt = F.col("n1") + F.col("n2")
+    terms = nr.select(
+        "t",
+        "d1",
+        "d2",
+        "n1",
+        "n2",
+        (dt.cast("double") * F.col("n1") / nt).alias("e1t"),
+        F.when(
+            nt > 1,
+            dt.cast("double")
+            * (d("n1") / nt)
+            * (F.lit(1.0) - d("n1") / nt)
+            * (nt - dt).cast("double")
+            / (nt - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("vt"),
+    )
+    res = terms.groupBy().agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("d2").cast("long").alias("o2"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", "e1t"))),
+            F.lit(0.0),
+            lambda a, x: a + x["e1t"],
+        ).alias("e1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", "vt"))),
+            F.lit(0.0),
+            lambda a, x: a + x["vt"],
+        ).alias("v"),
+    )
+    ng = per.groupBy().agg(
+        F.sum("g").cast("long").alias("n_weekday"),
+        F.sum(1 - F.col("g")).cast("long").alias("n_weekend"),
+    )
+    return res.join(F.broadcast(ng)).select(
+        "n_weekday",
+        "n_weekend",
+        "o1",
+        "o2",
+        "e1",
+        "v",
+        F.when(
+            F.col("v") > 0,
+            (F.col("o1") - F.col("e1"))
+            * (F.col("o1") - F.col("e1"))
+            / F.col("v"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("chi2"),
+    )
+
+
+@register(
+    "page_hinkley",
+    """WITH m AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS s,
+              CAST(COUNT(*) AS BIGINT) AS mm FROM m GROUP BY 1),
+ph AS (
+  SELECT m.event_type, m.minute, st.mm, st.s,
+         ROW_NUMBER() OVER (PARTITION BY m.event_type ORDER BY m.minute) AS t,
+         CAST(SUM(m.x) OVER (PARTITION BY m.event_type ORDER BY m.minute
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM m JOIN st ON st.event_type = m.event_type
+),
+g AS (
+  SELECT event_type, minute, mm,
+         mm * cum - t * s - t * 100 * mm AS mt, t
+  FROM ph
+),
+g2 AS (
+  SELECT event_type, minute, mm, t,
+         mt - MIN(mt) OVER (PARTITION BY event_type ORDER BY minute
+              ROWS UNBOUNDED PRECEDING) AS gap
+  FROM g
+)
+SELECT event_type, CAST(MAX(t) AS BIGINT) AS n_minutes,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_scaled,
+       CAST(SUM(CASE WHEN gap > 200000 * mm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       MIN(CASE WHEN gap > 200000 * mm THEN minute END) AS first_alarm_minute
+FROM g2 GROUP BY event_type""",
+)
+def q_page_hinkley(spark, sf_dir):
+    """Page–Hinkley upward-drift alarm over the per-minute value
+    series, per event type — cusum_alerts' mean-drift companion (PH
+    is the classic sequential test for a sustained mean INCREASE;
+    cusum catches level shifts against a reference block). The
+    μ0-referenced variant (reference mean = the series' own global
+    mean — the standard offline calibration) makes the whole monitor
+    EXACT INTEGER: with M minutes and total S cents, the statistic
+    m_t = Σ_{i≤t}(x_i − S/M − δ) scales by M to
+    M·cum_t − t·S − t·δ·M (δ = 100 cents/minute allowance), and the
+    alarm gap m_t − min_{i≤t} m_i > λ scales to gap > λ·M
+    (λ = 200000 cents) — BIGINT throughout, no float ever. Headroom:
+    M is SPAN-bounded (≤43200 minutes at any corpus size), so
+    M·cum ≤ 4e4·Σcents — exact to ~2e14 total cents per type
+    (≈ sf1000; rescale-to-units escape documented). Scale: one
+    map-side-combined minute agg is the only corpus pass; the two
+    running windows ride the span-bounded minute frame partitioned
+    by type (never SinglePartition). Alarm indexing is
+    sample-sequence PH over observed minutes (absent minutes carry
+    no sample — the standard sample-indexed form). A planted-drift
+    detection test asserts the alarm actually fires."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    st = m.groupBy("event_type").agg(
+        F.sum("x").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("mm"),
+    )
+    w = Window.partitionBy("event_type").orderBy("minute")
+    cumw = w.rowsBetween(Window.unboundedPreceding, 0)
+    ph = (
+        m.join(st, "event_type")
+        .withColumn("t", F.row_number().over(w).cast("long"))
+        .withColumn("cum", F.sum("x").over(cumw).cast("long"))
+        .withColumn(
+            "mt",
+            F.col("mm") * F.col("cum")
+            - F.col("t") * F.col("s")
+            - F.col("t") * F.lit(100) * F.col("mm"),
+        )
+        .withColumn("minm", F.min("mt").over(cumw))
+        .withColumn("gap", F.col("mt") - F.col("minm"))
+    )
+    alarm = F.col("gap") > F.lit(200000) * F.col("mm")
+    return ph.groupBy("event_type").agg(
+        F.max("t").cast("long").alias("n_minutes"),
+        F.max("gap").cast("long").alias("max_gap_scaled"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarms"),
+        F.min(F.when(alarm, F.col("minute"))).alias("first_alarm_minute"),
+    )
+
+
+@register(
+    "group_sequential",
+    """WITH mn AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+q AS (
+  SELECT event_type,
+         date_diff('day', (SELECT d0 FROM mn), CAST(ts AS DATE)) + 1 AS dayidx,
+         CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END AS is_day,
+         CAST(round(value * 100, 0) AS BIGINT) AS cv
+  FROM events
+),
+lk AS (SELECT CAST(UNNEST([6, 12, 18, 24, 30]) AS BIGINT) AS look_day),
+cum AS (
+  SELECT event_type, look_day,
+         CAST(SUM(is_day) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN is_day = 1 THEN cv ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN is_day = 1 THEN cv * cv ELSE 0 END) AS BIGINT) AS q1,
+         CAST(SUM(1 - is_day) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN is_day = 0 THEN cv ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN is_day = 0 THEN cv * cv ELSE 0 END) AS BIGINT) AS q2
+  FROM q JOIN lk ON q.dayidx <= lk.look_day
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT event_type, look_day, n1, n2,
+         CASE WHEN n1 >= 2 AND n2 >= 2 AND
+                   (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 * (n1 - 1))
+                 + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 * (n2 - 1)) > 0
+              THEN (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                   / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 * (n1 - 1))
+                        + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 * (n2 - 1)))
+              ELSE NULL END AS z
+  FROM cum
+),
+sc2 AS (
+  SELECT event_type, look_day, n1, n2, z,
+         CAST(CASE WHEN ABS(z) > 2.413 THEN 1 ELSE 0 END AS BIGINT) AS crossed
+  FROM sc
+),
+fst AS (SELECT event_type, MIN(look_day) AS stopped_at_day
+        FROM sc2 WHERE crossed = 1 GROUP BY 1)
+SELECT sc2.event_type, sc2.look_day, sc2.n1, sc2.n2, sc2.z, sc2.crossed,
+       fst.stopped_at_day
+FROM sc2 LEFT JOIN fst ON fst.event_type = sc2.event_type""",
+)
+def q_group_sequential(spark, sf_dir):
+    """group-sequential A/B monitoring with Pocock stopping bounds:
+    the day-vs-night mean test (welch_ttest's statistic) evaluated at
+    FIVE interim looks (cumulative through days 6/12/18/24/30) with
+    the constant Pocock critical value 2.413 (K=5, α=0.05 two-sided —
+    Pocock 1977, a published literal; computing it needs numerical
+    integration, citing it doesn't) — the peeking-correct way to
+    monitor a live experiment, vs the naive 1.96-every-day that
+    inflates false positives several-fold. Per (type, look): exact
+    cumulative BIGINT counts/sums/squares from ONE conditional agg
+    against the broadcast look spine (the ≤-join multiplies rows by
+    K=5 BEFORE the map-side combine, so shuffle volume is types ×
+    looks), Welch z one mirrored IEEE tree per look, crossing a pure
+    literal comparison, stop day the first crossing. Degenerate
+    sides → NULL z, never a crossing, both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    looks = [6, 12, 18, 24, 30]
+    mn = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    q = ev.join(F.broadcast(mn)).select(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.col("d0")) + 1)
+        .cast("long")
+        .alias("dayidx"),
+        F.when(F.hour("ts") < 12, 1).otherwise(0).alias("is_day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cv"),
+    )
+    lk = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x).cast("long") for x in looks])).alias(
+            "look_day"
+        )
+    )
+    cum = (
+        q.join(F.broadcast(lk), F.col("dayidx") <= F.col("look_day"))
+        .groupBy("event_type", "look_day")
+        .agg(
+            F.sum("is_day").cast("long").alias("n1"),
+            F.sum(F.when(F.col("is_day") == 1, F.col("cv")).otherwise(0))
+            .cast("long")
+            .alias("s1"),
+            F.sum(
+                F.when(F.col("is_day") == 1, F.col("cv") * F.col("cv")).otherwise(0)
+            )
+            .cast("long")
+            .alias("q1"),
+            F.sum(1 - F.col("is_day")).cast("long").alias("n2"),
+            F.sum(F.when(F.col("is_day") == 0, F.col("cv")).otherwise(0))
+            .cast("long")
+            .alias("s2"),
+            F.sum(
+                F.when(F.col("is_day") == 0, F.col("cv") * F.col("cv")).otherwise(0)
+            )
+            .cast("long")
+            .alias("q2"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    se1 = (d("q1") - d("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") * (F.col("n1") - 1)
+    )
+    se2 = (d("q2") - d("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") * (F.col("n2") - 1)
+    )
+    z = F.when(
+        (F.col("n1") >= 2) & (F.col("n2") >= 2) & (se1 + se2 > 0),
+        (d("s1") / F.col("n1") - d("s2") / F.col("n2")) / F.sqrt(se1 + se2),
+    ).otherwise(F.lit(None).cast("double"))
+    scored = cum.withColumn("z", z).withColumn(
+        "crossed",
+        F.when(F.abs(F.col("z")) > 2.413, 1).otherwise(0).cast("long"),
+    )
+    first = (
+        scored.filter(F.col("crossed") == 1)
+        .groupBy("event_type")
+        .agg(F.min("look_day").alias("stopped_at_day"))
+    )
+    return scored.join(first, "event_type", "left").select(
+        "event_type", "look_day", "n1", "n2", "z", "crossed", "stopped_at_day"
+    )

@@ -42,8 +42,9 @@ def test_queries_and_oracles_share_ordering():
     # falls through to registry order
     assert len(front) <= 50, "front block must fit the driver's 50-row cap"
     for must in (# new r9 queries (first driver rows)
-                 "kaplan_meier", "bh_fdr", "seasonal_backtest",
-                 "hll_sketch_join", "best_split_gini",
+                 "kaplan_meier", "log_rank", "bh_fdr",
+                 "seasonal_backtest", "hll_sketch_join",
+                 "best_split_gini",
                  # r9 re-planned / re-derived (fresh hash rows)
                  "pagerank_topk", "dedup_threshold_sweep",
                  "ivf_nprobe_recall", "linkpred_topk", "triangle_count",

@@ -166,3 +166,93 @@ def test_pagerank_topk_fixed_point_invariants(spark, sf_dir):
     srt = sorted(rows, key=lambda r: (-r.rank_fp, r.id))
     assert [r.rnk for r in srt] == list(range(1, 21))
     assert all(r.rank_fp > 0 for r in rows)
+
+
+def test_log_rank_invariants(spark, sf_dir):
+    """single-row χ²(1) shape: expected deaths E1 can never exceed the
+    total death count, observed deaths partition it (O1+O2 = total),
+    variance is non-negative, and χ² reproduces (O1−E1)²/V."""
+    rows = QUERIES["log_rank"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # at sf0.001 every user's first event lands on the same Monday, so
+    # the weekend cohort is legitimately empty and χ² degenerates to
+    # NULL (V=0) — the guard path, itself worth asserting
+    assert r.n_weekday + r.n_weekend > 0
+    assert r.o1 >= 0 and r.o2 >= 0
+    assert 0.0 <= r.e1 <= r.o1 + r.o2
+    assert r.v >= 0.0
+    if r.chi2 is None:
+        assert r.v == 0.0
+    else:
+        assert r.v > 0
+        assert abs(r.chi2 - (r.o1 - r.e1) ** 2 / r.v) < 1e-9
+        assert r.chi2 >= 0.0
+
+
+def test_page_hinkley_invariants_and_planted_drift(spark, sf_dir):
+    """on the stationary test corpus the monitor reports per-type
+    series stats with a non-negative gap; on a PLANTED upward drift
+    (mean jumps mid-series by far more than δ + λ/minutes) the alarm
+    must actually fire — the detection property the query exists for."""
+    rows = QUERIES["page_hinkley"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_minutes > 0
+        assert r.max_gap_scaled >= 0
+        assert 0 <= r.n_alarms <= r.n_minutes
+        assert (r.first_alarm_minute is None) == (r.n_alarms == 0)
+
+    # planted drift: 2000 minutes at 100 cents, then 2000 at 10100 —
+    # the scaled gap grows ~(10100-100-δ)·M per post-jump minute,
+    # crossing λ·M within a handful of samples
+    from pyspark.sql import Window as W
+
+    base = spark.range(4000).select(
+        F.lit("planted").alias("event_type"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(mins=F.col("id").cast("int"))
+        ).alias("ts"),
+        F.when(F.col("id") < 2000, 1.0).otherwise(101.0).alias("value"),
+        F.col("id").alias("event_id"),
+        F.col("id").alias("user_id"),
+        F.lit("{}").alias("props"),
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        base.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        planted = QUERIES["page_hinkley"](spark, td).collect()
+    assert len(planted) == 1
+    p = planted[0]
+    assert p.n_alarms > 0
+    assert p.first_alarm_minute is not None
+    # the alarm fires after the jump (minute index >= 2000)
+    assert str(p.first_alarm_minute) >= "2024-01-02 09:20:00"
+
+
+def test_group_sequential_invariants(spark, sf_dir):
+    """sequential-monitoring bookkeeping: five looks per type,
+    cumulative sample sizes non-decreasing across looks, crossed ⇔
+    |z| > the Pocock bound, and stopped_at_day is the first crossed
+    look (NULL iff no look crossed)."""
+    rows = QUERIES["group_sequential"](spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for curve in by_type.values():
+        curve.sort(key=lambda r: r.look_day)
+        assert [r.look_day for r in curve] == [6, 12, 18, 24, 30]
+        for a, b in zip(curve, curve[1:]):
+            assert b.n1 >= a.n1 and b.n2 >= a.n2
+        crossed_days = [r.look_day for r in curve if r.crossed == 1]
+        for r in curve:
+            if r.z is not None:
+                assert (abs(r.z) > 2.413) == (r.crossed == 1)
+            else:
+                assert r.crossed == 0
+            assert r.stopped_at_day == (
+                min(crossed_days) if crossed_days else None
+            )
