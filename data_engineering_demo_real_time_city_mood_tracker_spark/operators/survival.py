@@ -94,3 +94,87 @@ def km_curve(
             "survival",
         )
     )
+
+
+def na_curve(
+    per_subject: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """(group, t_days, n_at_risk, n_events, cumhaz, cumhaz_var): the
+    Nelson–Aalen cumulative-hazard estimator per group from the same
+    ``(group, duration, event)`` per-subject frame :func:`km_curve`
+    consumes — the ADDITIVE twin of the product-limit curve.
+
+    H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ estimates cumulative hazard directly
+    (preferred over −ln S for small risk sets, and the quantity a
+    hazard-ratio eyeball wants); Klein's variance Σ dᵢ/nᵢ² rides the
+    same fold. Identical scale shape to km_curve: one subject-keyed
+    agg upstream, then ≥-cumulative at-risk counts and ≤-prefix sums
+    as broadcast self-joins over the bounded distinct-duration frame.
+
+    Float policy: dᵢ, nᵢ exact BIGINTs; each increment is one IEEE
+    division; both prefix sums are ORDERED 0.0-seeded left folds over
+    the ascending duration array (``F.aggregate`` ≡ DuckDB
+    ``list_reduce(list(0.0 + x ORDER BY t), +)`` — 0.0+x₁ == x₁
+    bitwise), so the whole curve is oracle-portable.
+    """
+    g, t, e = group_col, duration_col, event_col
+    km = per_subject.groupBy(g, t).agg(
+        F.sum(e).cast("long").alias("d"),
+        F.sum(1 - F.col(e)).cast("long").alias("c"),
+    )
+    k2 = km.select(
+        F.col(g).alias("_g2"),
+        F.col(t).alias("_tj"),
+        (F.col("d") + F.col("c")).alias("_w"),
+    )
+    nr = (
+        km.join(
+            F.broadcast(k2),
+            (F.col("_g2") == F.col(g)) & (F.col("_tj") >= F.col(t)),
+        )
+        .groupBy(g, t, "d", "c")
+        .agg(F.sum("_w").cast("long").alias("n_risk"))
+    )
+    fct = nr.withColumn(
+        "_h", F.col("d").cast("double") / F.col("n_risk")
+    ).withColumn(
+        "_v",
+        F.col("d").cast("double")
+        / (F.col("n_risk").cast("double") * F.col("n_risk")),
+    )
+    f2 = fct.select(
+        F.col(g).alias("_g2"),
+        F.col(t).alias("_tj"),
+        F.col("_h").alias("_hj"),
+        F.col("_v").alias("_vj"),
+    )
+    return (
+        fct.join(
+            F.broadcast(f2),
+            (F.col("_g2") == F.col(g)) & (F.col("_tj") <= F.col(t)),
+        )
+        .groupBy(g, t, "n_risk", "d")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_tj", "_hj"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_hj"],
+            ).alias("cumhaz"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_tj", "_vj"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_vj"],
+            ).alias("cumhaz_var"),
+        )
+        .select(
+            g,
+            F.col(t).alias("t_days"),
+            F.col("n_risk").alias("n_at_risk"),
+            F.col("d").alias("n_events"),
+            "cumhaz",
+            "cumhaz_var",
+        )
+    )

@@ -13959,3 +13959,642 @@ def q_group_sequential(spark, sf_dir):
     return scored.join(first, "event_type", "left").select(
         "event_type", "look_day", "n1", "n2", "z", "crossed", "stopped_at_day"
     )
+
+
+@register(
+    "calibration_curve",
+    """WITH q AS (
+  SELECT CAST(FLOOR(value / 30) AS BIGINT) AS bucket,
+         CAST(round(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+b AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM q GROUP BY 1
+)
+SELECT bucket, n, pos,
+       CAST(s AS DOUBLE) / (60000 * n) AS mean_pred,
+       CAST(pos AS DOUBLE) / n AS frac_pos,
+       (CAST(pos AS DOUBLE) / n) - CAST(s AS DOUBLE) / (60000 * n) AS gap
+FROM b""",
+)
+def q_calibration_curve(spark, sf_dir):
+    """reliability diagram of the value score against the is-purchase
+    label — the calibration EVALUATION that pairs with
+    isotonic_calibration's calibration FIT (a model can rank well and
+    still be miscalibrated; the diagram is what shows it): per score
+    bucket (~20 equal-width bins over the generator's 600 cap), the
+    mean predicted probability (score/600 as the [0,1] proxy, exact
+    cents / 60000·n), the observed positive rate, and the signed gap
+    — ECE is the n-weighted |gap| fold any consumer can run on the
+    ≤20-row output. Exactness: bucket counts / cent-sums / positives
+    are exact BIGINTs off ONE map-side-combined agg (the only corpus
+    pass); each output float is a single mirrored IEEE division (gap
+    = one subtraction of two such) — no float ever sums across rows,
+    so no fold discipline is even needed. Scale: bounded output,
+    linear scan, no joins."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            F.floor(F.col("value") / 30).cast("long").alias("bucket"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return b.select(
+        "bucket",
+        "n",
+        "pos",
+        (d("s") / (F.lit(60000) * F.col("n"))).alias("mean_pred"),
+        (d("pos") / F.col("n")).alias("frac_pos"),
+        (
+            (d("pos") / F.col("n")) - d("s") / (F.lit(60000) * F.col("n"))
+        ).alias("gap"),
+    )
+
+
+@register(
+    "jackknife_ratio_se",
+    """WITH ug AS (
+  SELECT user_id % 20 AS g, user_id,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS uc
+  FROM events GROUP BY 1, 2
+),
+gg AS (
+  SELECT g, CAST(SUM(uc) AS BIGINT) AS cg, CAST(COUNT(*) AS BIGINT) AS ug
+  FROM ug GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cg) AS BIGINT) AS ct, CAST(SUM(ug) AS BIGINT) AS ut,
+               CAST(COUNT(*) AS BIGINT) AS gn FROM gg),
+loo AS (
+  SELECT g, CAST((SELECT ct FROM tot) - cg AS DOUBLE)
+              / ((SELECT ut FROM tot) - ug) AS th
+  FROM gg
+  WHERE (SELECT ut FROM tot) - ug > 0
+),
+m1 AS (
+  SELECT list_reduce(list(0.0 + th ORDER BY g), (x, y) -> x + y)
+           / COUNT(th) AS mj,
+         CAST(COUNT(th) AS BIGINT) AS nth
+  FROM loo
+),
+ss AS (
+  SELECT (SELECT mj FROM m1) AS mj,
+         list_reduce(list(0.0 + (th - (SELECT mj FROM m1))
+                              * (th - (SELECT mj FROM m1))
+                          ORDER BY g), (x, y) -> x + y) AS ssq
+  FROM loo GROUP BY 1
+)
+SELECT t.gn AS n_groups,
+       CAST(t.ct AS DOUBLE) / t.ut AS theta,
+       ss.mj AS theta_jack_mean,
+       sqrt(CAST(t.gn - 1 AS DOUBLE) / t.gn * ss.ssq) AS jackknife_se
+FROM tot t CROSS JOIN ss""",
+)
+def q_jackknife_ratio_se(spark, sf_dir):
+    """delete-one-group jackknife standard error for a RATIO metric
+    (revenue cents per distinct user) — the uncertainty
+    quantification an A/B platform attaches to every ratio KPI,
+    where the naive per-row variance is simply wrong (users, not
+    events, are the independent units; Efron's grouped jackknife is
+    the classic fix that needs no resampling RNG). 20 deterministic
+    user buckets (user_id % 20): per bucket exact BIGINT cent/user
+    totals off one user-keyed agg; each leave-one-out ratio
+    θ₋g = (C−c_g)/(U−u_g) is ONE IEEE division; the jackknife mean
+    and Σ(θ₋g − θ̄)² ride ORDERED 0.0-seeded folds over the g-sorted
+    20-element array (list_reduce ≡ F.aggregate — the kaplan_meier
+    discipline), and se = √((G−1)/G · SS) is one more mirrored tree.
+    Degenerate buckets (a bucket holding ALL users) are filtered
+    identically in both engines BEFORE the folds (Spark collect_list
+    skips NULLs, DuckDB list() keeps them — the filter removes the
+    divergence). Scale: one user shuffle, then 20-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    ug = ev.groupBy((F.col("user_id") % 20).alias("g"), "user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("uc")
+    )
+    gg = ug.groupBy("g").agg(
+        F.sum("uc").cast("long").alias("cg"),
+        F.count(F.lit(1)).cast("long").alias("ug"),
+    )
+    tot = gg.agg(
+        F.sum("cg").cast("long").alias("ct"),
+        F.sum("ug").cast("long").alias("ut"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    loo = (
+        gg.join(F.broadcast(tot))
+        .filter(F.col("ut") - F.col("ug") > 0)
+        .select(
+            "g",
+            "gn",
+            "ct",
+            "ut",
+            (
+                (F.col("ct") - F.col("cg")).cast("double")
+                / (F.col("ut") - F.col("ug"))
+            ).alias("th"),
+        )
+    )
+    m1 = loo.groupBy("gn", "ct", "ut").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("g", "th"))),
+                F.lit(0.0),
+                lambda a, x: a + x["th"],
+            )
+            / F.count("th")
+        ).alias("mj"),
+    )
+    se = (
+        loo.join(F.broadcast(m1), ["gn", "ct", "ut"])
+        .groupBy("gn", "ct", "ut", "mj")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "g",
+                            (
+                                (F.col("th") - F.col("mj"))
+                                * (F.col("th") - F.col("mj"))
+                            ).alias("sq"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["sq"],
+            ).alias("ssq")
+        )
+    )
+    return se.select(
+        F.col("gn").alias("n_groups"),
+        (d("ct") / F.col("ut")).alias("theta"),
+        F.col("mj").alias("theta_jack_mean"),
+        F.sqrt(
+            (F.col("gn") - 1).cast("double") / F.col("gn") * F.col("ssq")
+        ).alias("jackknife_se"),
+    )
+
+
+@register(
+    "cuped_adjustment",
+    """WITH pu AS (
+  SELECT user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+                  THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN EXTRACT(day FROM ts) >= 16
+                  THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pu GROUP BY arm
+),
+tt AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(sx) AS BIGINT) AS tsx,
+         CAST(SUM(sy) AS BIGINT) AS tsy, CAST(SUM(sxx) AS BIGINT) AS tsxx,
+         CAST(SUM(sxy) AS BIGINT) AS tsxy
+  FROM a
+),
+th AS (
+  SELECT CASE WHEN CAST(tn AS DOUBLE) * tsxx - CAST(tsx AS DOUBLE) * tsx > 0
+              THEN (CAST(tn AS DOUBLE) * tsxy - CAST(tsx AS DOUBLE) * tsy)
+                   / (CAST(tn AS DOUBLE) * tsxx - CAST(tsx AS DOUBLE) * tsx)
+              ELSE 0.0 END AS theta,
+         CAST(tsx AS DOUBLE) / tn AS mxa
+  FROM tt
+)
+SELECT arm, n AS n_users, th.theta AS theta,
+       CAST(sy AS DOUBLE) / n AS mean_y,
+       CAST(sy AS DOUBLE) / n
+         - th.theta * (CAST(sx AS DOUBLE) / n - th.mxa) AS mean_y_adj,
+       (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS var_y,
+       (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+         - 2 * th.theta
+             * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1))
+         + th.theta * th.theta
+             * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+         AS var_y_adj
+FROM a CROSS JOIN th""",
+)
+def q_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction for the A/B family (Deng et al.,
+    WSDM'13 — the pre-experiment-covariate adjustment every large
+    experimentation platform applies before reading a treatment
+    effect): per deterministic arm (user_id % 2), the post-period
+    (days 16–30) revenue mean before and after adjusting by the
+    pre-period (days 1–15) covariate, plus the variance the
+    adjustment removes. θ = cov(Y,X)/var(X) is pooled across arms
+    (the standard unbiased-under-randomization choice);
+    Y_adj = Y − θ(X − X̄) per user REDUCES ALGEBRAICALLY to arm-level
+    moments, so no per-user float is ever materialized. Exactness:
+    per-user pre/post cent totals and the arm-level Σx, Σy, Σx²,
+    Σy², Σxy are exact BIGINTs off ONE user-keyed agg (the only
+    corpus pass) and a 2-row arm rollup; θ, the adjusted means, and
+    var_y_adj = var_y − 2θ·cov + θ²·var_x are each ONE mirrored IEEE
+    tree over those integers — no float ever sums across rows.
+    var(X)=0 degenerates to θ=0 (adjusted ≡ unadjusted) in both
+    engines. int64 headroom: Σxy ≤ (per-user cents)² · users —
+    per-user activity is SF-invariant (~70 events × ≤60000 cents),
+    so exact to ~sf100; past that, widen to DECIMAL (revenue_gini's
+    documented escape). Scale: one user shuffle, then 2-row
+    arithmetic; broadcast of the 1-row pooled frame."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.dayofmonth("ts") <= 15,
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.dayofmonth("ts") >= 16,
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    )
+    arm = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    tot = arm.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sx").cast("long").alias("tsx"),
+        F.sum("sy").cast("long").alias("tsy"),
+        F.sum("sxx").cast("long").alias("tsxx"),
+        F.sum("sxy").cast("long").alias("tsxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    j = arm.join(F.broadcast(tot))
+    varx_t = d("tn") * d("tsxx") - d("tsx") * d("tsx")
+    theta = F.when(
+        varx_t > 0, (d("tn") * d("tsxy") - d("tsx") * d("tsy")) / varx_t
+    ).otherwise(F.lit(0.0))
+    mean_x_all = d("tsx") / d("tn")
+    mean_y = d("sy") / d("n")
+    mean_x = d("sx") / d("n")
+    var_y = (d("syy") - d("sy") * d("sy") / d("n")) / (d("n") - 1)
+    var_x = (d("sxx") - d("sx") * d("sx") / d("n")) / (d("n") - 1)
+    cov = (d("sxy") - d("sx") * d("sy") / d("n")) / (d("n") - 1)
+    return j.select(
+        "arm",
+        F.col("n").alias("n_users"),
+        theta.alias("theta"),
+        mean_y.alias("mean_y"),
+        (mean_y - theta * (mean_x - mean_x_all)).alias("mean_y_adj"),
+        var_y.alias("var_y"),
+        (var_y - 2 * theta * cov + theta * theta * var_x).alias("var_y_adj"),
+    )
+
+
+@register(
+    "kruskal_wallis",
+    """WITH q AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cv FROM events
+),
+vt AS (
+  SELECT cv AS val, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM q GROUP BY 1, 2
+),
+tv AS (
+  SELECT cv AS val, CAST(COUNT(*) AS BIGINT) AS t FROM q GROUP BY 1
+),
+tvw AS (
+  SELECT val, t, CAST(SUM(t) OVER (ORDER BY val) - t AS BIGINT) AS below
+  FROM tv
+),
+g AS (
+  SELECT vt.event_type, CAST(SUM(vt.c) AS BIGINT) AS ng,
+         CAST(SUM(vt.c * (2 * tvw.below + tvw.t + 1)) AS BIGINT) AS r2
+  FROM vt JOIN tvw ON vt.val = tvw.val
+  GROUP BY 1
+),
+tc AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tcorr
+  FROM tvw
+),
+s AS (
+  SELECT tc.n, tc.tcorr, CAST(COUNT(*) AS BIGINT) AS k,
+         list_reduce(
+           list(0.0 + (CAST(r2 AS DOUBLE) / 2) * (CAST(r2 AS DOUBLE) / 2)
+                        / ng
+                ORDER BY event_type),
+           (x, y) -> x + y) AS ssum
+  FROM g CROSS JOIN tc
+  GROUP BY 1, 2
+)
+SELECT n AS n_total, k AS n_groups, tcorr,
+       CASE WHEN 1.0 - CAST(tcorr AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n * n - n) > 0
+            THEN (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * ssum
+                  - 3 * (CAST(n AS DOUBLE) + 1))
+                 / (1.0 - CAST(tcorr AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * n * n - n))
+            ELSE NULL END AS h_stat,
+       CASE WHEN n > k
+            THEN ((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * ssum
+                   - 3 * (CAST(n AS DOUBLE) + 1))
+                  / (1.0 - CAST(tcorr AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * n * n - n))
+                  - CAST(k AS DOUBLE) + 1) / (CAST(n AS DOUBLE) - k)
+            ELSE NULL END AS epsilon_sq
+FROM s""",
+)
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal–Wallis H test: do the k=5 event types draw their values
+    from the same distribution? — the k-GROUP extension of
+    mann_whitney_u (one omnibus rank test before k² pairwise ones)
+    plus the ε² effect size (H−k+1)/(n−k) that says whether a
+    significant H is LARGE. Ranks are exact without ranking rows
+    (mann_whitney's distribution trick): group by exact cent value,
+    one ordered cumsum over the distinct-VALUE frame gives each
+    value's rank block, and DOUBLED midranks 2·below+t+1 keep tie
+    midranks in int64 — per-group doubled rank sums R2_g and the
+    Σ(t³−t) tie correction are EXACT integers. The only cross-row
+    float sum, Σ_g (R2_g/2)²/n_g over the k=5 groups, rides an
+    ORDERED 0.0-seeded fold over the type-sorted array (F.aggregate
+    ≡ DuckDB list_reduce — the kaplan_meier discipline); H and ε²
+    are one mirrored IEEE tree each, with n³−n computed in DOUBLE in
+    both engines (int64 would overflow past ~2M rows). All-tied
+    degenerate (correction ≤ 0) → NULL in both. Scale: one value agg
+    with map-side combine; the window runs over distinct cents
+    (bounded ≤60001, the ks_test allowlist shape); 1-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cv")
+    )
+    vt = q.groupBy(F.col("cv").alias("val"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tv = q.groupBy(F.col("cv").alias("val")).agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    w = Window.orderBy("val")
+    tvw = tv.select(
+        "val", "t", (F.sum("t").over(w) - F.col("t")).cast("long").alias("below")
+    )
+    g = (
+        vt.join(tvw, "val")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            F.sum(F.col("c") * (2 * F.col("below") + F.col("t") + 1))
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    tc = tvw.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tcorr"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    term = (d("r2") / 2) * (d("r2") / 2) / d("ng")
+    s = (
+        g.join(F.broadcast(tc))
+        .groupBy("n", "tcorr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("event_type", term.alias("tm")))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["tm"],
+            ).alias("ssum"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    h_raw = F.lit(12.0) / (nd * (nd + 1)) * F.col("ssum") - 3 * (nd + 1)
+    corr = F.lit(1.0) - F.col("tcorr").cast("double") / (nd * nd * nd - nd)
+    h = F.when(corr > 0, h_raw / corr).otherwise(F.lit(None).cast("double"))
+    eps2 = F.when(
+        F.col("n") > F.col("k"),
+        (h - F.col("k").cast("double") + 1) / (nd - F.col("k")),
+    ).otherwise(F.lit(None).cast("double"))
+    return s.select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("n_groups"),
+        "tcorr",
+        h.alias("h_stat"),
+        eps2.alias("epsilon_sq"),
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    """WITH dly AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type,
+         CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s
+  FROM dly a JOIN dly b
+    ON a.event_type = b.event_type AND a.d < b.d
+  GROUP BY 1
+),
+nt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM dly GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ts3
+  FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+        FROM dly GROUP BY 1, 2) g
+  GROUP BY 1
+)
+SELECT s.event_type, nt.n AS n_days, s.s AS s_stat,
+       (CAST(nt.n AS DOUBLE) * (nt.n - 1) * (2 * nt.n + 5)
+        - CAST(ties.ts3 AS DOUBLE)) / 18 AS var_s,
+       CASE WHEN (CAST(nt.n AS DOUBLE) * (nt.n - 1) * (2 * nt.n + 5)
+                  - CAST(ties.ts3 AS DOUBLE)) / 18 > 0
+            THEN CASE WHEN s.s > 0
+                      THEN (CAST(s.s AS DOUBLE) - 1)
+                           / sqrt((CAST(nt.n AS DOUBLE) * (nt.n - 1)
+                                   * (2 * nt.n + 5)
+                                   - CAST(ties.ts3 AS DOUBLE)) / 18)
+                      WHEN s.s < 0
+                      THEN (CAST(s.s AS DOUBLE) + 1)
+                           / sqrt((CAST(nt.n AS DOUBLE) * (nt.n - 1)
+                                   * (2 * nt.n + 5)
+                                   - CAST(ties.ts3 AS DOUBLE)) / 18)
+                      ELSE 0.0 END
+            ELSE NULL END AS z
+FROM s JOIN nt ON s.event_type = nt.event_type
+JOIN ties ON s.event_type = ties.event_type""",
+)
+def q_mann_kendall_trend(spark, sf_dir):
+    """Mann–Kendall monotone-trend test on each type's DAILY revenue
+    series — theil_sen_trend's significance companion (Theil–Sen
+    gives the slope, MK says whether a monotone trend exists at all,
+    with no distribution or linearity assumption) and the trend
+    member of the drift-monitor family (page_hinkley/cusum watch
+    LEVEL shifts; MK watches persistent direction). S = Σ_{i<j}
+    sign(x_j − x_i) over the ≤31-day daily frame per type is an
+    EXACT integer via a bounded self-join (≤465 pairs/type — days²,
+    not corpus²); the tie term Σt(t−1)(2t+5) likewise. var(S) and
+    the continuity-corrected z = (S∓1)/√var are one mirrored IEEE
+    tree (sqrt only); zero variance (constant series) → NULL, S=0 →
+    z=0, identically in both engines. Scale: ONE map-side-combined
+    (type,day) agg is the only corpus pass; everything after runs on
+    the span-bounded daily frame. Output one row per type."""
+    ev = load_table(spark, sf_dir, "events")
+    dly = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    a = dly.select(
+        F.col("event_type").alias("et"),
+        F.col("d").alias("da"),
+        F.col("x").alias("xa"),
+    )
+    b = dly.select(
+        F.col("event_type").alias("et"),
+        F.col("d").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    s = (
+        a.join(b, "et")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("et")
+        .agg(
+            F.sum(F.signum(F.col("xb") - F.col("xa")).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    nt = dly.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        dly.groupBy(F.col("event_type").alias("et"), "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("et")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("ts3")
+        )
+    )
+    j = s.join(nt, "et").join(ties, "et")
+    nd = F.col("n").cast("double")
+    var = (nd * (nd - 1) * (2 * nd + 5) - F.col("ts3").cast("double")) / 18
+    sd = F.col("s").cast("double")
+    z = F.when(
+        var > 0,
+        F.when(F.col("s") > 0, (sd - 1) / F.sqrt(var))
+        .when(F.col("s") < 0, (sd + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0)),
+    ).otherwise(F.lit(None).cast("double"))
+    return j.select(
+        F.col("et").alias("event_type"),
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        var.alias("var_s"),
+        z.alias("z"),
+    )
+
+
+@register(
+    "nelson_aalen",
+    """WITH u AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd, MAX(CAST(ts AS DATE)) AS ld
+  FROM events GROUP BY 1
+),
+mx AS (SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events),
+u2 AS (
+  SELECT date_diff('day', DATE '1970-01-05', fd) % 7 AS cohort_dow,
+         date_diff('day', fd, ld) AS t,
+         CASE WHEN date_diff('day', ld, (SELECT mxd FROM mx)) >= 3
+              THEN 1 ELSE 0 END AS churned
+  FROM u
+),
+km AS (
+  SELECT cohort_dow, t, CAST(SUM(churned) AS BIGINT) AS d,
+         CAST(SUM(1 - churned) AS BIGINT) AS c
+  FROM u2 GROUP BY 1, 2
+),
+nr AS (
+  SELECT k.cohort_dow, k.t, k.d, k.c,
+         CAST((SELECT SUM(k2.d + k2.c) FROM km k2
+               WHERE k2.cohort_dow = k.cohort_dow AND k2.t >= k.t) AS BIGINT)
+           AS n_risk
+  FROM km k
+),
+f AS (SELECT cohort_dow, t, d, n_risk,
+             CAST(d AS DOUBLE) / n_risk AS h,
+             CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk) AS v
+      FROM nr)
+SELECT a.cohort_dow, a.t AS t_days, a.n_risk AS n_at_risk, a.d AS n_events,
+       (SELECT list_reduce(list(0.0 + b.h ORDER BY b.t), (x, y) -> x + y)
+        FROM f b WHERE b.cohort_dow = a.cohort_dow AND b.t <= a.t) AS cumhaz,
+       (SELECT list_reduce(list(0.0 + b.v ORDER BY b.t), (x, y) -> x + y)
+        FROM f b WHERE b.cohort_dow = a.cohort_dow AND b.t <= a.t) AS cumhaz_var
+FROM f a""",
+)
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson–Aalen cumulative-hazard curve of user tenure by
+    signup-weekday cohort (operators/survival.py na_curve) —
+    kaplan_meier's ADDITIVE twin on the identical per-subject frame:
+    H(t) = Σ dᵢ/nᵢ estimates hazard accumulation directly (the
+    quantity a hazard-ratio comparison wants, better-behaved than
+    −ln S on small risk sets), with Klein's variance Σ dᵢ/nᵢ² riding
+    the same fold. Same scale shape as km_curve: one user-keyed agg
+    is the only corpus pass; at-risk counts (≥-cumsum) and both
+    ≤-prefix sums run as broadcast self-joins over the bounded
+    distinct-duration frame. Float policy: d, n_at_risk exact
+    BIGINTs; each increment one IEEE division; both prefix sums are
+    ORDERED 0.0-seeded folds over the sorted duration array
+    (F.aggregate ≡ list_reduce, 0.0+x₁ == x₁ bitwise) — the whole
+    curve is oracle-portable despite being float sums."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.survival import na_curve
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+    )
+    mx = ev.agg(F.max(F.to_date("ts")).alias("mxd"))
+    per_user = u.join(F.broadcast(mx)).select(
+        (F.datediff("fd", F.lit("1970-01-05").cast("date")) % 7)
+        .cast("long")
+        .alias("cohort_dow"),
+        F.datediff("ld", "fd").cast("long").alias("t"),
+        F.when(F.datediff("mxd", "ld") >= 3, 1).otherwise(0).alias("churned"),
+    )
+    return na_curve(per_user, "cohort_dow", "t", "churned")

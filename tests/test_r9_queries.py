@@ -256,3 +256,211 @@ def test_group_sequential_invariants(spark, sf_dir):
             assert r.stopped_at_day == (
                 min(crossed_days) if crossed_days else None
             )
+
+
+def test_calibration_curve_invariants(spark, sf_dir):
+    """reliability-diagram bookkeeping: rates live in [0,1], the mean
+    prediction of bucket k lives inside the bucket's own score range,
+    gap = frac_pos − mean_pred, and bucket populations sum to the
+    corpus."""
+    rows = QUERIES["calibration_curve"](spark, sf_dir).collect()
+    assert rows
+    ev_n = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == ev_n
+    for r in rows:
+        assert 0.0 <= r.frac_pos <= 1.0
+        assert 0.0 <= r.mean_pred <= 1.0
+        # bucket k covers scores [30k, 30(k+1)) of the 600 cap
+        assert r.bucket * 30 / 600 <= r.mean_pred <= (r.bucket + 1) * 30 / 600
+        assert abs(r.gap - (r.frac_pos - r.mean_pred)) < 1e-15
+
+
+def test_jackknife_ratio_se_matches_python(spark, sf_dir):
+    """the jackknife recipe recomputed driver-side from the same group
+    totals must agree: θ, the leave-one-out mean, and the SE."""
+    rows = QUERIES["jackknife_ratio_se"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    ev = load_table(spark, sf_dir, "events")
+    gg = (
+        ev.groupBy((F.col("user_id") % 20).alias("g"), "user_id")
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("uc"))
+        .groupBy("g")
+        .agg(F.sum("uc").alias("cg"), F.count(F.lit(1)).alias("ug"))
+        .collect()
+    )
+    ct = sum(x.cg for x in gg)
+    ut = sum(x.ug for x in gg)
+    loo = [
+        (ct - x.cg) / (ut - x.ug) for x in sorted(gg, key=lambda x: x.g)
+        if ut - x.ug > 0
+    ]
+    mj = sum(loo) / len(loo)
+    ss = sum((t - mj) ** 2 for t in loo)
+    se = math.sqrt((len(gg) - 1) / len(gg) * ss)
+    assert r.n_groups == len(gg)
+    assert math.isclose(r.theta, ct / ut, rel_tol=1e-12)
+    assert math.isclose(r.theta_jack_mean, mj, rel_tol=1e-12)
+    assert math.isclose(r.jackknife_se, se, rel_tol=1e-9)
+    assert r.jackknife_se >= 0.0
+
+
+def test_cuped_adjustment_matches_python(spark, sf_dir):
+    """CUPED recomputed driver-side from the same per-user totals:
+    θ, adjusted means, and the variance identity — and the pooled
+    adjustment must preserve the overall mean up to the arm-mean
+    decomposition (Y_adj averages to mean_y when X̄_arm == X̄_all)."""
+    rows = {r.arm: r for r in QUERIES["cuped_adjustment"](spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.dayofmonth("ts") <= 15,
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.dayofmonth("ts") >= 16,
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+        .collect()
+    )
+    xs = [r.x for r in pu]
+    ys = [r.y for r in pu]
+    n = len(pu)
+    mx = sum(xs) / n
+    my = sum(ys) / n
+    covp = sum(x * y for x, y in zip(xs, ys)) / n - mx * my
+    varp = sum(x * x for x in xs) / n - mx * mx
+    theta = covp / varp if varp > 0 else 0.0
+    for arm in (0, 1):
+        sub = [r for r in pu if r.arm == arm]
+        na = len(sub)
+        mya = sum(r.y for r in sub) / na
+        mxa = sum(r.x for r in sub) / na
+        adj = [r.y - theta * (r.x - mx) for r in sub]
+        madj = sum(adj) / na
+        r = rows[arm]
+        assert r.n_users == na
+        assert math.isclose(r.theta, theta, rel_tol=1e-9)
+        assert math.isclose(r.mean_y, mya, rel_tol=1e-9)
+        assert math.isclose(r.mean_y_adj, madj, rel_tol=1e-9)
+        var_adj = sum((a - madj) ** 2 for a in adj) / (na - 1)
+        # var_y_adj uses the algebraic identity var(Y−θX) about the
+        # ARM means; the python recompute centers adj about its own
+        # mean — identical up to the θ(mx_arm − mx_all) shift, which
+        # cancels inside the variance
+        assert math.isclose(r.var_y_adj, var_adj, rel_tol=1e-6)
+        # the point of CUPED: adjustment never increases variance
+        # when θ is the pooled OLS coefficient (up to arm-vs-pooled
+        # covariance mismatch; allow tiny slack)
+        assert r.var_y_adj <= r.var_y * 1.05
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark, sf_dir):
+    """H recomputed driver-side from raw midranks (the textbook
+    formula, no distribution trick) must agree bitwise-ish; ε² in
+    [-1, 1]; tcorr ≥ 0."""
+    r = QUERIES["kruskal_wallis"](spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cv")
+    ).collect()
+    vals = sorted(v.cv for v in ev)
+    n = len(vals)
+    assert r.n_total == n
+    # midrank per value
+    import collections
+
+    cnt = collections.Counter(vals)
+    rank = {}
+    below = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank[v] = below + (t + 1) / 2
+        below += t
+    groups = collections.defaultdict(list)
+    for row in ev:
+        groups[row.event_type].append(rank[row.cv])
+    ssum = sum(sum(g) ** 2 / len(g) for g in groups.values())
+    h_raw = 12.0 / (n * (n + 1)) * ssum - 3 * (n + 1)
+    tcorr = sum(t**3 - t for t in cnt.values())
+    h = h_raw / (1 - tcorr / (n**3 - n))
+    assert r.n_groups == len(groups)
+    assert r.tcorr == tcorr
+    assert math.isclose(r.h_stat, h, rel_tol=1e-9)
+    k = r.n_groups
+    assert math.isclose(
+        r.epsilon_sq, (r.h_stat - k + 1) / (n - k), rel_tol=1e-9
+    )
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    """S and var recomputed from the daily frame; z sign matches S;
+    |S| bounded by the pair count."""
+    rows = QUERIES["mann_kendall_trend"](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    dly = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("x")
+        )
+        .collect()
+    )
+    import collections
+
+    series = collections.defaultdict(list)
+    for r in dly:
+        series[r.event_type].append((r.d, r.x))
+    for r in rows:
+        xs = [x for _, x in sorted(series[r.event_type])]
+        n = len(xs)
+        s = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        assert r.n_days == n
+        assert r.s_stat == s
+        assert abs(s) <= n * (n - 1) // 2
+        cnt = collections.Counter(xs)
+        ts3 = sum(t * (t - 1) * (2 * t + 5) for t in cnt.values())
+        var = (n * (n - 1) * (2 * n + 5) - ts3) / 18
+        assert math.isclose(r.var_s, var, rel_tol=1e-12)
+        if var > 0 and s != 0:
+            expect = (s - (1 if s > 0 else -1)) / math.sqrt(var)
+            assert math.isclose(r.z, expect, rel_tol=1e-12)
+
+
+def test_nelson_aalen_vs_kaplan_meier(spark, sf_dir):
+    """the two estimators on the same per-subject frame must satisfy
+    the classical bracketing exp(-H(t)) >= S(t) (AM-GM on the hazard
+    factors, strict when any d_i >= 1 with n_i > d_i), share identical
+    (cohort, t, n_at_risk, n_events) bookkeeping, and cumhaz must be
+    non-decreasing with non-negative variance."""
+    na = QUERIES["nelson_aalen"](spark, sf_dir).collect()
+    km = QUERIES["kaplan_meier"](spark, sf_dir).collect()
+    assert na
+    kmk = {(r.cohort_dow, r.t_days): r for r in km}
+    by_cohort = {}
+    for r in na:
+        assert r.cumhaz >= 0.0
+        assert r.cumhaz_var >= 0.0
+        k = kmk[(r.cohort_dow, r.t_days)]
+        assert (k.n_at_risk, k.n_events) == (r.n_at_risk, r.n_events)
+        assert math.exp(-r.cumhaz) >= k.survival - 1e-12
+        by_cohort.setdefault(r.cohort_dow, []).append(r)
+    for curve in by_cohort.values():
+        curve.sort(key=lambda r: r.t_days)
+        for a, b in zip(curve, curve[1:]):
+            assert b.cumhaz >= a.cumhaz
+            assert b.cumhaz_var >= a.cumhaz_var

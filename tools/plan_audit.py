@@ -74,6 +74,9 @@ GLOBAL_SORT_OK = {
     "spearman_rho",
     # prefix sums over the span-bounded week frame (343 rows)
     "changepoint_detection",
+    # rank-block cumsum over the distinct-cents-value frame (the
+    # mann_whitney trick, k-group form)
+    "kruskal_wallis",
     # r8: feature_binning and rfm_segmentation left this list — their
     # NTILEs are now scored map-only against ntile_boundary_values
     # literals (zero global sorts; the r7 verdict's ask)
