@@ -14598,3 +14598,929 @@ def q_nelson_aalen(spark, sf_dir):
         F.when(F.datediff("mxd", "ld") >= 3, 1).otherwise(0).alias("churned"),
     )
     return na_curve(per_user, "cohort_dow", "t", "churned")
+# ---- batch 4 additions for plans/queries.py (append after review) ----
+
+
+@register(
+    "stratified_conformal",
+    """WITH b AS (
+  SELECT event_type || '|' ||
+         CASE WHEN date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7 >= 5
+              THEN 'we' ELSE 'wd' END AS grp,
+         CAST(round(value * 100, 0) AS BIGINT) AS score, event_id
+  FROM events
+),
+s AS (SELECT * FROM b WHERE event_id % 10 < 3),
+e AS (SELECT * FROM b WHERE event_id % 10 >= 7),
+o AS (
+  SELECT grp, score,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY score, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM s
+),
+thr AS (
+  SELECT grp, CAST(n AS BIGINT) AS n_calib, alpha,
+         CAST(score AS BIGINT) AS threshold_cents
+  FROM o, (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.05 AS DOUBLE))) a(alpha)
+  WHERE rn = CAST(least(ceil((1.0 - alpha) * (n + 1)), CAST(n AS DOUBLE))
+                  AS BIGINT)
+),
+eg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_eval FROM e GROUP BY 1),
+cov AS (
+  SELECT e.grp, thr.alpha,
+         CAST(SUM(CASE WHEN e.score <= thr.threshold_cents THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_covered
+  FROM e JOIN thr ON e.grp = thr.grp
+  GROUP BY 1, 2
+)
+SELECT thr.grp, thr.alpha, thr.n_calib, thr.threshold_cents,
+       COALESCE(eg.n_eval, 0) AS n_eval,
+       COALESCE(cov.n_covered, 0) AS n_covered,
+       CASE WHEN eg.n_eval > 0
+            THEN CAST(cov.n_covered AS DOUBLE) / eg.n_eval END AS coverage
+FROM thr LEFT JOIN eg ON thr.grp = eg.grp
+LEFT JOIN cov ON thr.grp = cov.grp AND thr.alpha = cov.alpha""",
+)
+def q_stratified_conformal(spark, sf_dir):
+    """Mondrian (group-stratified) split conformal with held-out
+    coverage audit — conformal_thresholds' stratified closure (the r9
+    leads item): marginal conformal can under-cover a SUBGROUP even
+    while covering overall, so the Mondrian recipe calibrates the
+    rank-⌈(1−α)(n_g+1)⌉ threshold SEPARATELY per stratum (event type
+    × weekday/weekend — the epoch-arithmetic day class kaplan_meier
+    uses, since Spark and DuckDB disagree on dayofweek's origin) and
+    the query then MEASURES empirical coverage on a disjoint eval
+    split (event_id % 10 ≥ 7 vs the % 10 < 3 calibration split —
+    train_test_split's hash determinism). Thresholds ride the same
+    two-phase no-global-sort selection as conformal_thresholds
+    (operators/quantiles.py conformal_rank_select, windows
+    hash-partitioned by stratum); the eval side is one conditional
+    agg against the broadcast ≤(types×2×2)-row threshold frame.
+    Ranks/scores/counts exact integers; coverage is one IEEE
+    division; empty eval strata → NULL coverage both engines. The
+    oracle keeps the lazy window-rank formulation the distributed
+    plan exists to avoid."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.quantiles import conformal_rank_select
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")) % 7 >= 5
+    )
+    base = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit("|"), F.when(wk, "we").otherwise("wd")
+        ).alias("grp"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("score"),
+        "event_id",
+    )
+    calib = base.filter(F.col("event_id") % 10 < 3)
+    ev_split = base.filter(F.col("event_id") % 10 >= 7)
+    thr = conformal_rank_select(calib, "grp", "score", "event_id", [0.1, 0.05])
+    evg = ev_split.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval")
+    )
+    cov = (
+        ev_split.join(
+            F.broadcast(
+                thr.select("grp", "alpha", F.col("threshold").alias("thr"))
+            ),
+            "grp",
+        )
+        .groupBy("grp", "alpha")
+        .agg(
+            F.sum(F.when(F.col("score") <= F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered")
+        )
+    )
+    return (
+        thr.join(evg, "grp", "left")
+        .join(cov, ["grp", "alpha"], "left")
+        .select(
+            "grp",
+            "alpha",
+            F.col("n_calib").cast("long").alias("n_calib"),
+            F.col("threshold").cast("long").alias("threshold_cents"),
+            F.coalesce("n_eval", F.lit(0)).cast("long").alias("n_eval"),
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+            F.when(
+                F.col("n_eval") > 0,
+                F.col("n_covered").cast("double") / F.col("n_eval"),
+            ).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "meta_analysis_pooling",
+    """WITH q AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % 2 AS arm,
+         CAST(round(value * 100, 0) AS BIGINT) AS cv
+  FROM events
+),
+dstat AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN arm = 0 THEN cv * cv ELSE 0 END) AS BIGINT) AS q1,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN arm = 1 THEN cv * cv ELSE 0 END) AS BIGINT) AS q2
+  FROM q GROUP BY day
+),
+pd0 AS (
+  SELECT day,
+         CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS diff,
+         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1
+         + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2
+           AS se2
+  FROM dstat WHERE n1 >= 2 AND n2 >= 2
+),
+pd AS (
+  SELECT day, diff, 1.0 / se2 AS w, diff / se2 AS wd
+  FROM pd0 WHERE se2 > 0
+),
+t1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         list_reduce(list(0.0 + w ORDER BY day), (x, y) -> x + y) AS sw,
+         list_reduce(list(0.0 + wd ORDER BY day), (x, y) -> x + y) AS swd
+  FROM pd
+),
+t2 AS (SELECT k, sw, swd / sw AS theta FROM t1),
+qs AS (
+  SELECT (SELECT k FROM t2) AS k, (SELECT sw FROM t2) AS sw,
+         (SELECT theta FROM t2) AS theta,
+         list_reduce(
+           list(0.0 + w * (diff - (SELECT theta FROM t2))
+                        * (diff - (SELECT theta FROM t2))
+                ORDER BY day),
+           (x, y) -> x + y) AS q_stat
+  FROM pd
+)
+SELECT k AS k_days, theta AS theta_pooled, sqrt(1.0 / sw) AS se_pooled,
+       q_stat,
+       CASE WHEN q_stat > CAST(k - 1 AS DOUBLE)
+            THEN (q_stat - CAST(k - 1 AS DOUBLE)) / q_stat
+            ELSE 0.0 END AS i_sq
+FROM qs""",
+)
+def q_meta_analysis_pooling(spark, sf_dir):
+    """fixed-effect inverse-variance meta-analysis of the daily A/B
+    effect (arm = user_id % 2), with Cochran's Q heterogeneity and
+    Higgins' I² — the pooling recipe that turns 30 noisy daily
+    effect estimates into one weighted estimate PLUS an honest "are
+    the days even measuring the same effect?" statistic (welch_ttest
+    gives one day's z; this is how a metrics platform aggregates a
+    month, and I² > ~0.5 is the standard day-heterogeneity alarm).
+    Exactness: per-day per-arm counts/sums/squares are exact BIGINTs
+    off ONE conditional (day)-keyed agg — the only corpus pass; each
+    day's diff and se² are one mirrored IEEE tree; the three
+    cross-day float sums (Σw, Σw·diff, Σw(diff−θ̂)²) ride ORDERED
+    0.0-seeded folds over the day-sorted array (F.aggregate ≡
+    list_reduce — the kaplan_meier discipline), with θ̂ computed
+    between fold rounds exactly as the oracle's scalar CTE chain.
+    Degenerate days (an arm < 2 rows, zero variance) filtered
+    identically BEFORE the folds. I² clamps at 0 when Q ≤ k−1 in
+    both engines. Scale: span-bounded (≤31-element) arrays; 1-row
+    output. sqrt only — ln/exp never appear."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cv"),
+    )
+    dstat = q.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cv") * F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cv") * F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("q2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    v1 = (d("q1") - d("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+    v2 = (d("q2") - d("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)
+    se2 = v1 / F.col("n1") + v2 / F.col("n2")
+    per_day = (
+        dstat.filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+        .select(
+            "day",
+            (d("s1") / F.col("n1") - d("s2") / F.col("n2")).alias("diff"),
+            se2.alias("se2"),
+        )
+        .filter(F.col("se2") > 0)
+        .select(
+            "day",
+            "diff",
+            (F.lit(1.0) / F.col("se2")).alias("w"),
+            (F.col("diff") / F.col("se2")).alias("wd"),
+        )
+    )
+    t1 = per_day.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", F.col("w").alias("v")))),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("sw"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", F.col("wd").alias("v")))),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("swd"),
+    ).select("k", "sw", (F.col("swd") / F.col("sw")).alias("theta"))
+    qs = (
+        per_day.join(F.broadcast(t1))
+        .groupBy("k", "sw", "theta")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "day",
+                            (
+                                F.col("w")
+                                * (F.col("diff") - F.col("theta"))
+                                * (F.col("diff") - F.col("theta"))
+                            ).alias("v"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["v"],
+            ).alias("q_stat")
+        )
+    )
+    return qs.select(
+        F.col("k").alias("k_days"),
+        F.col("theta").alias("theta_pooled"),
+        F.sqrt(F.lit(1.0) / F.col("sw")).alias("se_pooled"),
+        "q_stat",
+        F.when(
+            F.col("q_stat") > (F.col("k") - 1).cast("double"),
+            (F.col("q_stat") - (F.col("k") - 1).cast("double"))
+            / F.col("q_stat"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("i_sq"),
+    )
+# ---- batch 4 part 2 (lang_confusion, minhash_band_scurve) ----
+
+
+def _lang_confusion_sql() -> str:
+    hits = ", ".join(
+        f"{_lang_hits_sql(lang)} AS n_{lang}" for lang in _LANGS
+    )
+    return f"""WITH hits AS (
+  SELECT doc_id, lang, {hits}
+  FROM documents
+),
+p AS (
+  SELECT lang, {_pred_lang_sql()} AS pred_lang FROM hits
+),
+c AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY 1, 2
+),
+tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS nl FROM c GROUP BY 1)
+SELECT c.lang, c.pred_lang, c.n_docs,
+       CAST(c.n_docs AS DOUBLE) / tot.nl AS row_frac
+FROM c JOIN tot ON c.lang = tot.lang"""
+
+
+@register("lang_confusion", _lang_confusion_sql())
+def q_lang_confusion(spark, sf_dir):
+    """language-ID confusion matrix: the lang_id heuristic's
+    predictions cross-tabulated against the corpus' LABELED lang
+    column, with each row's share of its true-language total — the
+    evaluation that closes the lang_id loop (a curation pipeline
+    that routes documents by predicted language needs to know WHICH
+    languages leak into which buckets, not just an accuracy scalar;
+    per-language recall is the diagonal row_frac and the off-diagonal
+    rows are the misrouting mass). Reuses lang_id's stopword-hit
+    argmax expressions verbatim (functions/text.py
+    lang_scores_from_tokens — one tokenize, lexicographic tie-break),
+    so the two queries cannot drift. Exactness: cell counts exact
+    BIGINTs off one map-side-combined (lang, pred) agg — the only
+    corpus pass; row_frac one IEEE division against the broadcast
+    ≤|langs|-row total frame. Output ≤ |langs|² rows. Linear scan,
+    no joins on the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "lang", T.tokens(F.col("text")).alias("_toks"))
+    scores = T.lang_scores_from_tokens(F.col("_toks"))
+    hit_cols = [scores[lang].cast("long").alias(f"n_{lang}") for lang in _LANGS]
+    hits = toked.select("doc_id", "lang", *hit_cols)
+    pred = None
+    for i, lang in enumerate(_LANGS):
+        cond = F.lit(True)
+        for other in _LANGS[i + 1 :]:
+            cond = cond & (F.col(f"n_{lang}") >= F.col(f"n_{other}"))
+        pred = (
+            F.when(cond, F.lit(lang))
+            if pred is None
+            else pred.when(cond, F.lit(lang))
+        )
+    c = (
+        hits.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tot = c.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("nl"))
+    return c.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("nl")).alias("row_frac"),
+    )
+
+
+_SCURVE_CONFIGS = [(1, 8), (2, 4), (4, 2), (8, 1)]
+
+
+def _scurve_pow_sql(base: str, n: int) -> str:
+    return " * ".join([base] * n)
+
+
+def _minhash_band_scurve_sql() -> str:
+    sums = []
+    rows = []
+    for b, r in _SCURVE_CONFIGS:
+        sr = _scurve_pow_sql("jaccard", r)
+        q0 = f"(1.0 - {sr})"
+        p = f"(1.0 - {_scurve_pow_sql(q0, b)})"
+        sums.append(
+            f"CAST(SUM(CAST(floor({p} * 1000000) AS BIGINT)) AS BIGINT)"
+            f" AS s_{b}_{r}"
+        )
+        rows.append(
+            f"SELECT CAST({b} AS BIGINT) AS bands,"
+            f" CAST({r} AS BIGINT) AS rows_per_band,"
+            f" n_pairs, s_{b}_{r} AS capture_ppm_sum FROM agg"
+        )
+    return (
+        f"WITH {_MINHASH_CTES},\n"
+        "agg AS (\n  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        + ", ".join(sums)
+        + "\n  FROM mh_pairs\n),\nu AS (\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\n)\nSELECT bands, rows_per_band, n_pairs, capture_ppm_sum,\n"
+        "       CASE WHEN n_pairs > 0\n"
+        "            THEN CAST(capture_ppm_sum AS DOUBLE)"
+        " / (1000000.0 * n_pairs)\n"
+        "            END AS expected_capture\nFROM u"
+    )
+
+
+@register("minhash_band_scurve", _minhash_band_scurve_sql())
+def q_minhash_band_scurve(spark, sf_dir):
+    """LSH banding design curve: for each (bands, rows_per_band)
+    split of the 8-hash MinHash signature, the EXPECTED fraction of
+    the verified near-dup pairs (exact Jaccard ≥ 0.2 — the
+    dedup_minhash_pairs frame, reused verbatim) that the banding
+    would surface as candidates, via the S-curve
+    P(candidate) = 1 − (1 − s^r)^b evaluated at each pair's exact
+    similarity — the knob-tuning table that picks b×r BEFORE paying
+    for a full dedup run (more bands → higher recall AND higher
+    candidate cost; this query prices that trade on the corpus' own
+    similarity mass). Exactness: s = n_common/(|A|+|B|−n_common) is
+    one IEEE division of exact integers; s^r and (1−s^r)^b expand to
+    LITERAL left-associated multiply chains (b, r ≤ 8 — pow() is
+    never called, since pow is not correctly-rounded and would break
+    bitwise parity); the per-pair probabilities are floor-QUANTIZED
+    at 1e6 and integer-summed (the established order-independent
+    float-sum policy), so every output column except the final
+    division is BIGINT. Plan shape: the pair frame computes ONCE —
+    all four configs are conditional columns of a single agg,
+    unpivoted with stack() on the 1-row result (never four passes
+    over the candidate join); the oracle mirrors with one agg CTE
+    and four literal projections. Scale: LSH-bounded candidate
+    volume (the minhash family bound); output is 4 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", k=3, bands=4, rows_per_band=2, threshold=0.2
+    )
+    s = F.col("jaccard")
+    sum_cols = []
+    for b, r in _SCURVE_CONFIGS:
+        sr = s
+        for _ in range(r - 1):
+            sr = sr * s
+        q0 = F.lit(1.0) - sr
+        qb = q0
+        for _ in range(b - 1):
+            qb = qb * q0
+        p = F.lit(1.0) - qb
+        sum_cols.append(
+            F.sum(F.floor(p * 1000000).cast("long"))
+            .cast("long")
+            .alias(f"s_{b}_{r}")
+        )
+    agg = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"), *sum_cols)
+    stack_args = ", ".join(
+        f"CAST({b} AS BIGINT), CAST({r} AS BIGINT), s_{b}_{r}"
+        for b, r in _SCURVE_CONFIGS
+    )
+    u = agg.select(
+        "n_pairs",
+        F.expr(
+            f"stack({len(_SCURVE_CONFIGS)}, {stack_args})"
+            " AS (bands, rows_per_band, capture_ppm_sum)"
+        ),
+    )
+    return u.select(
+        "bands",
+        "rows_per_band",
+        "n_pairs",
+        "capture_ppm_sum",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.col("capture_ppm_sum").cast("double")
+            / (F.lit(1000000.0) * F.col("n_pairs")),
+        ).alias("expected_capture"),
+    )
+# ---- batch 5 additions (quantile_treatment_effect, smd_balance_check,
+# heaps_curve) ----
+
+
+@register(
+    "quantile_treatment_effect",
+    """WITH v AS (
+  SELECT user_id % 2 AS arm, CAST(round(value * 100, 0) AS BIGINT) AS cv
+  FROM events
+),
+o AS (
+  SELECT arm, cv,
+         ROW_NUMBER() OVER (PARTITION BY arm ORDER BY cv) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY arm) AS n
+  FROM v
+),
+p AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 10)),
+q AS (
+  SELECT o.arm, CAST(p.i AS DOUBLE) / 10 AS pct,
+         MAX(CASE WHEN rn = CAST(floor((CAST(p.i AS DOUBLE) / 10) * (n - 1))
+                                 AS BIGINT)
+                  THEN cv END) AS qv
+  FROM o CROSS JOIN p
+  GROUP BY 1, 2
+)
+SELECT a.pct, CAST(a.qv AS BIGINT) AS q_control,
+       CAST(b.qv AS BIGINT) AS q_treatment,
+       CAST(b.qv - a.qv AS BIGINT) AS qte_cents
+FROM q a JOIN q b ON a.pct = b.pct AND a.arm = 0 AND b.arm = 1""",
+)
+def q_quantile_treatment_effect(spark, sf_dir):
+    """quantile treatment effects: the per-decile difference between
+    the treatment and control value DISTRIBUTIONS (arm = user_id %
+    2) — the distributional A/B view that mean-based readouts
+    (welch_ttest, cuped_adjustment) structurally cannot give (a
+    treatment that fattens the right tail while thinning the middle
+    can have ZERO mean effect; the QTE table is where that shows).
+    Each arm's deciles are EXACT order statistics at rank
+    floor(p·(n−1)) via exact_quantiles' grouped two-phase selection
+    (operators/quantiles.py — histogram, bucket location, thin
+    phase-2 windows hash-partitioned by (arm, pct); never a global
+    sort), so every output column is an exact BIGINT cents value —
+    no float at all beyond the pct labels. The oracle keeps the lazy
+    window-rank formulation. Scale: the two-phase machinery's
+    documented shape; 9-row output."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.quantiles import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cv"),
+    )
+    ps = [i / 10 for i in range(1, 10)]
+    qs = exact_quantiles(v, "arm", "cv", ps)
+    q0 = qs.filter(F.col("arm") == 0).select(
+        "pct", F.col("q_value").cast("long").alias("q_control")
+    )
+    q1 = qs.filter(F.col("arm") == 1).select(
+        "pct", F.col("q_value").cast("long").alias("q_treatment")
+    )
+    return q0.join(q1, "pct").select(
+        "pct",
+        "q_control",
+        "q_treatment",
+        (F.col("q_treatment") - F.col("q_control"))
+        .cast("long")
+        .alias("qte_cents"),
+    )
+
+
+@register(
+    "smd_balance_check",
+    """WITH pu AS (
+  SELECT user_id % 2 AS arm,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+  FROM events GROUP BY user_id
+),
+u AS (
+  SELECT 'cents' AS covariate, arm, cents AS v FROM pu
+  UNION ALL
+  SELECT 'n_events', arm, n_events FROM pu
+  UNION ALL
+  SELECT 'active_days', arm, active_days FROM pu
+),
+a AS (
+  SELECT covariate,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN arm = 0 THEN v * v ELSE 0 END) AS BIGINT) AS q0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN arm = 1 THEN v * v ELSE 0 END) AS BIGINT) AS q1
+  FROM u GROUP BY covariate
+)
+SELECT covariate, n0 AS n_control, n1 AS n_treatment,
+       CAST(s0 AS DOUBLE) / n0 AS mean_control,
+       CAST(s1 AS DOUBLE) / n1 AS mean_treatment,
+       CASE WHEN ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)
+                    / (n0 - 1)
+                  + (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                    / (n1 - 1)) / 2 > 0
+            THEN (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                 / sqrt(((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)
+                           / (n0 - 1)
+                         + (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                           / (n1 - 1)) / 2)
+            ELSE NULL END AS smd
+FROM a""",
+)
+def q_smd_balance_check(spark, sf_dir):
+    """randomization balance audit: the standardized mean difference
+    (Cohen's d with the (v0+v1)/2 pooled variance — the causal-
+    inference convention) of three per-user covariates (total cents,
+    event count, active days) between the arms — the table every
+    experiment readout should open with, since |SMD| > 0.1 on a
+    PRE-treatment covariate means the arms differ before the
+    treatment does and every downstream effect estimate is suspect
+    (cuped_adjustment's validity precondition made measurable).
+    Exactness: one user-keyed agg (the only corpus pass) then ONE
+    6-sum-per-covariate conditional agg to a single row, unpivoted
+    with stack() — counts/sums/squares exact BIGINTs (the oracle
+    unpivots first and aggregates the union; same exact integers
+    either way); each SMD one mirrored IEEE tree (sqrt only);
+    zero pooled variance → NULL both engines. 3-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct(F.to_date("ts")).cast("long").alias("active_days"),
+        )
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            "cents",
+            "n_events",
+            "active_days",
+        )
+    )
+    aggs = []
+    for c in ("cents", "n_events", "active_days"):
+        for arm in (0, 1):
+            aggs += [
+                F.sum(F.when(F.col("arm") == arm, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n{arm}_{c}"),
+                F.sum(F.when(F.col("arm") == arm, F.col(c)).otherwise(0))
+                .cast("long")
+                .alias(f"s{arm}_{c}"),
+                F.sum(
+                    F.when(F.col("arm") == arm, F.col(c) * F.col(c)).otherwise(
+                        0
+                    )
+                )
+                .cast("long")
+                .alias(f"q{arm}_{c}"),
+            ]
+    one = pu.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n0_{c}, s0_{c}, q0_{c}, n1_{c}, s1_{c}, q1_{c}"
+        for c in ("cents", "n_events", "active_days")
+    )
+    st = one.select(
+        F.expr(
+            f"stack(3, {stack_args}) AS (covariate, n0, s0, q0, n1, s1, q1)"
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m0 = d("s0") / F.col("n0")
+    m1 = d("s1") / F.col("n1")
+    v0 = (d("q0") - d("s0") * F.col("s0") / F.col("n0")) / (F.col("n0") - 1)
+    v1 = (d("q1") - d("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+    pooled = (v0 + v1) / 2
+    smd = F.when(pooled > 0, (m1 - m0) / F.sqrt(pooled)).otherwise(
+        F.lit(None).cast("double")
+    )
+    return st.select(
+        "covariate",
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        m0.alias("mean_control"),
+        m1.alias("mean_treatment"),
+        smd.alias("smd"),
+    )
+
+
+@register(
+    "heaps_curve",
+    f"""WITH inst AS (
+  SELECT doc_id % 10 AS sl,
+         unnest(string_split({_docs_norm_sql()}, ' ')) AS word
+  FROM documents
+),
+inst2 AS (SELECT sl, word FROM inst WHERE length(word) > 0),
+first AS (SELECT word, CAST(MIN(sl) AS BIGINT) AS fs FROM inst2 GROUP BY 1),
+vnew AS (SELECT fs, CAST(COUNT(*) AS BIGINT) AS new_types FROM first GROUP BY 1),
+tokc AS (SELECT CAST(sl AS BIGINT) AS fs, CAST(COUNT(*) AS BIGINT) AS toks
+         FROM inst2 GROUP BY 1),
+spine AS (SELECT CAST(range AS BIGINT) AS s FROM range(10))
+SELECT s AS slice,
+       (SELECT CAST(SUM(toks) AS BIGINT) FROM tokc WHERE fs <= s) AS cum_tokens,
+       (SELECT CAST(SUM(new_types) AS BIGINT) FROM vnew WHERE fs <= s)
+         AS cum_vocab,
+       CAST((1000000 * (SELECT SUM(new_types) FROM vnew WHERE fs <= s))
+            // (SELECT SUM(toks) FROM tokc WHERE fs <= s) AS BIGINT) AS ttr_ppm
+FROM spine""",
+)
+def q_heaps_curve(spark, sf_dir):
+    """vocabulary-growth (Heaps'-law) curve: cumulative distinct word
+    types vs cumulative token count over 10 deterministic corpus
+    slices (doc_id % 10) — the diagnostic that says whether more
+    crawl keeps buying new vocabulary or the corpus has saturated
+    (the decision input for "do we need another dump?", and
+    vocab_coverage's growth-over-scale companion). The trick that
+    makes it ONE distinct-agg instead of 10: a word's contribution
+    to every cumulative checkpoint is fully determined by its FIRST
+    slice (min(doc_id % 10)), so cum_vocab(s) = Σ_{{f≤s}}
+    new_types(f) — a 10-row broadcast cumsum over the first-slice
+    histogram, never a per-checkpoint distinct. All-integer output;
+    the type/token ratio is fixed-point ppm via truncating integer
+    division (Spark div ≡ DuckDB // — both truncate toward zero).
+    Scale: one tokenize+explode scan, one word-keyed distinct agg
+    (map-side combined), 10-row output."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        (F.col("doc_id") % 10).alias("slice"),
+        T.tokens(F.col("text")).alias("_toks"),
+    )
+    inst = toked.select("slice", F.explode("_toks").alias("word")).filter(
+        F.length("word") > 0
+    )
+    first = inst.groupBy("word").agg(F.min("slice").cast("long").alias("fs"))
+    vnew = first.groupBy("fs").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    tokc = inst.groupBy(F.col("slice").cast("long").alias("fs")).agg(
+        F.count(F.lit(1)).cast("long").alias("toks")
+    )
+    spine = spark.range(10).select(F.col("id").cast("long").alias("s"))
+    j = (
+        spine.join(F.broadcast(vnew), spine.s >= vnew.fs, "left")
+        .groupBy("s")
+        .agg(F.sum("new_types").cast("long").alias("vocab"))
+    )
+    j2 = (
+        spine.join(F.broadcast(tokc), spine.s >= tokc.fs, "left")
+        .groupBy(F.col("s").alias("s2"))
+        .agg(F.sum("toks").cast("long").alias("tokens"))
+    )
+    return (
+        j.join(j2, j.s == j2.s2)
+        .select(
+            F.col("s").alias("slice"),
+            F.col("tokens").alias("cum_tokens"),
+            F.col("vocab").alias("cum_vocab"),
+            F.expr("(1000000 * vocab) div tokens")
+            .cast("long")
+            .alias("ttr_ppm"),
+        )
+    )
+# ---- batch 6 additions (auc_score, roc_threshold_tuning) ----
+
+
+@register(
+    "auc_score",
+    """WITH j AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+v AS (SELECT cents AS val,
+             CAST(SUM(y) AS BIGINT) AS ca,
+             CAST(SUM(1 - y) AS BIGINT) AS cb
+      FROM j GROUP BY 1),
+w AS (SELECT val, ca, cb, ca + cb AS t,
+             CAST(SUM(ca + cb) OVER (ORDER BY val) - (ca + cb) AS BIGINT)
+               AS below
+      FROM v),
+s AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(SUM(ca * (2 * below + t + 1)) AS BIGINT) AS r2a
+      FROM w)
+SELECT na AS n_pos, nb AS n_neg,
+       CAST(r2a - na * (na + 1) AS DOUBLE) / (2.0 * CAST(na AS DOUBLE)
+                                              * CAST(nb AS DOUBLE)) AS auc,
+       2.0 * (CAST(r2a - na * (na + 1) AS DOUBLE)
+              / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) - 1
+         AS gini_coef
+FROM s""",
+)
+def q_auc_score(spark, sf_dir):
+    """ROC-AUC of the value score predicting the is-purchase label
+    (plus the Gini coefficient 2·AUC−1) — the RANKING quality scalar
+    that completes the classifier-eval triptych: best_split_gini
+    scores a single threshold, calibration_curve audits probability
+    calibration, AUC says how well the score ORDERS positives above
+    negatives at every threshold at once. Computed via the rank-sum
+    identity AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻) — exactly Mann–Whitney
+    U normalized — so the whole statistic rides mann_whitney_u's
+    distribution trick: one distinct-cents agg, a bounded cumsum
+    window (the documented ks_test allowlist shape, never a row
+    sort), DOUBLED midranks 2·below+t+1 keeping tie midranks exact
+    in int64. 2·AUC's numerator is an EXACT integer; AUC and Gini
+    are one mirrored IEEE division each. Single-row output; one
+    map-side-combined corpus pass."""
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    v = j.groupBy(F.col("cents").alias("val")).agg(
+        F.sum("y").cast("long").alias("ca"),
+        F.sum(1 - F.col("y")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("val")
+    wv = v.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        (
+            F.sum(F.col("ca") + F.col("cb")).over(w)
+            - (F.col("ca") + F.col("cb"))
+        ).alias("below"),
+    )
+    s = wv.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("below") + F.col("t") + 1))
+        .cast("long")
+        .alias("r2a"),
+    )
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    auc = u2.cast("double") / (
+        F.lit(2.0) * F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return s.select(
+        F.col("na").alias("n_pos"),
+        F.col("nb").alias("n_neg"),
+        auc.alias("auc"),
+        (F.lit(2.0) * auc - 1).alias("gini_coef"),
+    )
+
+
+@register(
+    "roc_threshold_tuning",
+    """WITH b AS (
+  SELECT CAST(FLOOR(value / 30) AS BIGINT) AS bucket,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+              AS BIGINT) AS neg
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT a.bucket, CAST(SUM(b2.pos) AS BIGINT) AS tp,
+         CAST(SUM(b2.neg) AS BIGINT) AS fp
+  FROM b a JOIN b b2 ON b2.bucket >= a.bucket
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS np, CAST(SUM(neg) AS BIGINT) AS nn
+        FROM b),
+j AS (
+  SELECT bucket, tp, fp,
+         CAST((SELECT np FROM tot) - tp AS BIGINT) AS fn,
+         CAST((SELECT nn FROM tot) - fp AS BIGINT) AS tn,
+         CAST(tp AS DOUBLE) / (SELECT np FROM tot) AS tpr,
+         CAST(fp AS DOUBLE) / (SELECT nn FROM tot) AS fpr,
+         CAST(tp AS DOUBLE) / (SELECT np FROM tot)
+           - CAST(fp AS DOUBLE) / (SELECT nn FROM tot) AS youden_j,
+         tp * (SELECT nn FROM tot) - fp * (SELECT np FROM tot) AS num
+  FROM cum
+),
+best AS (
+  SELECT a.bucket,
+         CAST(COALESCE(SUM(CASE WHEN b.num > a.num
+                  OR (b.num = a.num AND b.bucket < a.bucket)
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_better
+  FROM j a LEFT JOIN j b ON a.bucket != b.bucket
+  GROUP BY 1
+)
+SELECT j.bucket, j.tp, j.fp, j.fn, j.tn, j.tpr, j.fpr, j.youden_j,
+       CAST(CASE WHEN best.n_better = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_best
+FROM j JOIN best ON j.bucket = best.bucket""",
+)
+def q_roc_threshold_tuning(spark, sf_dir):
+    """operating-point selection: the full confusion table (TP/FP/FN/
+    TN, TPR, FPR) at every score-bucket threshold "predict positive
+    when bucket ≥ t", with Youden's J = TPR − FPR and the J-optimal
+    threshold flagged — the step that turns auc_score's ranking
+    scalar into a DEPLOYABLE decision threshold (calibration_curve's
+    buckets, best_split_gini's question, answered on the ROC scale a
+    monitoring team actually operates on). Cumulative TP/FP come
+    from a ≥-cumsum broadcast self-join over the ≤~20-row bucket
+    histogram (the kaplan_meier at-risk pattern — no window sort);
+    counts exact BIGINTs off ONE conditional corpus agg; TPR/FPR/J
+    one IEEE division each. The argmax is decided WITHOUT comparing
+    floats: J_i > J_j ⟺ (tp_i·n⁻ − fp_i·n⁺) > (tp_j·n⁻ − fp_j·n⁺)
+    (shared positive denominator n⁺n⁻), so is_best is an integer
+    count-of-strictly-better self-join with a bucket tie-break —
+    bitwise-stable in both engines. Output ≤~20 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            F.floor(F.col("value") / 30).cast("long").alias("bucket"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(1 - F.col("y")).cast("long").alias("neg"),
+        )
+    )
+    b2 = b.select(
+        F.col("bucket").alias("b2"),
+        F.col("pos").alias("p2"),
+        F.col("neg").alias("g2"),
+    )
+    cum = (
+        b.join(F.broadcast(b2), F.col("b2") >= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("p2").cast("long").alias("tp"),
+            F.sum("g2").cast("long").alias("fp"),
+        )
+    )
+    tot = b.agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum("neg").cast("long").alias("nn"),
+    )
+    j = cum.join(F.broadcast(tot)).select(
+        "bucket",
+        "tp",
+        "fp",
+        (F.col("np") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("nn") - F.col("fp")).cast("long").alias("tn"),
+        (F.col("tp").cast("double") / F.col("np")).alias("tpr"),
+        (F.col("fp").cast("double") / F.col("nn")).alias("fpr"),
+        (
+            F.col("tp").cast("double") / F.col("np")
+            - F.col("fp").cast("double") / F.col("nn")
+        ).alias("youden_j"),
+        (F.col("tp") * F.col("nn") - F.col("fp") * F.col("np")).alias("num"),
+    )
+    ja = j.select(F.col("bucket").alias("ba"), F.col("num").alias("numa"))
+    jb = j.select(F.col("bucket").alias("bb"), F.col("num").alias("numb"))
+    better = (
+        ja.join(
+            F.broadcast(jb),
+            (F.col("numb") > F.col("numa"))
+            | (
+                (F.col("numb") == F.col("numa"))
+                & (F.col("bb") < F.col("ba"))
+            ),
+            "left",
+        )
+        .groupBy("ba")
+        .agg(F.count("bb").cast("long").alias("n_better"))
+    )
+    return j.join(better, j.bucket == better.ba).select(
+        "bucket",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "tpr",
+        "fpr",
+        "youden_j",
+        F.when(F.col("n_better") == 0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_best"),
+    )

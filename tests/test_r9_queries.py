@@ -464,3 +464,291 @@ def test_nelson_aalen_vs_kaplan_meier(spark, sf_dir):
         for a, b in zip(curve, curve[1:]):
             assert b.cumhaz >= a.cumhaz
             assert b.cumhaz_var >= a.cumhaz_var
+# ---- batch 4 tests (append to tests/test_r9_queries.py) ----
+
+
+def test_stratified_conformal_invariants(spark, sf_dir):
+    """Mondrian bookkeeping: thresholds come from the calibration
+    split only (threshold is an actually-occurring calib score); the
+    α=0.05 threshold dominates α=0.1 within a stratum; coverage =
+    n_covered/n_eval; and calibration-split sizes reconcile with the
+    raw split."""
+    rows = QUERIES["stratified_conformal"](spark, sf_dir).collect()
+    assert rows
+    by_grp = {}
+    for r in rows:
+        assert 0 <= r.n_covered <= r.n_eval
+        if r.n_eval > 0:
+            assert math.isclose(r.coverage, r.n_covered / r.n_eval)
+        else:
+            assert r.coverage is None
+        by_grp.setdefault(r.grp, {})[r.alpha] = r
+    for grp, d in by_grp.items():
+        assert set(d) == {0.1, 0.05}
+        assert d[0.05].threshold_cents >= d[0.1].threshold_cents
+        assert d[0.05].n_calib == d[0.1].n_calib
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")) % 7 >= 5
+    )
+    calib_n = {
+        r.grp: r.n
+        for r in ev.filter(F.col("event_id") % 10 < 3)
+        .select(
+            F.concat(
+                F.col("event_type"), F.lit("|"), F.when(wk, "we").otherwise("wd")
+            ).alias("grp")
+        )
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for grp, d in by_grp.items():
+        assert d[0.1].n_calib == calib_n[grp]
+
+
+def test_meta_analysis_pooling_matches_python(spark, sf_dir):
+    """the inverse-variance pool recomputed driver-side from the same
+    per-day arm moments; theta must sit inside the daily-effect
+    range; i_sq in [0, 1)."""
+    out = QUERIES["meta_analysis_pooling"](spark, sf_dir).collect()
+    assert len(out) == 1
+    out = out[0]
+    ev = load_table(spark, sf_dir, "events")
+    dstat = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            (F.col("user_id") % 2).alias("arm"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cv"),
+        )
+        .groupBy("day", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cv").alias("s"),
+            F.sum(F.col("cv") * F.col("cv")).alias("q"),
+        )
+        .collect()
+    )
+    days = {}
+    for r in dstat:
+        days.setdefault(r.day, {})[r.arm] = r
+    per_day = []
+    for day in sorted(days):
+        d = days[day]
+        if 0 not in d or 1 not in d or d[0].n < 2 or d[1].n < 2:
+            continue
+        m1, m2 = d[0].s / d[0].n, d[1].s / d[1].n
+        v1 = (d[0].q - d[0].s**2 / d[0].n) / (d[0].n - 1)
+        v2 = (d[1].q - d[1].s**2 / d[1].n) / (d[1].n - 1)
+        se2 = v1 / d[0].n + v2 / d[1].n
+        if se2 > 0:
+            per_day.append((m1 - m2, se2))
+    k = len(per_day)
+    sw = sum(1 / se2 for _, se2 in per_day)
+    theta = sum(diff / se2 for diff, se2 in per_day) / sw
+    q_stat = sum((diff - theta) ** 2 / se2 for diff, se2 in per_day)
+    assert out.k_days == k
+    assert math.isclose(out.theta_pooled, theta, rel_tol=1e-9)
+    assert math.isclose(out.se_pooled, math.sqrt(1 / sw), rel_tol=1e-9)
+    assert math.isclose(out.q_stat, q_stat, rel_tol=1e-6)
+    diffs = [d for d, _ in per_day]
+    assert min(diffs) <= out.theta_pooled <= max(diffs)
+    assert 0.0 <= out.i_sq < 1.0
+
+
+def test_lang_confusion_invariants(spark, sf_dir):
+    """cell counts reconcile with the corpus per-language totals,
+    row fractions sum to 1 per true language, and the matrix agrees
+    with lang_id's per-doc predictions joined to the labels."""
+    rows = QUERIES["lang_confusion"](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    lang_totals = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    import collections
+
+    per_lang = collections.defaultdict(int)
+    frac = collections.defaultdict(float)
+    for r in rows:
+        per_lang[r.lang] += r.n_docs
+        frac[r.lang] += r.row_frac
+    assert dict(per_lang) == lang_totals
+    for v in frac.values():
+        assert math.isclose(v, 1.0, rel_tol=1e-9)
+    pred = {
+        r.doc_id: r.pred_lang
+        for r in QUERIES["lang_id"](spark, sf_dir).collect()
+    }
+    actual = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    cells = collections.Counter((actual[d], p) for d, p in pred.items())
+    assert {(r.lang, r.pred_lang): r.n_docs for r in rows} == dict(cells)
+
+
+def test_minhash_band_scurve_invariants(spark, sf_dir):
+    """more bands (fewer rows per band) can only increase expected
+    capture at every similarity, so the aggregate curve is monotone
+    in bands; n_pairs matches the verified pair frame; captures are
+    probabilities; and the (1,8) config's per-pair probability is
+    s^8 — recomputed driver-side from the pair similarities."""
+    rows = {
+        (r.bands, r.rows_per_band): r
+        for r in QUERIES["minhash_band_scurve"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {(1, 8), (2, 4), (4, 2), (8, 1)}
+    n_pairs = {r.n_pairs for r in rows.values()}
+    assert len(n_pairs) == 1
+    n = n_pairs.pop()
+    pairs = QUERIES["dedup_minhash_pairs"](spark, sf_dir).collect()
+    assert n == len(pairs)
+    caps = [rows[c].expected_capture for c in [(1, 8), (2, 4), (4, 2), (8, 1)]]
+    for c in caps:
+        assert 0.0 <= c <= 1.0
+    for a, b in zip(caps, caps[1:]):
+        assert b >= a - 1e-12  # monotone in bands for fixed b*r
+    def pow_chain(s, k):
+        # left-associated repeated multiply — the exact IEEE tree the
+        # query uses (x**k may round differently)
+        acc = s
+        for _ in range(k - 1):
+            acc = acc * s
+        return acc
+
+    expect_18 = sum(
+        math.floor((1.0 - (1.0 - pow_chain(p.jaccard, 8))) * 1000000)
+        for p in pairs
+    )
+    assert rows[(1, 8)].capture_ppm_sum == expect_18
+
+
+def test_quantile_treatment_effect_matches_python(spark, sf_dir):
+    """each arm's deciles recomputed by sorting driver-side (the lazy
+    formulation the distributed plan avoids) must match exactly, and
+    qte = treatment − control."""
+    rows = {r.pct: r for r in QUERIES["quantile_treatment_effect"](spark, sf_dir).collect()}
+    assert set(rows) == {i / 10 for i in range(1, 10)}
+    ev = load_table(spark, sf_dir, "events")
+    vals = {0: [], 1: []}
+    for r in ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cv"),
+    ).collect():
+        vals[r.arm].append(r.cv)
+    for arm in (0, 1):
+        vals[arm].sort()
+    for i in range(1, 10):
+        p = i / 10
+        q0 = vals[0][math.floor(p * (len(vals[0]) - 1))]
+        q1 = vals[1][math.floor(p * (len(vals[1]) - 1))]
+        assert rows[p].q_control == q0
+        assert rows[p].q_treatment == q1
+        assert rows[p].qte_cents == q1 - q0
+    # deciles are non-decreasing within each arm
+    ps = sorted(rows)
+    for a, b in zip(ps, ps[1:]):
+        assert rows[b].q_control >= rows[a].q_control
+        assert rows[b].q_treatment >= rows[a].q_treatment
+
+
+def test_smd_balance_check_invariants(spark, sf_dir):
+    """arm sizes must partition the user base identically across the
+    three covariate rows; a randomized (hash) split should be
+    near-balanced, so |SMD| stays well under the 0.1 imbalance alarm
+    scaled by sampling noise; and SMD recomputes from raw moments."""
+    rows = {r.covariate: r for r in QUERIES["smd_balance_check"](spark, sf_dir).collect()}
+    assert set(rows) == {"cents", "n_events", "active_days"}
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    for r in rows.values():
+        assert r.n_control + r.n_treatment == n_users
+    pu = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "cents")
+        .collect()
+    )
+    g = {0: [r.cents for r in pu if r.arm == 0], 1: [r.cents for r in pu if r.arm == 1]}
+    m0 = sum(g[0]) / len(g[0])
+    m1 = sum(g[1]) / len(g[1])
+    v0 = sum((x - m0) ** 2 for x in g[0]) / (len(g[0]) - 1)
+    v1 = sum((x - m1) ** 2 for x in g[1]) / (len(g[1]) - 1)
+    expect = (m1 - m0) / math.sqrt((v0 + v1) / 2)
+    assert math.isclose(rows["cents"].smd, expect, rel_tol=1e-9)
+
+
+def test_heaps_curve_invariants(spark, sf_dir):
+    """cumulative tokens and vocab are non-decreasing; vocab ≤ tokens;
+    the final checkpoint equals the whole-corpus distinct-type and
+    token counts; ttr is the truncating integer ratio."""
+    rows = sorted(
+        QUERIES["heaps_curve"](spark, sf_dir).collect(), key=lambda r: r.slice
+    )
+    assert [r.slice for r in rows] == list(range(10))
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tokens >= a.cum_tokens
+        assert b.cum_vocab >= a.cum_vocab
+    for r in rows:
+        assert 0 < r.cum_vocab <= r.cum_tokens
+        assert r.ttr_ppm == (1000000 * r.cum_vocab) // r.cum_tokens
+    docs = load_table(spark, sf_dir, "documents")
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
+
+    inst = docs.select(F.explode(T.tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") > 0
+    )
+    assert rows[-1].cum_tokens == inst.count()
+    assert rows[-1].cum_vocab == inst.distinct().count()
+
+
+def test_auc_score_matches_python(spark, sf_dir):
+    """AUC recomputed driver-side by the probabilistic definition
+    (P(score⁺ > score⁻) + ½P(tie)) over the value histogram."""
+    out = QUERIES["auc_score"](spark, sf_dir).collect()
+    assert len(out) == 1
+    out = out[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    ).collect()
+    pos = sorted(r.c for r in ev if r.y == 1)
+    neg = sorted(r.c for r in ev if r.y == 0)
+    assert out.n_pos == len(pos)
+    assert out.n_neg == len(neg)
+    import bisect
+
+    wins = ties = 0
+    for p in pos:
+        wins += bisect.bisect_left(neg, p)
+        ties += bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert math.isclose(out.auc, auc, rel_tol=1e-12)
+    assert math.isclose(out.gini_coef, 2 * out.auc - 1, rel_tol=1e-12)
+
+
+def test_roc_threshold_tuning_invariants(spark, sf_dir):
+    """confusion-table identities at every threshold (tp+fn = P,
+    fp+tn = N), monotone non-increasing tp/fp in the threshold,
+    exactly one J-argmax flagged, and the flagged row maximizes J."""
+    rows = sorted(
+        QUERIES["roc_threshold_tuning"](spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    P = rows[0].tp + rows[0].fn
+    N = rows[0].fp + rows[0].tn
+    for r in rows:
+        assert r.tp + r.fn == P
+        assert r.fp + r.tn == N
+        assert math.isclose(r.tpr, r.tp / P)
+        assert math.isclose(r.fpr, r.fp / N)
+        assert math.isclose(r.youden_j, r.tpr - r.fpr)
+    for a, b in zip(rows, rows[1:]):
+        assert b.tp <= a.tp
+        assert b.fp <= a.fp
+    best = [r for r in rows if r.is_best == 1]
+    assert len(best) == 1
+    jmax = max(r.youden_j for r in rows)
+    assert math.isclose(best[0].youden_j, jmax, rel_tol=1e-12)

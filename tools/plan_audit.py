@@ -77,6 +77,8 @@ GLOBAL_SORT_OK = {
     # rank-block cumsum over the distinct-cents-value frame (the
     # mann_whitney trick, k-group form)
     "kruskal_wallis",
+    # rank-sum AUC over the same distinct-cents frame
+    "auc_score",
     # r8: feature_binning and rfm_segmentation left this list — their
     # NTILEs are now scored map-only against ntile_boundary_values
     # literals (zero global sorts; the r7 verdict's ask)
