@@ -15524,3 +15524,719 @@ def q_roc_threshold_tuning(spark, sf_dir):
         .cast("long")
         .alias("is_best"),
     )
+# ---- batch 7 additions (word_burstiness, cramers_v,
+# lsh_bucket_balance) ----
+
+
+@register(
+    "word_burstiness",
+    f"""WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+inst AS (
+  SELECT doc_id, unnest(string_split({_docs_norm_sql()}, ' ')) AS word
+  FROM documents
+),
+inst2 AS (SELECT doc_id, word FROM inst WHERE length(word) > 0),
+dc AS (
+  SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM inst2 GROUP BY 1, 2
+),
+ws AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS tf,
+         CAST(SUM(c * c) AS BIGINT) AS ssq
+  FROM dc GROUP BY 1
+),
+top AS (SELECT * FROM ws ORDER BY df DESC, word LIMIT 20)
+SELECT word, df, tf,
+       CAST(tf AS DOUBLE) / (SELECT n FROM nd) AS mean_per_doc,
+       CASE WHEN CAST(tf AS DOUBLE) / (SELECT n FROM nd) > 0
+            THEN ((CAST(ssq AS DOUBLE)
+                   - CAST(tf AS DOUBLE) * tf / (SELECT n FROM nd))
+                  / (CAST((SELECT n FROM nd) AS DOUBLE) - 1))
+                 / (CAST(tf AS DOUBLE) / (SELECT n FROM nd))
+            END AS vmr
+FROM top""",
+)
+def q_word_burstiness(spark, sf_dir):
+    """word burstiness: the variance-to-mean ratio (dispersion index)
+    of per-document counts for the 20 highest-df words — Church &
+    Gale's classic signal separating FUNCTION words (VMR ≈ 1,
+    Poisson-scattered evenly) from TOPICAL words (VMR ≫ 1, bursty:
+    absent mostly, then repeated), which is how a stopword list is
+    DERIVED from a corpus rather than hard-coded (token_df_stats'
+    second-moment companion, and the quality-signal behind
+    repetition_ratio's per-doc view). Zero-count documents enter the
+    variance exactly via the Σc²−tf²/N identity — only containing
+    docs are ever materialized. Exactness: df/tf/Σc² exact BIGINTs
+    off one (word,doc) agg then one word agg (both map-side
+    combined); N is a bounded driver count embedded as a literal
+    (exact_quantiles' documented pattern, = the oracle's scalar
+    subquery); mean and VMR one mirrored IEEE tree each. Top-20 is a
+    TakeOrdered on (df DESC, word) — k-bounded, never a global sort.
+    Scale: tokenize-linear, vocabulary-sized aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
+    inst = toked.select("doc_id", F.explode("_toks").alias("word")).filter(
+        F.length("word") > 0
+    )
+    dc = inst.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ws = dc.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    top = ws.orderBy(F.col("df").desc(), "word").limit(20)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nd = F.lit(float(n_docs))
+    mean = d("tf") / nd
+    var = (d("ssq") - d("tf") * F.col("tf") / nd) / (nd - 1)
+    return top.select(
+        "word",
+        "df",
+        "tf",
+        mean.alias("mean_per_doc"),
+        F.when(mean > 0, var / mean).alias("vmr"),
+    )
+
+
+@register(
+    "cramers_v",
+    """WITH c AS (
+  SELECT event_type, CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT) AS hq,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+rm AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rsum FROM c GROUP BY 1),
+cm AS (SELECT hq, CAST(SUM(o) AS BIGINT) AS csum FROM c GROUP BY 1),
+nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+              CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+              CAST(COUNT(DISTINCT hq) AS BIGINT) AS k
+       FROM c),
+cell AS (
+  SELECT c.event_type, c.hq, nn.n, nn.r, nn.k,
+         (CAST(c.o AS DOUBLE) - CAST(rm.rsum AS DOUBLE) * cm.csum / nn.n)
+         * (CAST(c.o AS DOUBLE) - CAST(rm.rsum AS DOUBLE) * cm.csum / nn.n)
+         / (CAST(rm.rsum AS DOUBLE) * cm.csum / nn.n) AS term
+  FROM c JOIN rm ON c.event_type = rm.event_type
+  JOIN cm ON c.hq = cm.hq
+  CROSS JOIN nn
+),
+s AS (
+  SELECT n, r, k,
+         list_reduce(list(0.0 + term ORDER BY event_type, hq),
+                     (x, y) -> x + y) AS chi2
+  FROM cell GROUP BY 1, 2, 3
+)
+SELECT n AS n_events, r AS n_types, k AS n_hour_quarters, chi2,
+       CASE WHEN least(r - 1, k - 1) > 0
+            THEN sqrt(chi2 / (CAST(n AS DOUBLE) * least(r - 1, k - 1)))
+            END AS cramers_v
+FROM s""",
+)
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V association strength between event type and
+    hour-of-day quarter — the EFFECT-SIZE closure of
+    chi2_independence (with ~60k rows every χ² is "significant"; V =
+    √(χ²/(n·min(r−1,k−1))) ∈ [0,1] says whether the association is
+    MATERIAL, which is the number a feature-selection pass actually
+    thresholds). Exactness: the ≤(types×4) contingency cells are
+    exact BIGINTs off ONE conditional corpus agg; each cell's
+    (o−e)²/e is one mirrored IEEE tree; the only cross-cell float
+    sum rides an ORDERED 0.0-seeded fold over the (type,hq)-sorted
+    ≤20-element array (F.aggregate ≡ list_reduce); V is one more
+    mirrored tree (sqrt only); a degenerate 1×k or r×1 table → NULL
+    V in both engines. Single-row output; margins via broadcast
+    joins on the bounded cell frame."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.floor(F.hour("ts") / 6).cast("long").alias("hq")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rm = c.groupBy("event_type").agg(F.sum("o").cast("long").alias("rsum"))
+    cm = c.groupBy("hq").agg(F.sum("o").cast("long").alias("csum"))
+    nn = c.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("r"),
+        F.countDistinct("hq").cast("long").alias("k"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    cell = (
+        c.join(F.broadcast(rm), "event_type")
+        .join(F.broadcast(cm), "hq")
+        .join(F.broadcast(nn))
+        .select(
+            "event_type",
+            "hq",
+            "n",
+            "r",
+            "k",
+            (
+                (d("o") - d("rsum") * F.col("csum") / F.col("n"))
+                * (d("o") - d("rsum") * F.col("csum") / F.col("n"))
+                / (d("rsum") * F.col("csum") / F.col("n"))
+            ).alias("term"),
+        )
+    )
+    s = cell.groupBy("n", "r", "k").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("event_type", "hq", F.col("term").alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("chi2")
+    )
+    mindim = F.least(F.col("r") - 1, F.col("k") - 1)
+    return s.select(
+        F.col("n").alias("n_events"),
+        F.col("r").alias("n_types"),
+        F.col("k").alias("n_hour_quarters"),
+        F.col("chi2").alias("chi2"),
+        F.when(
+            mindim > 0,
+            F.sqrt(F.col("chi2") / (F.col("n").cast("double") * mindim)),
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "lsh_bucket_balance",
+    f"""WITH b AS (
+  SELECT {V.sign_bucket_sql('embedding', 6)} AS bucket FROM embeddings
+),
+h AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS sz FROM b GROUP BY 1),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(sz) AS BIGINT) AS n_vectors,
+         CAST(MAX(sz) AS BIGINT) AS max_size,
+         CAST(MIN(sz) AS BIGINT) AS min_size,
+         CAST(SUM(sz * sz) AS BIGINT) AS ssq
+  FROM h
+)
+SELECT CAST(6 AS BIGINT) AS nbits, n_buckets,
+       CAST(64 - n_buckets AS BIGINT) AS n_empty, n_vectors, max_size,
+       min_size,
+       CAST(n_vectors AS DOUBLE) / 64.0 AS mean_size,
+       CASE WHEN CAST(n_vectors AS DOUBLE) / 64.0 > 0
+            THEN sqrt((CAST(ssq AS DOUBLE)
+                       - CAST(n_vectors AS DOUBLE) * n_vectors / 64.0)
+                      / (64.0 - 1))
+                 / (CAST(n_vectors AS DOUBLE) / 64.0)
+            END AS cv,
+       CAST(max_size AS DOUBLE) / n_vectors AS top_bucket_share
+FROM s""",
+)
+def q_lsh_bucket_balance(spark, sf_dir):
+    """ANN partition load-balance audit: the occupancy histogram
+    statistics of the 6-bit sign-LSH bucketing (64 cells over the
+    embedding corpus) — empty-cell count, max/min/mean occupancy,
+    coefficient of variation, and the hottest cell's load share.
+    This is the operational health check behind every bucketed
+    similarity path in the registry (embedding_ann_lsh,
+    dedup_embedding_banded): a skewed histogram means one executor
+    owns the hot bucket and recall-per-cost degrades — the check a
+    100 TB ANN deployment runs BEFORE committing to a bucketing, and
+    ivf_nprobe_recall's capacity-side complement (that query grades
+    recall; this grades load). Variance over ALL 2^nbits cells
+    (zeros included) via the Σsz²−n²/2^b identity — empty cells are
+    never materialized. Exactness: sizes exact BIGINTs off one
+    map-side bucket agg (the only corpus pass); mean/cv/share one
+    mirrored IEEE tree each (sqrt only). Single-row output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nb = 6
+    b = emb.select(V.sign_bucket(F.col("embedding"), nb).alias("bucket"))
+    h = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    s = h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("sz").cast("long").alias("n_vectors"),
+        F.max("sz").cast("long").alias("max_size"),
+        F.min("sz").cast("long").alias("min_size"),
+        F.sum(F.col("sz") * F.col("sz")).cast("long").alias("ssq"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cells = F.lit(float(1 << nb))
+    mean = d("n_vectors") / cells
+    var = (d("ssq") - d("n_vectors") * F.col("n_vectors") / cells) / (
+        cells - 1
+    )
+    return s.select(
+        F.lit(nb).cast("long").alias("nbits"),
+        "n_buckets",
+        (F.lit(1 << nb) - F.col("n_buckets")).cast("long").alias("n_empty"),
+        "n_vectors",
+        "max_size",
+        "min_size",
+        mean.alias("mean_size"),
+        F.when(mean > 0, F.sqrt(var) / mean).alias("cv"),
+        (d("max_size") / F.col("n_vectors")).alias("top_bucket_share"),
+    )
+# ---- batch 8 additions (wilcoxon_signed_rank, anova_f, levene_test,
+# lang_id_kappa) ----
+
+
+@register(
+    "wilcoxon_signed_rank",
+    """WITH pu AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 12
+                  THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+              - SUM(CASE WHEN EXTRACT(hour FROM ts) >= 12
+                    THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS dd
+  FROM events GROUP BY user_id
+),
+nz AS (SELECT dd FROM pu WHERE dd != 0),
+v AS (
+  SELECT ABS(dd) AS ad,
+         CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN dd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+  FROM nz GROUP BY 1
+),
+w AS (
+  SELECT cp, cn, cp + cn AS t,
+         CAST(SUM(cp + cn) OVER (ORDER BY ad) - (cp + cn) AS BIGINT) AS below
+  FROM v
+),
+s AS (
+  SELECT CAST(SUM(cp + cn) AS BIGINT) AS n,
+         CAST(SUM(cp * (2 * below + t + 1)) AS BIGINT) AS w2p,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tcorr
+  FROM w
+)
+SELECT n AS n_nonzero,
+       CAST(w2p AS DOUBLE) / 2 AS w_plus,
+       CASE WHEN CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6.0
+                 - CAST(tcorr AS DOUBLE) / 2 > 0
+            THEN (CAST(w2p AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6.0
+                        - CAST(tcorr AS DOUBLE) / 2)
+            ELSE NULL END AS z
+FROM s""",
+)
+def q_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test on the PAIRED per-user day-vs-night
+    revenue difference — the within-subject member that completes
+    the rank-test suite (mann_whitney_u compares two INDEPENDENT
+    samples; here each user is their own control, which removes
+    between-user variance exactly the way cuped_adjustment does
+    parametrically). Zero differences drop (the standard Wilcoxon
+    convention) with the identical filter in both engines; |d| ranks
+    are exact with NO row sort via the distribution trick (distinct-
+    |d| cumsum, DOUBLED midranks 2·below+t+1), so 2·W⁺ and the
+    Σ(t³−t) tie term are EXACT integers; 2·(W⁺−μ) over √(4σ²) —
+    written as (2W⁺−n(n+1)/2·2)/√(4var), i.e. the doubled-scale
+    identity — is one mirrored IEEE tree (sqrt only); zero variance
+    → NULL both. One user-keyed agg is the only corpus pass; the
+    window runs over distinct |d| values (user-bounded, documented
+    allowlist shape); 1-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.hour("ts") < 12,
+                        F.round(F.col("value") * 100, 0).cast("long"),
+                    ).otherwise(0)
+                )
+                - F.sum(
+                    F.when(
+                        F.hour("ts") >= 12,
+                        F.round(F.col("value") * 100, 0).cast("long"),
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("dd")
+        )
+        .filter(F.col("dd") != 0)
+    )
+    v = pu.groupBy(F.abs(F.col("dd")).alias("ad")).agg(
+        F.sum(F.when(F.col("dd") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cp"),
+        F.sum(F.when(F.col("dd") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cn"),
+    )
+    w = Window.orderBy("ad")
+    wv = v.select(
+        "cp",
+        "cn",
+        (F.col("cp") + F.col("cn")).alias("t"),
+        (
+            F.sum(F.col("cp") + F.col("cn")).over(w)
+            - (F.col("cp") + F.col("cn"))
+        ).alias("below"),
+    )
+    s = wv.agg(
+        F.sum(F.col("cp") + F.col("cn")).cast("long").alias("n"),
+        F.sum(F.col("cp") * (2 * F.col("below") + F.col("t") + 1))
+        .cast("long")
+        .alias("w2p"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tcorr"),
+    )
+    nd = F.col("n").cast("double")
+    mu2 = nd * (nd + 1) / 2
+    var4 = (
+        nd * (nd + 1) * (2 * nd + 1) / F.lit(6.0)
+        - F.col("tcorr").cast("double") / 2
+    )
+    z = F.when(
+        var4 > 0, (F.col("w2p").cast("double") - mu2) / F.sqrt(var4)
+    ).otherwise(F.lit(None).cast("double"))
+    return s.select(
+        F.col("n").alias("n_nonzero"),
+        (F.col("w2p").cast("double") / 2).alias("w_plus"),
+        z.alias("z"),
+    )
+
+
+@register(
+    "anova_f",
+    """WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sg,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)
+                  * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS qg
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS k FROM g),
+s2 AS (
+  SELECT tot.n, tot.k,
+         list_reduce(
+           list(0.0 + (CAST(sg AS DOUBLE) / ng - CAST(tot.s AS DOUBLE) / tot.n)
+                      * (CAST(sg AS DOUBLE) / ng
+                         - CAST(tot.s AS DOUBLE) / tot.n) * ng
+                ORDER BY event_type),
+           (x, y) -> x + y) AS ssb,
+         list_reduce(
+           list(0.0 + (CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / ng)
+                ORDER BY event_type),
+           (x, y) -> x + y) AS ssw
+  FROM g CROSS JOIN tot
+  GROUP BY 1, 2
+)
+SELECT n AS n_total, k AS n_groups, ssb AS ss_between, ssw AS ss_within,
+       CASE WHEN k > 1 AND n > k AND ssw > 0
+            THEN (ssb / CAST(k - 1 AS DOUBLE))
+                 / (ssw / CAST(n - k AS DOUBLE))
+            ELSE NULL END AS f_stat,
+       CASE WHEN ssb + ssw > 0 THEN ssb / (ssb + ssw) ELSE NULL END AS eta_sq
+FROM s2""",
+)
+def q_anova_f(spark, sf_dir):
+    """one-way ANOVA F across the k=5 event types (+ η² effect size,
+    the variance-explained share) — the PARAMETRIC omnibus twin of
+    kruskal_wallis, exactly as welch_ttest twins mann_whitney_u at
+    k=2: a pipeline runs both before trusting a between-group mean
+    spread. Exactness: per-group counts/sums/squares exact BIGINTs
+    off ONE map-side-combined agg (the only corpus pass); SSB and
+    SSW are the two cross-group float sums and ride ORDERED
+    0.0-seeded folds over the type-sorted k=5 array (F.aggregate ≡
+    list_reduce); F and η² one mirrored IEEE tree each; degenerate
+    (k ≤ 1, n ≤ k, zero within-variance) → NULL both engines.
+    int64 headroom: Σcv² ≤ 1e8·rows (welch_ttest's documented
+    bound). Single-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cv"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum("cv").cast("long").alias("sg"),
+            F.sum(F.col("cv") * F.col("cv")).cast("long").alias("qg"),
+        )
+    )
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    j = g.join(F.broadcast(tot))
+    ssb_term = (
+        (d("sg") / F.col("ng") - d("s") / F.col("n"))
+        * (d("sg") / F.col("ng") - d("s") / F.col("n"))
+        * F.col("ng")
+    )
+    ssw_term = d("qg") - d("sg") * F.col("sg") / F.col("ng")
+    s2 = j.groupBy("n", "k").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", ssb_term.alias("b")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["b"],
+        ).alias("ssb"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", ssw_term.alias("w")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["w"],
+        ).alias("ssw"),
+    )
+    f = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (F.col("ssw") > 0),
+        (F.col("ssb") / (F.col("k") - 1).cast("double"))
+        / (F.col("ssw") / (F.col("n") - F.col("k")).cast("double")),
+    ).otherwise(F.lit(None).cast("double"))
+    eta2 = F.when(
+        F.col("ssb") + F.col("ssw") > 0,
+        F.col("ssb") / (F.col("ssb") + F.col("ssw")),
+    ).otherwise(F.lit(None).cast("double"))
+    return s2.select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("n_groups"),
+        F.col("ssb").alias("ss_between"),
+        F.col("ssw").alias("ss_within"),
+        f.alias("f_stat"),
+        eta2.alias("eta_sq"),
+    )
+
+
+@register(
+    "levene_test",
+    """WITH v AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cv FROM events
+),
+o AS (
+  SELECT event_type, cv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cv) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                  THEN cv END) AS med
+  FROM o GROUP BY 1
+),
+z AS (
+  SELECT v.event_type, CAST(ABS(v.cv - med.med) AS BIGINT) AS z
+  FROM v JOIN med ON v.event_type = med.event_type
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(z) AS BIGINT) AS sg,
+         CAST(SUM(z * z) AS BIGINT) AS qg
+  FROM z GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS k FROM g),
+s2 AS (
+  SELECT tot.n, tot.k,
+         list_reduce(
+           list(0.0 + (CAST(sg AS DOUBLE) / ng - CAST(tot.s AS DOUBLE) / tot.n)
+                      * (CAST(sg AS DOUBLE) / ng
+                         - CAST(tot.s AS DOUBLE) / tot.n) * ng
+                ORDER BY event_type),
+           (x, y) -> x + y) AS ssb,
+         list_reduce(
+           list(0.0 + (CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / ng)
+                ORDER BY event_type),
+           (x, y) -> x + y) AS ssw
+  FROM g CROSS JOIN tot
+  GROUP BY 1, 2
+)
+SELECT n AS n_total, k AS n_groups, ssb AS ss_between, ssw AS ss_within,
+       CASE WHEN k > 1 AND n > k AND ssw > 0
+            THEN (ssb / CAST(k - 1 AS DOUBLE))
+                 / (ssw / CAST(n - k AS DOUBLE))
+            ELSE NULL END AS bf_stat
+FROM s2""",
+)
+def q_levene_test(spark, sf_dir):
+    """Brown–Forsythe (median-centered Levene) test for equal
+    VARIANCES across event types — the dispersion-shift alarm that
+    anova_f/kruskal_wallis structurally cannot raise (a treatment or
+    drift that widens the spread while preserving the mean passes
+    every location test; robust_outliers sees tails per row, this
+    tests them jointly), and the assumption check a careful ANOVA
+    consumer runs first. The transform rides the registry's own
+    exact machinery: per-type medians are exact order statistics
+    (operators/quantiles.py exact_quantiles, two-phase, no global
+    sort), |x−med| is an exact integer, and the one-way ANOVA on the
+    transformed values reuses anova_f's shape — group moments exact
+    BIGINTs, SSB/SSW as ORDERED 0.0-seeded type-sorted folds, F one
+    mirrored tree. The oracle keeps the lazy window-rank median.
+    Two corpus passes (median histogram + transformed agg)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.quantiles import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cv")
+    )
+    med = exact_quantiles(v, "event_type", "cv", [0.5]).select(
+        "event_type", F.col("q_value").cast("long").alias("med")
+    )
+    z = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("cv") - F.col("med")).cast("long").alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("z").cast("long").alias("sg"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("qg"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    j = g.join(F.broadcast(tot))
+    ssb_term = (
+        (d("sg") / F.col("ng") - d("s") / F.col("n"))
+        * (d("sg") / F.col("ng") - d("s") / F.col("n"))
+        * F.col("ng")
+    )
+    ssw_term = d("qg") - d("sg") * F.col("sg") / F.col("ng")
+    s2 = j.groupBy("n", "k").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", ssb_term.alias("b")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["b"],
+        ).alias("ssb"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", ssw_term.alias("w")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["w"],
+        ).alias("ssw"),
+    )
+    f = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (F.col("ssw") > 0),
+        (F.col("ssb") / (F.col("k") - 1).cast("double"))
+        / (F.col("ssw") / (F.col("n") - F.col("k")).cast("double")),
+    ).otherwise(F.lit(None).cast("double"))
+    return s2.select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("n_groups"),
+        F.col("ssb").alias("ss_between"),
+        F.col("ssw").alias("ss_within"),
+        f.alias("bf_stat"),
+    )
+
+
+def _lang_id_kappa_sql() -> str:
+    hits = ", ".join(
+        f"{_lang_hits_sql(lang)} AS n_{lang}" for lang in _LANGS
+    )
+    return f"""WITH hits AS (
+  SELECT doc_id, lang, {hits}
+  FROM documents
+),
+p AS (SELECT lang, {_pred_lang_sql()} AS pred_lang FROM hits),
+c AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2
+),
+rm AS (SELECT lang AS l, CAST(SUM(n) AS BIGINT) AS rsum FROM c GROUP BY 1),
+cm AS (SELECT pred_lang AS l, CAST(SUM(n) AS BIGINT) AS csum FROM c GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+                    AS BIGINT) AS agree
+        FROM c),
+pe AS (
+  SELECT CAST(SUM(rm.rsum * cm.csum) AS BIGINT) AS src
+  FROM rm JOIN cm ON rm.l = cm.l
+)
+SELECT tot.nn AS n_docs, tot.agree AS n_agree,
+       CAST(tot.agree AS DOUBLE) / tot.nn AS accuracy,
+       CAST(pe.src AS DOUBLE) / (CAST(tot.nn AS DOUBLE) * tot.nn)
+         AS expected_accuracy,
+       CASE WHEN CAST(pe.src AS DOUBLE) / (CAST(tot.nn AS DOUBLE) * tot.nn) < 1
+            THEN (CAST(tot.agree AS DOUBLE) / tot.nn
+                  - CAST(pe.src AS DOUBLE) / (CAST(tot.nn AS DOUBLE) * tot.nn))
+                 / (1 - CAST(pe.src AS DOUBLE)
+                        / (CAST(tot.nn AS DOUBLE) * tot.nn))
+            ELSE NULL END AS kappa
+FROM tot CROSS JOIN pe"""
+
+
+@register("lang_id_kappa", _lang_id_kappa_sql())
+def q_lang_id_kappa(spark, sf_dir):
+    """Cohen's κ chance-corrected agreement between the lang_id
+    heuristic and the labeled lang column — the single-scalar
+    summary over lang_confusion's matrix that is HONEST about class
+    imbalance (with one dominant language, raw accuracy is inflated
+    by chance agreement p_e = Σ row_margin·col_margin/n²; κ =
+    (p_o−p_e)/(1−p_e) discounts it — the number to threshold before
+    trusting the router). Reuses lang_id's argmax expressions
+    verbatim. Exactness: confusion cells and both margin products
+    are exact BIGINTs (one corpus agg + ≤|langs|-row broadcast
+    margin joins); p_o, p_e, κ one mirrored IEEE division tree;
+    p_e = 1 (degenerate single-class) → NULL κ both engines.
+    Single-row output."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "lang", T.tokens(F.col("text")).alias("_toks")
+    )
+    scores = T.lang_scores_from_tokens(F.col("_toks"))
+    hit_cols = [
+        scores[lang].cast("long").alias(f"n_{lang}") for lang in _LANGS
+    ]
+    hits = toked.select("doc_id", "lang", *hit_cols)
+    pred = None
+    for i, lang in enumerate(_LANGS):
+        cond = F.lit(True)
+        for other in _LANGS[i + 1 :]:
+            cond = cond & (F.col(f"n_{lang}") >= F.col(f"n_{other}"))
+        pred = (
+            F.when(cond, F.lit(lang))
+            if pred is None
+            else pred.when(cond, F.lit(lang))
+        )
+    c = (
+        hits.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rm = c.groupBy(F.col("lang").alias("l")).agg(
+        F.sum("n").cast("long").alias("rsum")
+    )
+    cm = c.groupBy(F.col("pred_lang").alias("l")).agg(
+        F.sum("n").cast("long").alias("csum")
+    )
+    tot = c.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred_lang"), F.col("n")).otherwise(0)
+        )
+        .cast("long")
+        .alias("agree"),
+    )
+    pe = (
+        rm.join(cm, "l")
+        .select((F.col("rsum") * F.col("csum")).cast("long").alias("rc"))
+        .agg(F.sum("rc").cast("long").alias("src"))
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    j = tot.join(F.broadcast(pe))
+    po = d("agree") / F.col("nn")
+    ped = d("src") / (d("nn") * F.col("nn"))
+    kappa = F.when(ped < 1, (po - ped) / (1 - ped)).otherwise(
+        F.lit(None).cast("double")
+    )
+    return j.select(
+        F.col("nn").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        po.alias("accuracy"),
+        ped.alias("expected_accuracy"),
+        kappa.alias("kappa"),
+    )

@@ -752,3 +752,223 @@ def test_roc_threshold_tuning_invariants(spark, sf_dir):
     assert len(best) == 1
     jmax = max(r.youden_j for r in rows)
     assert math.isclose(best[0].youden_j, jmax, rel_tol=1e-12)
+# ---- batch 7 tests ----
+
+
+def test_word_burstiness_matches_python(spark, sf_dir):
+    """VMR recomputed from raw per-doc counts (zeros included) for
+    the reported words; stopword-like words should dominate the
+    top-df list and carry finite VMR ≥ 0."""
+    rows = QUERIES["word_burstiness"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    docs = load_table(spark, sf_dir, "documents")
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
+
+    n_docs = docs.count()
+    counts = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    import collections
+
+    per_word = collections.defaultdict(list)
+    for r in counts:
+        per_word[r.w].append(r.c)
+    for r in rows:
+        cs = per_word[r.word] + [0] * (n_docs - len(per_word[r.word]))
+        assert r.df == len(per_word[r.word])
+        assert r.tf == sum(cs)
+        mean = sum(cs) / n_docs
+        var = sum((c - mean) ** 2 for c in cs) / (n_docs - 1)
+        assert math.isclose(r.mean_per_doc, mean, rel_tol=1e-12)
+        assert math.isclose(r.vmr, var / mean, rel_tol=1e-9)
+        assert r.vmr >= 0.0
+    # the list is the df top-20: every reported df >= any unreported df
+    reported = {r.word for r in rows}
+    min_df = min(r.df for r in rows)
+    for w, cs in per_word.items():
+        if w not in reported:
+            assert len(cs) <= min_df
+
+
+def test_cramers_v_matches_python(spark, sf_dir):
+    """chi2 and V recomputed from the raw contingency table; V in
+    [0, 1]."""
+    out = QUERIES["cramers_v"](spark, sf_dir).collect()
+    assert len(out) == 1
+    out = out[0]
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy("event_type", F.floor(F.hour("ts") / 6).alias("hq"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .collect()
+    )
+    import collections
+
+    rm = collections.Counter()
+    cm = collections.Counter()
+    n = 0
+    for r in cells:
+        rm[r.event_type] += r.o
+        cm[r.hq] += r.o
+        n += r.o
+    chi2 = 0.0
+    for r in sorted(cells, key=lambda x: (x.event_type, x.hq)):
+        e = rm[r.event_type] * cm[r.hq] / n
+        chi2 += (r.o - e) ** 2 / e
+    assert out.n_events == n
+    assert out.n_types == len(rm)
+    assert out.n_hour_quarters == len(cm)
+    assert math.isclose(out.chi2, chi2, rel_tol=1e-9)
+    v = math.sqrt(chi2 / (n * min(len(rm) - 1, len(cm) - 1)))
+    assert math.isclose(out.cramers_v, v, rel_tol=1e-9)
+    assert 0.0 <= out.cramers_v <= 1.0
+
+
+def test_lsh_bucket_balance_invariants(spark, sf_dir):
+    """histogram identities: observed+empty = 64 cells, sizes
+    reconcile with the corpus, min <= mean <= max, cv recomputes
+    from the raw histogram with zeros included."""
+    out = QUERIES["lsh_bucket_balance"](spark, sf_dir).collect()
+    assert len(out) == 1
+    out = out[0]
+    assert out.nbits == 6
+    assert out.n_buckets + out.n_empty == 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert out.n_vectors == emb.count()
+    assert out.min_size <= out.mean_size <= out.max_size
+    assert math.isclose(out.mean_size, out.n_vectors / 64)
+    assert math.isclose(out.top_bucket_share, out.max_size / out.n_vectors)
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions import vectors as V
+
+    sizes = [
+        r.n
+        for r in emb.select(V.sign_bucket(F.col("embedding"), 6).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    sizes += [0] * (64 - len(sizes))
+    mean = sum(sizes) / 64
+    var = sum((s - mean) ** 2 for s in sizes) / 63
+    assert math.isclose(out.cv, math.sqrt(var) / mean, rel_tol=1e-9)
+# ---- batch 8 tests ----
+
+
+def test_wilcoxon_signed_rank_matches_python(spark, sf_dir):
+    """W+ and z recomputed driver-side with textbook midranks."""
+    out = QUERIES["wilcoxon_signed_rank"](spark, sf_dir).collect()
+    assert len(out) == 1
+    out = out[0]
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.hour("ts") < 12,
+                        F.round(F.col("value") * 100, 0).cast("long"),
+                    ).otherwise(0)
+                )
+                - F.sum(
+                    F.when(
+                        F.hour("ts") >= 12,
+                        F.round(F.col("value") * 100, 0).cast("long"),
+                    ).otherwise(0)
+                )
+            ).alias("dd")
+        )
+        .collect()
+    )
+    ds = [r.dd for r in pu if r.dd != 0]
+    n = len(ds)
+    assert out.n_nonzero == n
+    import collections
+
+    cnt = collections.Counter(abs(d) for d in ds)
+    rank = {}
+    below = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank[v] = below + (t + 1) / 2
+        below += t
+    w_plus = sum(rank[abs(d)] for d in ds if d > 0)
+    assert math.isclose(out.w_plus, w_plus, rel_tol=1e-12)
+    tcorr = sum(t**3 - t for t in cnt.values())
+    var = n * (n + 1) * (2 * n + 1) / 24 - tcorr / 48
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+    assert math.isclose(out.z, z, rel_tol=1e-9)
+
+
+def test_anova_f_and_levene_match_python(spark, sf_dir):
+    """both omnibus F statistics recomputed from raw values; ANOVA's
+    identity SSB + SSW == SST; eta_sq in [0, 1]."""
+    a = QUERIES["anova_f"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cv")
+    ).collect()
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(r.cv)
+    n = sum(len(g) for g in groups.values())
+    k = len(groups)
+    gm = sum(sum(g) for g in groups.values()) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - gm) ** 2 for g in groups.values())
+    ssw = sum(
+        sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups.values()
+    )
+    assert a.n_total == n and a.n_groups == k
+    assert math.isclose(a.ss_between, ssb, rel_tol=1e-6)
+    assert math.isclose(a.ss_within, ssw, rel_tol=1e-9)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert math.isclose(a.f_stat, f, rel_tol=1e-6)
+    assert 0.0 <= a.eta_sq <= 1.0
+    sst = sum(
+        (x - gm) ** 2 for g in groups.values() for x in g
+    )
+    assert math.isclose(a.ss_between + a.ss_within, sst, rel_tol=1e-9)
+    # Brown-Forsythe on |x - group median| (exact lower-median rank)
+    lv = QUERIES["levene_test"](spark, sf_dir).collect()[0]
+    zg = {}
+    for t, g in groups.items():
+        g2 = sorted(g)
+        med = g2[math.floor(0.5 * (len(g2) - 1))]
+        zg[t] = [abs(x - med) for x in g]
+    gmz = sum(sum(z) for z in zg.values()) / n
+    ssbz = sum(len(z) * (sum(z) / len(z) - gmz) ** 2 for z in zg.values())
+    sswz = sum(
+        sum((x - sum(z) / len(z)) ** 2 for x in z) for z in zg.values()
+    )
+    bf = (ssbz / (k - 1)) / (sswz / (n - k))
+    assert math.isclose(lv.bf_stat, bf, rel_tol=1e-6)
+
+
+def test_lang_id_kappa_consistent_with_confusion(spark, sf_dir):
+    """κ recomputed from lang_confusion's own matrix: same n, same
+    diagonal, κ below accuracy when the matrix is imbalanced, κ in
+    (-1, 1]."""
+    out = QUERIES["lang_id_kappa"](spark, sf_dir).collect()[0]
+    conf = QUERIES["lang_confusion"](spark, sf_dir).collect()
+    n = sum(r.n_docs for r in conf)
+    agree = sum(r.n_docs for r in conf if r.lang == r.pred_lang)
+    assert out.n_docs == n
+    assert out.n_agree == agree
+    import collections
+
+    rm = collections.Counter()
+    cm = collections.Counter()
+    for r in conf:
+        rm[r.lang] += r.n_docs
+        cm[r.pred_lang] += r.n_docs
+    pe = sum(rm[l] * cm[l] for l in rm) / n**2
+    po = agree / n
+    assert math.isclose(out.accuracy, po, rel_tol=1e-12)
+    assert math.isclose(out.expected_accuracy, pe, rel_tol=1e-12)
+    assert math.isclose(out.kappa, (po - pe) / (1 - pe), rel_tol=1e-9)
+    assert -1.0 < out.kappa <= 1.0

@@ -79,6 +79,8 @@ GLOBAL_SORT_OK = {
     "kruskal_wallis",
     # rank-sum AUC over the same distinct-cents frame
     "auc_score",
+    # signed-rank cumsum over the distinct-|d| frame (user-bounded)
+    "wilcoxon_signed_rank",
     # r8: feature_binning and rfm_segmentation left this list — their
     # NTILEs are now scored map-only against ntile_boundary_values
     # literals (zero global sorts; the r7 verdict's ask)
