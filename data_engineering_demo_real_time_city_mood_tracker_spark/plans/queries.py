@@ -16240,3 +16240,315 @@ def q_lang_id_kappa(spark, sf_dir):
         ped.alias("expected_accuracy"),
         kappa.alias("kappa"),
     )
+# ---- batch 9 additions (skyline_docs, mcnemar_test, runs_test) ----
+
+
+@register(
+    "skyline_docs",
+    f"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split({_docs_norm_sql()}, ' '),
+                     w -> length(w) > 0) AS tk
+  FROM documents
+),
+m AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(tk)) AS BIGINT) AS n_types
+  FROM toks WHERE len(tk) > 0
+),
+cells AS (
+  SELECT doc_id, n_tokens,
+         CAST((1000000 * n_types) // n_tokens AS BIGINT) AS ppm
+  FROM m
+),
+cg AS (
+  SELECT n_tokens, ppm, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+  FROM cells GROUP BY 1, 2
+)
+SELECT a.n_tokens, a.ppm AS distinct_ppm, a.n_docs, a.min_doc_id
+FROM cg a
+WHERE NOT EXISTS (
+  SELECT 1 FROM cg b
+  WHERE b.n_tokens >= a.n_tokens AND b.ppm >= a.ppm
+    AND (b.n_tokens > a.n_tokens OR b.ppm > a.ppm)
+)""",
+)
+def q_skyline_docs(spark, sf_dir):
+    """Pareto SKYLINE of the corpus over (length, lexical diversity)
+    — the multi-objective dominance operator (Börzsönyi et al.,
+    ICDE'01) the registry did not yet have: a document cell is on the
+    skyline iff no other cell is at least as long AND at least as
+    diverse with one strict — the "best achievable trade-off"
+    frontier a curation team reads to pick length/quality cutoffs
+    jointly instead of thresholding each axis blind (the
+    2-D closure of gopher_rules' independent gates). The scale trick
+    that makes dominance tractable: docs first AGGREGATE to their
+    (n_tokens, distinct-type ppm) value cell, so the O(m²) dominance
+    join runs on the VALUE-GRID frame (bounded by the metric grids —
+    ≤ distinct-lengths × ppm values — never corpus-sized); the
+    corpus pays one tokenize scan and one map-side cell agg.
+    All-integer output (truncating-division ppm, Spark div ≡ DuckDB
+    //); the dominance count is a broadcast left-join + zero-filter
+    — never NOT EXISTS row-at-a-time; the oracle keeps the lazy
+    correlated form. Dominance-freeness and frontier monotonicity
+    test-asserted."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
+    m = toked.select(
+        "doc_id",
+        F.size(F.filter(F.col("_toks"), lambda w: F.length(w) > 0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.size(
+            F.array_distinct(
+                F.filter(F.col("_toks"), lambda w: F.length(w) > 0)
+            )
+        )
+        .cast("long")
+        .alias("n_types"),
+    ).filter(F.col("n_tokens") > 0)
+    cells = m.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("(1000000 * n_types) div n_tokens").cast("long").alias("ppm"),
+    )
+    cg = cells.groupBy("n_tokens", "ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )
+    a = cg.select(
+        F.col("n_tokens").alias("ta"),
+        F.col("ppm").alias("pa"),
+        F.col("n_docs").alias("na"),
+        F.col("min_doc_id").alias("da"),
+    )
+    b = cg.select(F.col("n_tokens").alias("tb"), F.col("ppm").alias("pb"))
+    dom = (
+        a.join(
+            F.broadcast(b),
+            (F.col("tb") >= F.col("ta"))
+            & (F.col("pb") >= F.col("pa"))
+            & ((F.col("tb") > F.col("ta")) | (F.col("pb") > F.col("pa"))),
+            "left",
+        )
+        .groupBy("ta", "pa", "na", "da")
+        .agg(F.count("tb").cast("long").alias("n_dominators"))
+    )
+    return dom.filter(F.col("n_dominators") == 0).select(
+        F.col("ta").alias("n_tokens"),
+        F.col("pa").alias("distinct_ppm"),
+        F.col("na").alias("n_docs"),
+        F.col("da").alias("min_doc_id"),
+    )
+
+
+@register(
+    "mcnemar_test",
+    """WITH pu AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase'
+                        AND EXTRACT(hour FROM ts) < 12
+                       THEN 1 ELSE 0 END) AS BIGINT) AS day_p,
+         CAST(MAX(CASE WHEN event_type = 'purchase'
+                        AND EXTRACT(hour FROM ts) >= 12
+                       THEN 1 ELSE 0 END) AS BIGINT) AS night_p
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN day_p = 1 AND night_p = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN day_p = 0 AND night_p = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN day_p = 1 AND night_p = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both,
+         CAST(SUM(CASE WHEN day_p = 0 AND night_p = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_neither
+  FROM pu
+)
+SELECT n_users, b, c, n_both, n_neither,
+       CASE WHEN b + c > 0
+            THEN greatest(CAST(ABS(b - c) AS DOUBLE) - 1, 0.0)
+                 * greatest(CAST(ABS(b - c) AS DOUBLE) - 1, 0.0)
+                 / (CAST(b AS DOUBLE) + c)
+            ELSE NULL END AS chi2
+FROM s""",
+)
+def q_mcnemar_test(spark, sf_dir):
+    """McNemar's test on PAIRED binary outcomes: does a user's
+    day-half purchase propensity differ from their night-half? —
+    the binary member of the within-subject family
+    (wilcoxon_signed_rank handles the paired continuous case; here
+    each user contributes one 2×2 cell and only the DISCORDANT pairs
+    b, c carry information — the classic before/after conversion
+    test chi2_independence gets wrong by ignoring pairing).
+    Continuity-corrected χ² = (max(|b−c|−1,0))²/(b+c), the Edwards
+    form, with the max-clamp mirrored (greatest) so b=c degenerates
+    to 0 not 1/(b+c); b+c=0 → NULL both engines. Exactness: the
+    concordant/discordant counts are exact BIGINTs off ONE
+    user-keyed agg (the only corpus pass) + one 5-sum rollup; χ² is
+    one mirrored IEEE tree. Single-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.hour("ts") < 12), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("day_p"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.hour("ts") >= 12), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("night_p"),
+    )
+    s = pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(
+            F.when(
+                (F.col("day_p") == 1) & (F.col("night_p") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when(
+                (F.col("day_p") == 0) & (F.col("night_p") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(
+                (F.col("day_p") == 1) & (F.col("night_p") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.sum(
+            F.when(
+                (F.col("day_p") == 0) & (F.col("night_p") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_neither"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    num = F.greatest(
+        F.abs(F.col("b") - F.col("c")).cast("double") - 1, F.lit(0.0)
+    )
+    chi2 = F.when(
+        F.col("b") + F.col("c") > 0,
+        num * num / (d("b") + F.col("c")),
+    ).otherwise(F.lit(None).cast("double"))
+    return s.select(
+        "n_users", "b", "c", "n_both", "n_neither", chi2.alias("chi2")
+    )
+
+
+@register(
+    "runs_test",
+    """WITH dly AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+mv AS (
+  SELECT event_type, d,
+         x - LAG(x) OVER (PARTITION BY event_type ORDER BY d) AS diff
+  FROM dly
+),
+sg AS (
+  SELECT event_type, d, CAST(sign(diff) AS BIGINT) AS s
+  FROM mv WHERE diff IS NOT NULL AND diff != 0
+),
+ch AS (
+  SELECT event_type, s,
+         CASE WHEN LAG(s) OVER (PARTITION BY event_type ORDER BY d) IS NULL
+                OR LAG(s) OVER (PARTITION BY event_type ORDER BY d) != s
+              THEN 1 ELSE 0 END AS new_run
+  FROM sg
+),
+g AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(new_run) AS BIGINT) AS runs
+  FROM ch GROUP BY 1
+)
+SELECT event_type, n1 AS n_up, n2 AS n_down, runs AS n_runs,
+       CASE WHEN n1 > 0 AND n2 > 0 AND
+                 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                 / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
+                    * (CAST(n1 AS DOUBLE) + n2 - 1)) > 0
+            THEN (CAST(runs AS DOUBLE)
+                  - (2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 AS DOUBLE) + n2)
+                           * (CAST(n1 AS DOUBLE) + n2)
+                           * (CAST(n1 AS DOUBLE) + n2 - 1)))
+            ELSE NULL END AS z
+FROM g""",
+)
+def q_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test on each type's daily up/down moves —
+    the RANDOMNESS check that completes the daily-series inference
+    trio (mann_kendall asks "is there a monotone trend?",
+    runs asks "is the sequence even random?" — too FEW runs means
+    positive autocorrelation/regimes, too MANY means oscillation;
+    acf_lag quantifies the correlation this test alarms on). Zero
+    diffs drop with the identical filter both engines; runs count =
+    Σ(sign ≠ previous sign) + first, via two type-partitioned
+    span-bounded LAG windows (never a global sort); n_up/n_down/R
+    exact integers; the normal z with its exact mean/variance is one
+    mirrored IEEE tree (sqrt only); a one-sided (all-up or all-down)
+    series → NULL both. One (type,day) map-side agg is the only
+    corpus pass; one row per type."""
+    ev = load_table(spark, sf_dir, "events")
+    dly = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    mv = dly.select(
+        "event_type", "d", (F.col("x") - F.lag("x").over(w)).alias("diff")
+    ).filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+    sg = mv.select(
+        "event_type", "d", F.signum(F.col("diff")).cast("long").alias("s")
+    )
+    ch = sg.select(
+        "event_type",
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    g = ch.groupBy("event_type").agg(
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum("new_run").cast("long").alias("runs"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    n1, n2 = d("n1"), d("n2")
+    nn = n1 + n2
+    mu = 2 * n1 * n2 / nn + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / (nn * nn * (nn - 1))
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0),
+        (d("runs") - mu) / F.sqrt(var),
+    ).otherwise(F.lit(None).cast("double"))
+    return g.select(
+        "event_type",
+        F.col("n1").alias("n_up"),
+        F.col("n2").alias("n_down"),
+        F.col("runs").alias("n_runs"),
+        z.alias("z"),
+    )

@@ -972,3 +972,126 @@ def test_lang_id_kappa_consistent_with_confusion(spark, sf_dir):
     assert math.isclose(out.expected_accuracy, pe, rel_tol=1e-12)
     assert math.isclose(out.kappa, (po - pe) / (1 - pe), rel_tol=1e-9)
     assert -1.0 < out.kappa <= 1.0
+# ---- batch 9 tests ----
+
+
+def test_skyline_docs_dominance_free(spark, sf_dir):
+    """no skyline cell dominates another (frontier is an antichain:
+    sorted by n_tokens ascending, distinct_ppm strictly decreases);
+    every non-skyline cell is dominated by some skyline cell
+    (correct AND complete); counts reconcile with the cell frame."""
+    sky = QUERIES["skyline_docs"](spark, sf_dir).collect()
+    assert sky
+    pts = sorted((r.n_tokens, r.distinct_ppm) for r in sky)
+    for (t1, p1), (t2, p2) in zip(pts, pts[1:]):
+        assert t2 > t1
+        assert p2 < p1  # otherwise (t2,p2) would dominate (t1,p1)
+    docs = load_table(spark, sf_dir, "documents")
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions import text as T
+
+    cells = (
+        docs.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.size(F.filter(F.col("_toks"), lambda w: F.length(w) > 0)).alias(
+                "nt"
+            ),
+            F.size(
+                F.array_distinct(
+                    F.filter(F.col("_toks"), lambda w: F.length(w) > 0)
+                )
+            ).alias("ny"),
+        )
+        .filter(F.col("nt") > 0)
+        .select("doc_id", "nt", F.expr("(1000000 * ny) div nt").alias("ppm"))
+        .collect()
+    )
+    import collections
+
+    cg = collections.Counter((r.nt, r.ppm) for r in cells)
+    sky_set = set(pts)
+    for cell in cg:
+        dominated = any(
+            s[0] >= cell[0] and s[1] >= cell[1] and s != cell
+            for s in sky_set
+        )
+        assert dominated or cell in sky_set
+    for r in sky:
+        assert cg[(r.n_tokens, r.distinct_ppm)] == r.n_docs
+
+
+def test_mcnemar_matches_python(spark, sf_dir):
+    """the 2x2 paired table recomputed driver-side; cells partition
+    the user base; chi2 uses the clamped continuity correction."""
+    out = QUERIES["mcnemar_test"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.hour("ts") < 12),
+                    1,
+                ).otherwise(0)
+            ).alias("dp"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.hour("ts") >= 12),
+                    1,
+                ).otherwise(0)
+            ).alias("np"),
+        )
+        .collect()
+    )
+    b = sum(1 for r in pu if r.dp == 1 and r.np == 0)
+    c = sum(1 for r in pu if r.dp == 0 and r.np == 1)
+    both = sum(1 for r in pu if r.dp == 1 and r.np == 1)
+    neither = sum(1 for r in pu if r.dp == 0 and r.np == 0)
+    assert (out.b, out.c, out.n_both, out.n_neither) == (b, c, both, neither)
+    assert out.n_users == len(pu) == b + c + both + neither
+    if b + c > 0:
+        expect = max(abs(b - c) - 1, 0) ** 2 / (b + c)
+        assert math.isclose(out.chi2, expect, rel_tol=1e-12)
+    else:
+        # no discordant pairs (possible at toy SF): NULL by design
+        assert out.chi2 is None
+
+
+def test_runs_test_matches_python(spark, sf_dir):
+    """runs counted driver-side on the same daily series; runs count
+    bounded by [1, n_up + n_down]; z sign says clustering (<0) vs
+    oscillation (>0)."""
+    rows = {r.event_type: r for r in QUERIES["runs_test"](spark, sf_dir).collect()}
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    dly = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("x"))
+        .collect()
+    )
+    import collections
+
+    series = collections.defaultdict(list)
+    for r in dly:
+        series[r.event_type].append((r.d, r.x))
+    for et, r in rows.items():
+        xs = [x for _, x in sorted(series[et])]
+        signs = []
+        for a, b in zip(xs, xs[1:]):
+            if b != a:
+                signs.append(1 if b > a else -1)
+        n1 = sum(1 for s in signs if s > 0)
+        n2 = len(signs) - n1
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        assert r.n_up == n1 and r.n_down == n2
+        assert r.n_runs == runs
+        assert 1 <= runs <= len(signs)
+        if r.z is not None:
+            nn = n1 + n2
+            mu = 2 * n1 * n2 / nn + 1
+            var = (
+                2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                / (nn**2 * (nn - 1))
+            )
+            assert math.isclose(r.z, (runs - mu) / math.sqrt(var), rel_tol=1e-9)
