@@ -16552,3 +16552,384 @@ def q_runs_test(spark, sf_dir):
         F.col("runs").alias("n_runs"),
         z.alias("z"),
     )
+# ---- batch 10 additions (stump_forest, cross_corr_lagged,
+# poisson_dispersion) ----
+
+
+@register(
+    "stump_forest",
+    """WITH feat AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         u.feature, u.vb
+  FROM events, LATERAL (
+    SELECT * FROM (VALUES
+      ('value_bucket', CAST(FLOOR(value / 25) AS BIGINT)),
+      ('hour', CAST(EXTRACT(hour FROM ts) AS BIGINT)),
+      ('day_of_month', CAST(EXTRACT(day FROM ts) AS BIGINT))
+    ) AS v(feature, vb)
+  ) u
+),
+hsb AS (
+  SELECT feature, vb, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM feat GROUP BY 1, 2
+),
+tot AS (
+  SELECT feature AS ft, CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(SUM(pos) AS BIGINT) AS pt
+  FROM hsb GROUP BY 1
+),
+cum AS (
+  SELECT a.feature, a.vb, CAST(SUM(b.n) AS BIGINT) AS nl,
+         CAST(SUM(b.pos) AS BIGINT) AS pl
+  FROM hsb a JOIN hsb b ON b.feature = a.feature AND b.vb <= a.vb
+  GROUP BY 1, 2
+),
+sp AS (
+  SELECT c.feature, c.vb, c.nl, c.pl,
+         CAST(t.nt - c.nl AS BIGINT) AS nr,
+         CAST(t.pt - c.pl AS BIGINT) AS pr, t.nt
+  FROM cum c JOIN tot t ON c.feature = t.ft
+  WHERE t.nt - c.nl > 0
+),
+j AS (
+  SELECT feature, vb, nl, pl, nr, pr,
+         (CAST(nl AS DOUBLE) / nt)
+           * (1.0 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+              - (CAST(nl - pl AS DOUBLE) / nl) * (CAST(nl - pl AS DOUBLE) / nl))
+         + (CAST(nr AS DOUBLE) / nt)
+           * (1.0 - (CAST(pr AS DOUBLE) / nr) * (CAST(pr AS DOUBLE) / nr)
+              - (CAST(nr - pr AS DOUBLE) / nr) * (CAST(nr - pr AS DOUBLE) / nr))
+           AS gini_split
+  FROM sp
+),
+best AS (
+  SELECT a.feature, a.vb,
+         CAST(COALESCE(SUM(CASE WHEN b.gini_split < a.gini_split
+                  OR (b.gini_split = a.gini_split AND b.vb < a.vb)
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_better
+  FROM j a LEFT JOIN j b ON b.feature = a.feature AND b.vb != a.vb
+  GROUP BY 1, 2
+)
+SELECT j.feature, j.vb AS threshold, j.nl AS n_left, j.pl AS pos_left,
+       j.nr AS n_right, j.pr AS pos_right, j.gini_split,
+       CAST(CASE WHEN best.n_better = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_best
+FROM j JOIN best ON j.feature = best.feature AND j.vb = best.vb""",
+)
+def q_stump_forest(spark, sf_dir):
+    """multi-feature decision-stump scoring: the full Gini split
+    curve for THREE candidate features (value bucket, hour of day,
+    day of month) with each feature's argmin flagged — the actual
+    root-split SELECTION step of tree induction (best_split_gini
+    scores one feature's curve; a tree picks the best feature·
+    threshold pair, and comparing best-vs-best across features is
+    what this emits). One corpus pass: each row fans out to its
+    three (feature, bucket) cells via an explode of a 3-literal
+    struct array (map-side; the grids are value-bounded: ≤25 + 24 +
+    31 cells), then one (feature,bucket) agg; left/right class
+    counts via the per-feature ≤-cumsum broadcast self-join; the
+    impurity is the identical literal IEEE tree as best_split_gini.
+    The per-feature argmin flag compares gini DOUBLES directly —
+    safe because both engines compute bitwise-identical trees (the
+    hashed surface) — with a threshold tie-break; empty-right rows
+    excluded identically. Output ≤~80 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("value_bucket").alias("feature"),
+                    F.floor(F.col("value") / 25).cast("long").alias("vb"),
+                ),
+                F.struct(
+                    F.lit("hour").alias("feature"),
+                    F.hour("ts").cast("long").alias("vb"),
+                ),
+                F.struct(
+                    F.lit("day_of_month").alias("feature"),
+                    F.dayofmonth("ts").cast("long").alias("vb"),
+                ),
+            )
+        ).alias("f"),
+    ).select(
+        "y", F.col("f.feature").alias("feature"), F.col("f.vb").alias("vb")
+    )
+    hsb = feat.groupBy("feature", "vb").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = hsb.groupBy(F.col("feature").alias("ft")).agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("pos").cast("long").alias("pt"),
+    )
+    b = hsb.select(
+        F.col("feature").alias("fb"),
+        F.col("vb").alias("vb2"),
+        F.col("n").alias("n2"),
+        F.col("pos").alias("p2"),
+    )
+    cum = (
+        hsb.join(
+            F.broadcast(b),
+            (F.col("fb") == F.col("feature")) & (F.col("vb2") <= F.col("vb")),
+        )
+        .groupBy("feature", "vb")
+        .agg(
+            F.sum("n2").cast("long").alias("nl"),
+            F.sum("p2").cast("long").alias("pl"),
+        )
+    )
+    sp = (
+        cum.join(F.broadcast(tot), F.col("ft") == F.col("feature"))
+        .select(
+            "feature",
+            "vb",
+            "nl",
+            "pl",
+            (F.col("nt") - F.col("nl")).cast("long").alias("nr"),
+            (F.col("pt") - F.col("pl")).cast("long").alias("pr"),
+            "nt",
+        )
+        .filter(F.col("nr") > 0)
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    gini = (d("nl") / F.col("nt")) * (
+        F.lit(1.0)
+        - (d("pl") / F.col("nl")) * (d("pl") / F.col("nl"))
+        - ((F.col("nl") - F.col("pl")).cast("double") / F.col("nl"))
+        * ((F.col("nl") - F.col("pl")).cast("double") / F.col("nl"))
+    ) + (d("nr") / F.col("nt")) * (
+        F.lit(1.0)
+        - (d("pr") / F.col("nr")) * (d("pr") / F.col("nr"))
+        - ((F.col("nr") - F.col("pr")).cast("double") / F.col("nr"))
+        * ((F.col("nr") - F.col("pr")).cast("double") / F.col("nr"))
+    )
+    j = sp.select(
+        "feature", "vb", "nl", "pl", "nr", "pr", gini.alias("gini_split")
+    )
+    ja = j.select(
+        F.col("feature").alias("fa"),
+        F.col("vb").alias("va"),
+        F.col("gini_split").alias("ga"),
+    )
+    jb = j.select(
+        F.col("feature").alias("fb2"),
+        F.col("vb").alias("vb3"),
+        F.col("gini_split").alias("gb"),
+    )
+    better = (
+        ja.join(
+            F.broadcast(jb),
+            (F.col("fb2") == F.col("fa"))
+            & (
+                (F.col("gb") < F.col("ga"))
+                | (
+                    (F.col("gb") == F.col("ga"))
+                    & (F.col("vb3") < F.col("va"))
+                )
+            ),
+            "left",
+        )
+        .groupBy("fa", "va")
+        .agg(F.count("fb2").cast("long").alias("n_better"))
+    )
+    return (
+        j.join(better, (j.feature == better.fa) & (j.vb == better.va))
+        .select(
+            "feature",
+            F.col("vb").alias("threshold"),
+            F.col("nl").alias("n_left"),
+            F.col("pl").alias("pos_left"),
+            F.col("nr").alias("n_right"),
+            F.col("pr").alias("pos_right"),
+            "gini_split",
+            F.when(F.col("n_better") == 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_best"),
+        )
+    )
+
+
+@register(
+    "cross_corr_lagged",
+    """WITH dx AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+dy AS (
+  SELECT CAST(ts AS DATE) AS d2,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+lags AS (SELECT CAST(range AS INT) AS lag FROM range(-5, 6)),
+j AS (
+  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx.x) AS BIGINT) AS sx, CAST(SUM(dy.y) AS BIGINT) AS sy,
+         CAST(SUM(dx.x * dx.x) AS BIGINT) AS sxx,
+         CAST(SUM(dy.y * dy.y) AS BIGINT) AS syy,
+         CAST(SUM(dx.x * dy.y) AS BIGINT) AS sxy
+  FROM dx CROSS JOIN lags l
+  JOIN dy ON dy.d2 = dx.d + l.lag
+  GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag_days, n AS n_days,
+       CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 > 0
+            THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy))
+            END AS ccf
+FROM j""",
+)
+def q_cross_corr_lagged(spark, sf_dir):
+    """lagged cross-correlation between the daily 'view' and
+    'purchase' revenue series at lags −5..+5 days — the LEAD/LAG
+    discovery question acf_lag cannot answer (acf correlates a
+    series with ITSELF; CCF asks whether views today predict
+    purchases k days later, the input to any demand-forecast
+    feature and the sanity check behind attribution windows; a peak
+    at k>0 says views lead). Pearson r at each lag over the
+    overlapping day pairs: the lag alignment is a broadcast join of
+    the two span-bounded daily frames against the 11-row lag spine
+    (d2 = d + lag, pure DATE+int — identical in both engines);
+    counts and all five cross-moments exact BIGINTs; r one mirrored
+    IEEE tree per lag (sqrt only); a degenerate constant side →
+    NULL both. One conditional corpus agg per series is the only
+    corpus-sized work; 11-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    dx = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    dy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d2"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    lags = spark.range(-5, 6).select(F.col("id").cast("int").alias("lag"))
+    j = (
+        dx.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(dy), F.expr("d2 = date_add(d, lag)"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return j.select(
+        F.col("lag").cast("long").alias("lag_days"),
+        F.col("n").alias("n_days"),
+        F.when(den > 0, num / den).alias("ccf"),
+    )
+
+
+@register(
+    "poisson_dispersion",
+    """WITH span AS (
+  SELECT CAST(FLOOR(epoch(MAX(ts)) / 60) - FLOOR(epoch(MIN(ts)) / 60)
+              + 1 AS BIGINT) AS m_minutes
+  FROM events
+),
+pm AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 60) AS BIGINT) AS minute,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m_active,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(SUM(c * c) AS BIGINT) AS ssq
+  FROM pm GROUP BY 1
+)
+SELECT g.event_type, span.m_minutes, g.m_active, g.n_events,
+       CAST(g.n_events AS DOUBLE) / span.m_minutes AS mean_per_min,
+       ((CAST(g.ssq AS DOUBLE)
+         - CAST(g.n_events AS DOUBLE) * g.n_events / span.m_minutes)
+        / (CAST(span.m_minutes AS DOUBLE) - 1))
+       / (CAST(g.n_events AS DOUBLE) / span.m_minutes) AS vmr,
+       (CAST(span.m_minutes AS DOUBLE) - 1)
+       * (((CAST(g.ssq AS DOUBLE)
+            - CAST(g.n_events AS DOUBLE) * g.n_events / span.m_minutes)
+           / (CAST(span.m_minutes AS DOUBLE) - 1))
+          / (CAST(g.n_events AS DOUBLE) / span.m_minutes))
+         AS dispersion_chi2
+FROM g CROSS JOIN span""",
+)
+def q_poisson_dispersion(spark, sf_dir):
+    """Poisson overdispersion index of each type's per-minute arrival
+    counts over the FULL minute span (empty minutes included via the
+    Σc²−n²/M identity — never materialized): VMR ≈ 1 is what a
+    memoryless arrival process produces, VMR ≫ 1 means bursty/
+    clumped arrivals — the distributional CHECK underneath
+    burst_detection's pointwise alarms (it tells you whether bursts
+    are the regime or the exception) and word_burstiness' arrival-
+    process sibling; the (M−1)·VMR dispersion χ² is the classic
+    index-of-dispersion test statistic. Minute buckets via
+    floor(epoch/60) with the span computed in the SAME bucket space
+    (Spark unix_timestamp ≡ DuckDB epoch for the bucket index —
+    sub-second fractions cannot cross a minute boundary the integer
+    second hasn't). Exactness: per-minute counts/squares exact
+    BIGINTs off one map-side (type,minute) agg — the only corpus
+    pass; mean/VMR/χ² one mirrored IEEE tree each. One row per
+    type."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            F.floor(F.unix_timestamp(F.max("ts")) / 60)
+            - F.floor(F.unix_timestamp(F.min("ts")) / 60)
+            + 1
+        )
+        .cast("long")
+        .alias("m_minutes")
+    )
+    pm = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 60)).cast("long").alias("minute"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    g = pm.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m_active"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    j = g.join(F.broadcast(span))
+    mean = d("n_events") / F.col("m_minutes")
+    var = (
+        d("ssq") - d("n_events") * F.col("n_events") / F.col("m_minutes")
+    ) / (d("m_minutes") - 1)
+    vmr = var / mean
+    return j.select(
+        "event_type",
+        "m_minutes",
+        "m_active",
+        "n_events",
+        mean.alias("mean_per_min"),
+        vmr.alias("vmr"),
+        ((d("m_minutes") - 1) * vmr).alias("dispersion_chi2"),
+    )

@@ -1095,3 +1095,88 @@ def test_runs_test_matches_python(spark, sf_dir):
                 / (nn**2 * (nn - 1))
             )
             assert math.isclose(r.z, (runs - mu) / math.sqrt(var), rel_tol=1e-9)
+# ---- batch 10 tests ----
+
+
+def test_stump_forest_consistent_with_best_split(spark, sf_dir):
+    """the value_bucket feature restricted to best_split_gini's grid
+    must reproduce that query's curve exactly (different bucket
+    width notwithstanding — both use floor(value/25)); exactly one
+    argmin per feature; split counts reconcile per feature."""
+    rows = QUERIES["stump_forest"](spark, sf_dir).collect()
+    feats = {}
+    for r in rows:
+        feats.setdefault(r.feature, []).append(r)
+    assert set(feats) == {"value_bucket", "hour", "day_of_month"}
+    for f, rs in feats.items():
+        assert sum(1 for r in rs if r.is_best == 1) == 1
+        best = next(r for r in rs if r.is_best == 1)
+        assert best.gini_split == min(r.gini_split for r in rs)
+        n_tot = {r.n_left + r.n_right for r in rs}
+        assert len(n_tot) == 1
+        for r in rs:
+            assert 0 <= r.pos_left <= r.n_left
+            assert 0 <= r.pos_right <= r.n_right
+            assert 0.0 <= r.gini_split <= 0.5 + 1e-12
+    bsg = {
+        r.threshold: r.gini_split
+        for r in QUERIES["best_split_gini"](spark, sf_dir).collect()
+    }
+    vb = {r.threshold: r.gini_split for r in feats["value_bucket"]}
+    assert vb == bsg
+
+
+def test_cross_corr_lagged_invariants(spark, sf_dir):
+    """ccf values in [-1, 1]; lag 0 present; the lag spine is
+    complete; overlap counts shrink (weakly) as |lag| grows."""
+    rows = {r.lag_days: r for r in QUERIES["cross_corr_lagged"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(-5, 6))
+    for r in rows.values():
+        if r.ccf is not None:
+            assert -1.0 - 1e-12 <= r.ccf <= 1.0 + 1e-12
+        assert r.n_days > 0
+    for lag in range(0, 5):
+        assert rows[lag + 1].n_days <= rows[lag].n_days
+        assert rows[-lag - 1].n_days <= rows[-lag].n_days
+
+
+def test_poisson_dispersion_matches_python(spark, sf_dir):
+    """VMR recomputed from raw minute counts with zeros padded to the
+    full span; active minutes bounded by the span; the chi2 is
+    (M-1)*VMR."""
+    rows = {r.event_type: r for r in QUERIES["poisson_dispersion"](spark, sf_dir).collect()}
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    pm = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 60).alias("minute"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    span = ev.agg(
+        (
+            F.floor(F.unix_timestamp(F.max("ts")) / 60)
+            - F.floor(F.unix_timestamp(F.min("ts")) / 60)
+            + 1
+        ).alias("m")
+    ).collect()[0].m
+    import collections
+
+    per_type = collections.defaultdict(list)
+    for r in pm:
+        per_type[r.event_type].append(r.c)
+    for et, r in rows.items():
+        cs = per_type[et]
+        assert r.m_minutes == span
+        assert r.m_active == len(cs) <= span
+        assert r.n_events == sum(cs)
+        full = cs + [0] * (span - len(cs))
+        mean = sum(full) / span
+        var = sum((c - mean) ** 2 for c in full) / (span - 1)
+        assert math.isclose(r.mean_per_min, mean, rel_tol=1e-12)
+        assert math.isclose(r.vmr, var / mean, rel_tol=1e-9)
+        assert math.isclose(
+            r.dispersion_chi2, (span - 1) * r.vmr, rel_tol=1e-12
+        )
