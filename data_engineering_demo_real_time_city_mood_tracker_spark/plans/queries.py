@@ -16933,3 +16933,407 @@ def q_poisson_dispersion(spark, sf_dir):
         vmr.alias("vmr"),
         ((d("m_minutes") - 1) * vmr).alias("dispersion_chi2"),
     )
+# ---- batch 11 additions (holm_stepdown, xbar_chart, cochran_q) ----
+
+@register(
+    "holm_stepdown",
+    """WITH q AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS h,
+         CAST(round(value * 100, 0) AS BIGINT) AS cv
+  FROM events
+),
+hs AS (
+  SELECT event_type, h, CAST(SUM(cv) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, shift,
+         CAST(SUM(CASE WHEN (h - shift + 24) % 24 < 12 THEN s ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN (h - shift + 24) % 24 < 12 THEN n ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN (h - shift + 24) % 24 >= 12 THEN s ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN (h - shift + 24) % 24 >= 12 THEN n ELSE 0 END) AS BIGINT) AS n2
+  FROM hs CROSS JOIN (SELECT CAST(range AS BIGINT) AS shift FROM range(24)) sh
+  GROUP BY 1, 2
+),
+gs AS (
+  SELECT event_type, shift,
+         CASE WHEN n1 > 0 AND n2 > 0
+              THEN ABS(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+              ELSE NULL END AS stat
+  FROM g
+),
+obs AS (SELECT event_type, stat FROM gs WHERE shift = 0),
+np AS (SELECT stat AS nstat FROM gs WHERE shift > 0 AND stat IS NOT NULL),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM np),
+cnt AS (
+  SELECT o.event_type, o.stat,
+         CAST(COALESCE(SUM(CASE WHEN np.nstat >= o.stat THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_null_ge
+  FROM obs o LEFT JOIN np ON np.nstat >= o.stat
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT a.event_type, a.stat, a.n_null_ge,
+         CAST(1 + COALESCE(SUM(CASE WHEN b.n_null_ge < a.n_null_ge
+                  OR (b.n_null_ge = a.n_null_ge AND b.event_type < a.event_type)
+              THEN 1 ELSE 0 END), 0) AS BIGINT) AS holm_rank
+  FROM cnt a LEFT JOIN cnt b ON b.event_type != a.event_type
+  GROUP BY 1, 2, 3
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM rk),
+sc AS (
+  SELECT event_type, stat, n_null_ge, holm_rank,
+         CAST(1 + n_null_ge AS DOUBLE) / (1 + (SELECT nn FROM nn)) AS p_emp,
+         CASE WHEN (1 + n_null_ge)
+                   * ((SELECT m FROM m) - holm_rank + 1) * 20
+                   <= (1 + (SELECT nn FROM nn))
+              THEN 0 ELSE 1 END AS fails
+  FROM rk
+),
+ks AS (
+  SELECT CAST(COALESCE(MIN(CASE WHEN fails = 1 THEN holm_rank END) - 1,
+                       (SELECT m FROM m)) AS BIGINT) AS kstar
+  FROM sc
+)
+SELECT event_type, stat, p_emp, holm_rank,
+       CAST(CASE WHEN holm_rank <= (SELECT kstar FROM ks) THEN 1 ELSE 0 END
+            AS BIGINT) AS reject
+FROM sc""",
+)
+def q_holm_stepdown(spark, sf_dir):
+    """Holm step-DOWN FWER control over the same day-vs-night
+    permutation test family as bh_fdr — the conservative sibling: BH
+    bounds the FALSE-DISCOVERY RATE (fine for screening), Holm bounds
+    the FAMILY-WISE error (what you need before acting on any single
+    claim), and running both on one family is standard practice. The
+    p-values are the identical circular-shift permutation estimator
+    (the erf-free route); the step-down decision is PURE INTEGER:
+    p_(j) ≤ α/(m−j+1) ⟺ (1+c_(j))·(m−j+1)·20 ≤ (1+n_null) at
+    α=0.05, and the rejection set is the maximal PREFIX of passing
+    ranks (k* = first failing rank − 1; all-pass → m), so no float
+    touches any decision. Ranks via the count-below self-join on the
+    ≤types frame (no window sort); one conditional agg to the
+    types×24 frame is the only corpus pass. Holm never rejects more
+    than BH on the same family — test-asserted against bh_fdr."""
+    ev = load_table(spark, sf_dir, "events")
+    hs = (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cv"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.sum("cv").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    shifts = spark.range(24).select(F.col("id").cast("long").alias("shift"))
+    st = hs.join(F.broadcast(shifts)).withColumn(
+        "is_day", ((F.col("h") - F.col("shift") + 24) % 24 < 12).cast("int")
+    )
+    g = st.groupBy("event_type", "shift").agg(
+        F.sum(F.when(F.col("is_day") == 1, F.col("s")).otherwise(0))
+        .cast("long").alias("s1"),
+        F.sum(F.when(F.col("is_day") == 1, F.col("n")).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("is_day") == 0, F.col("s")).otherwise(0))
+        .cast("long").alias("s2"),
+        F.sum(F.when(F.col("is_day") == 0, F.col("n")).otherwise(0))
+        .cast("long").alias("n2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    g = g.withColumn(
+        "stat",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.abs(d("s1") / F.col("n1") - d("s2") / F.col("n2")),
+        ).otherwise(F.lit(None).cast("double")),
+    )
+    obs = g.filter(F.col("shift") == 0).select("event_type", "stat")
+    nullp = g.filter((F.col("shift") > 0) & F.col("stat").isNotNull()).select(
+        F.col("stat").alias("nstat")
+    )
+    nn = nullp.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    cnt = (
+        obs.join(F.broadcast(nullp), F.col("nstat") >= F.col("stat"), "left")
+        .groupBy("event_type", "stat")
+        .agg(F.count(F.col("nstat")).cast("long").alias("n_null_ge"))
+    )
+    o2 = cnt.select(
+        F.col("n_null_ge").alias("c2"), F.col("event_type").alias("et2")
+    )
+    rk = (
+        cnt.join(
+            F.broadcast(o2),
+            (F.col("c2") < F.col("n_null_ge"))
+            | (
+                (F.col("c2") == F.col("n_null_ge"))
+                & (F.col("et2") < F.col("event_type"))
+            ),
+            "left",
+        )
+        .groupBy("event_type", "stat", "n_null_ge")
+        .agg((1 + F.count("et2")).cast("long").alias("holm_rank"))
+    )
+    m = rk.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    sc = rk.join(F.broadcast(m)).join(F.broadcast(nn)).select(
+        "event_type",
+        "stat",
+        "n_null_ge",
+        "holm_rank",
+        "m",
+        "nn",
+        ((1 + F.col("n_null_ge")).cast("double") / (1 + F.col("nn"))).alias(
+            "p_emp"
+        ),
+        # Holm at alpha=0.05: p_(j) <= 0.05/(m-j+1)  <=>
+        # (1+c_j)*(m-j+1)*20 <= (1+nn)
+        F.when(
+            (1 + F.col("n_null_ge"))
+            * (F.col("m") - F.col("holm_rank") + 1)
+            * 20
+            <= (1 + F.col("nn")),
+            0,
+        )
+        .otherwise(1)
+        .alias("fails"),
+    )
+    ks = sc.agg(
+        F.coalesce(
+            F.min(F.when(F.col("fails") == 1, F.col("holm_rank"))) - 1,
+            F.max("m"),
+        )
+        .cast("long")
+        .alias("kstar")
+    )
+    return (
+        sc.join(F.broadcast(ks))
+        .select(
+            "event_type",
+            "stat",
+            "p_emp",
+            "holm_rank",
+            F.when(F.col("holm_rank") <= F.col("kstar"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("reject"),
+        )
+    )
+
+
+@register(
+    "xbar_chart",
+    """WITH dstat AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sd,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)
+                  * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS qd
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type AS et, CAST(SUM(nd) AS BIGINT) AS n,
+         CAST(SUM(sd) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS ndays,
+         list_reduce(
+           list(0.0 + (CAST(qd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / nd)
+                ORDER BY d),
+           (x, y) -> x + y) AS ssw
+  FROM dstat GROUP BY 1
+)
+SELECT ds.event_type, ds.d, ds.nd AS n_day,
+       CAST(ds.sd AS DOUBLE) / ds.nd AS day_mean,
+       CAST(t.s AS DOUBLE) / t.n AS grand_mean,
+       CAST(t.s AS DOUBLE) / t.n
+         + 3 * sqrt((t.ssw / CAST(t.n - t.ndays AS DOUBLE)) / ds.nd) AS ucl,
+       CAST(t.s AS DOUBLE) / t.n
+         - 3 * sqrt((t.ssw / CAST(t.n - t.ndays AS DOUBLE)) / ds.nd) AS lcl,
+       CAST(CASE WHEN CAST(ds.sd AS DOUBLE) / ds.nd >
+                      CAST(t.s AS DOUBLE) / t.n
+                      + 3 * sqrt((t.ssw / CAST(t.n - t.ndays AS DOUBLE))
+                                 / ds.nd)
+                  OR CAST(ds.sd AS DOUBLE) / ds.nd <
+                      CAST(t.s AS DOUBLE) / t.n
+                      - 3 * sqrt((t.ssw / CAST(t.n - t.ndays AS DOUBLE))
+                                 / ds.nd)
+                 THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+FROM dstat ds JOIN tot t ON ds.event_type = t.et""",
+)
+def q_xbar_chart(spark, sf_dir):
+    """Shewhart X̄ control chart of the daily mean value per type:
+    each day's mean against ±3σ limits derived from the POOLED
+    within-day variance, with varying subgroup sizes handled the
+    exact-σ way (limits = μ ± 3·√(s²_pooled/n_d) per day — the
+    A2-constant shortcut assumes fixed n and is dropped) — the
+    Shewhart member that completes the SPC family (cusum_alerts:
+    small persistent shifts; ewma_minutes: weighted recent; 
+    page_hinkley: drift; X̄: gross per-subgroup excursions). 
+    Exactness: per-day counts/sums/squares exact BIGINTs off ONE
+    (type,day) agg — the only corpus pass; the pooled within-day SS
+    is the single cross-day float sum and rides an ORDERED
+    0.0-seeded fold over the day-sorted ≤31-element array; μ, the
+    limits, and the flag are one mirrored IEEE tree each (the flag
+    compares bitwise-identical doubles). Output one row per
+    (type, day)."""
+    ev = load_table(spark, sf_dir, "events")
+    dstat = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("sd"),
+        F.sum(
+            F.round(F.col("value") * 100, 0).cast("long")
+            * F.round(F.col("value") * 100, 0).cast("long")
+        )
+        .cast("long")
+        .alias("qd"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    tot = dstat.groupBy(F.col("event_type").alias("et")).agg(
+        F.sum("nd").cast("long").alias("n"),
+        F.sum("sd").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("ndays"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "d",
+                        (d("qd") - d("sd") * F.col("sd") / F.col("nd")).alias(
+                            "v"
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("ssw"),
+    )
+    j = dstat.join(F.broadcast(tot), F.col("et") == F.col("event_type"))
+    mu = d("s") / F.col("n")
+    s2 = F.col("ssw") / (F.col("n") - F.col("ndays")).cast("double")
+    se = F.sqrt(s2 / F.col("nd"))
+    mean_d = d("sd") / F.col("nd")
+    ucl = mu + 3 * se
+    lcl = mu - 3 * se
+    return j.select(
+        "event_type",
+        "d",
+        F.col("nd").alias("n_day"),
+        mean_d.alias("day_mean"),
+        mu.alias("grand_mean"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        F.when((mean_d > ucl) | (mean_d < lcl), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("out_of_control"),
+    )
+
+
+@register(
+    "cochran_q",
+    """WITH pu AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase'
+                        AND FLOOR(EXTRACT(hour FROM ts) / 6) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x0,
+         CAST(MAX(CASE WHEN event_type = 'purchase'
+                        AND FLOOR(EXTRACT(hour FROM ts) / 6) = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+         CAST(MAX(CASE WHEN event_type = 'purchase'
+                        AND FLOOR(EXTRACT(hour FROM ts) / 6) = 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+         CAST(MAX(CASE WHEN event_type = 'purchase'
+                        AND FLOOR(EXTRACT(hour FROM ts) / 6) = 3
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x3
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x0) AS BIGINT) AS t0, CAST(SUM(x1) AS BIGINT) AS t1,
+         CAST(SUM(x2) AS BIGINT) AS t2, CAST(SUM(x3) AS BIGINT) AS t3,
+         CAST(SUM(x0 + x1 + x2 + x3) AS BIGINT) AS su,
+         CAST(SUM((x0 + x1 + x2 + x3) * (x0 + x1 + x2 + x3)) AS BIGINT)
+           AS su2
+  FROM pu
+)
+SELECT n_users, t0 AS t_block0, t1 AS t_block1, t2 AS t_block2,
+       t3 AS t_block3, su AS s_total,
+       CASE WHEN 4 * su - su2 > 0
+            THEN 4.0 * (4.0 - 1)
+                 * ((CAST(t0 AS DOUBLE) - CAST(su AS DOUBLE) / 4.0)
+                    * (CAST(t0 AS DOUBLE) - CAST(su AS DOUBLE) / 4.0)
+                    + (CAST(t1 AS DOUBLE) - CAST(su AS DOUBLE) / 4.0)
+                    * (CAST(t1 AS DOUBLE) - CAST(su AS DOUBLE) / 4.0)
+                    + (CAST(t2 AS DOUBLE) - CAST(su AS DOUBLE) / 4.0)
+                    * (CAST(t2 AS DOUBLE) - CAST(su AS DOUBLE) / 4.0)
+                    + (CAST(t3 AS DOUBLE) - CAST(su AS DOUBLE) / 4.0)
+                    * (CAST(t3 AS DOUBLE) - CAST(su AS DOUBLE) / 4.0))
+                 / CAST(4 * su - su2 AS DOUBLE)
+            ELSE NULL END AS q_stat
+FROM s""",
+)
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q test: does a user's purchase propensity differ
+    across the FOUR six-hour day blocks? — the k-treatment
+    generalization of mcnemar_test (k=2 blocks reduces to McNemar
+    exactly), on the same within-subject design: each user is one
+    row of k binary outcomes, so between-user heterogeneity cancels
+    by construction. Q = k(k−1)·Σ_j(T_j−S/k)² / (k·S−Σu²) with
+    block totals T_j, S = Σu_i, and Σu_i² ALL exact BIGINTs off ONE
+    user-keyed agg (the only corpus pass) + a 7-sum rollup; the
+    k=4 squared-deviation sum is a fixed literal left-assoc tree
+    (no fold needed at literal k) and Q is one mirrored IEEE
+    division; an all-concordant family (denominator 0) → NULL both
+    engines. Single-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.floor(F.hour("ts") / 6) == j),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"x{j}")
+            for j in range(4)
+        ]
+    )
+    u = pu.select(
+        *[F.col(f"x{j}") for j in range(4)],
+        (F.col("x0") + F.col("x1") + F.col("x2") + F.col("x3")).alias("ui"),
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        *[F.sum(f"x{j}").cast("long").alias(f"t{j}") for j in range(4)],
+        F.sum("ui").cast("long").alias("su"),
+        F.sum(F.col("ui") * F.col("ui")).cast("long").alias("su2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    k = F.lit(4.0)
+    tbar = d("su") / k
+    num_terms = None
+    for j in range(4):
+        t = (d(f"t{j}") - tbar) * (d(f"t{j}") - tbar)
+        num_terms = t if num_terms is None else num_terms + t
+    denom = (4 * F.col("su") - F.col("su2")).cast("double")
+    q = F.when(
+        denom > 0, k * (k - 1) * num_terms / denom
+    ).otherwise(F.lit(None).cast("double"))
+    return s.select(
+        "n_users",
+        F.col("t0").alias("t_block0"),
+        F.col("t1").alias("t_block1"),
+        F.col("t2").alias("t_block2"),
+        F.col("t3").alias("t_block3"),
+        F.col("su").alias("s_total"),
+        q.alias("q_stat"),
+    )
+
+

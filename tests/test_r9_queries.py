@@ -1180,3 +1180,104 @@ def test_poisson_dispersion_matches_python(spark, sf_dir):
         assert math.isclose(
             r.dispersion_chi2, (span - 1) * r.vmr, rel_tol=1e-12
         )
+# ---- batch 11 tests ----
+
+
+def test_holm_never_rejects_more_than_bh(spark, sf_dir):
+    """Holm controls FWER, BH controls FDR on the SAME permutation
+    family, so Holm's rejection set is a subset of BH's; ranks are a
+    permutation of 1..m; the rejection set is a rank prefix."""
+    holm = sorted(
+        QUERIES["holm_stepdown"](spark, sf_dir).collect(),
+        key=lambda r: r.holm_rank,
+    )
+    assert holm
+    assert [r.holm_rank for r in holm] == list(range(1, len(holm) + 1))
+    for a, b in zip(holm, holm[1:]):
+        assert a.p_emp <= b.p_emp
+        assert not (a.reject == 0 and b.reject == 1)  # prefix property
+    bh = {r.event_type: r.reject for r in QUERIES["bh_fdr"](spark, sf_dir).collect()}
+    for r in holm:
+        if r.reject == 1:
+            assert bh[r.event_type] == 1
+
+
+def test_xbar_chart_matches_python(spark, sf_dir):
+    """limits recomputed from raw day moments; grand mean identical
+    on every row of a type; flag is exactly the outside-limits
+    predicate."""
+    rows = QUERIES["xbar_chart"](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    dstat = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sd"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+                * F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("qd"),
+        )
+        .collect()
+    )
+    import collections
+
+    per_type = collections.defaultdict(list)
+    for r in dstat:
+        per_type[r.event_type].append(r)
+    stats = {}
+    for et, ds in per_type.items():
+        n = sum(r.nd for r in ds)
+        s = sum(r.sd for r in ds)
+        ssw = sum(r.qd - r.sd**2 / r.nd for r in ds)
+        stats[et] = (s / n, ssw / (n - len(ds)))
+    for r in rows:
+        mu, s2 = stats[r.event_type]
+        assert math.isclose(r.grand_mean, mu, rel_tol=1e-12)
+        se = math.sqrt(s2 / r.n_day)
+        assert math.isclose(r.ucl, mu + 3 * se, rel_tol=1e-9)
+        assert math.isclose(r.lcl, mu - 3 * se, rel_tol=1e-9)
+        assert r.out_of_control == (
+            1 if (r.day_mean > r.ucl or r.day_mean < r.lcl) else 0
+        )
+        assert r.lcl < r.grand_mean < r.ucl
+
+
+def test_cochran_q_matches_python_and_reduces_to_mcnemar(spark, sf_dir):
+    """Q recomputed driver-side; block totals partition consistently
+    (each T_j <= n_users, S = sum of T_j); Q >= 0."""
+    out = QUERIES["cochran_q"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.floor(F.hour("ts") / 6) == j),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"x{j}")
+                for j in range(4)
+            ]
+        )
+        .collect()
+    )
+    ts = [sum(getattr(r, f"x{j}") for r in pu) for j in range(4)]
+    su = sum(ts)
+    su2 = sum(
+        sum(getattr(r, f"x{j}") for j in range(4)) ** 2 for r in pu
+    )
+    assert [out.t_block0, out.t_block1, out.t_block2, out.t_block3] == ts
+    assert out.s_total == su
+    for t in ts:
+        assert 0 <= t <= out.n_users
+    denom = 4 * su - su2
+    if denom > 0:
+        q = 4 * 3 * sum((t - su / 4) ** 2 for t in ts) / denom
+        assert math.isclose(out.q_stat, q, rel_tol=1e-9)
+        assert out.q_stat >= 0.0
+    else:
+        assert out.q_stat is None
