@@ -23,8 +23,12 @@ from data_engineering_demo_real_time_city_mood_tracker_spark.functions import te
 
 
 def word_frequencies(docs: DataFrame, text_col: str) -> DataFrame:
-    """(word, weight) — the one corpus-wide shuffle (map-side combined)."""
-    toked = docs.select(T.tokens(F.col(text_col)).alias("_toks"))
+    """(word, weight) — the one corpus-wide shuffle (map-side combined).
+    ``_spread`` first: a single-split scan would pin the tokenize +
+    explode map stage to one core (dedup._spread's guard)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
+
+    toked = _spread(docs).select(T.tokens(F.col(text_col)).alias("_toks"))
     return (
         toked.select(F.explode("_toks").alias("word"))
         .filter(F.length("word") > 0)
@@ -76,7 +80,19 @@ def train_bpe(docs: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns (rank, left, right,
     pair_count) with rank 1 = first merge learned. Deterministic:
     ties on count break on (left, right) lexicographic order."""
-    spark = docs.sparkSession
+    return docs.sparkSession.createDataFrame(
+        train_bpe_merge_list(docs, text_col, n_merges),
+        "rank bigint, left string, right string, pair_count bigint",
+    )
+
+
+def train_bpe_merge_list(
+    docs: DataFrame, text_col: str, n_merges: int = 8
+) -> list[tuple[int, str, str, int]]:
+    """:func:`train_bpe`'s merge table as the driver-side list the
+    trainer already holds — the apply-side callers (encode, fertility)
+    need plan literals, so round-tripping the 8-row list through
+    createDataFrame → orderBy → collect was two pure-overhead jobs."""
     words = word_frequencies(docs, text_col).withColumn(
         "syms", F.split("word", "")
     )
@@ -109,9 +125,7 @@ def train_bpe(docs: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
         for df in (live, prev, words):
             if df is not None:
                 df.unpersist()
-    return spark.createDataFrame(
-        merges, "rank bigint, left string, right string, pair_count bigint"
-    )
+    return merges
 
 
 def encode_bpe(
@@ -143,7 +157,9 @@ def encode_bpe(
             syms = _merge_pair(syms, left, right)
         return syms
 
-    toked = docs.select(
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
+
+    toked = _spread(docs).select(
         F.col(id_col).alias("id"),
         F.filter(T.tokens(F.col(text_col)), lambda w: F.length(w) > 0).alias("_toks"),
     )
@@ -200,7 +216,9 @@ def subword_counts(
             syms = _merge_pair(syms, left, right)
         return syms
 
-    inst = docs.select(
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
+
+    inst = _spread(docs).select(
         F.col(group_col).alias("grp"),
         F.explode(
             F.filter(T.tokens(F.col(text_col)), lambda w: F.length(w) > 0)

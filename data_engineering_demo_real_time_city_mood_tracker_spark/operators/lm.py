@@ -393,8 +393,13 @@ def train_quality_probe(docs: DataFrame, is_positive, text_col: str = "text",
         .repartition("id")
         .persist()
     )
-    n = ydf.count()
-    npos = ydf.agg(F.sum("y")).collect()[0][0] or 0
+    # one job for both corpus scalars (count + label sum) — they were
+    # two serial actions over the same cached frame
+    _nrow = ydf.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos")
+    ).collect()[0]
+    n = _nrow["n"]
+    npos = _nrow["npos"] or 0
     cnt = {
         r.b: r.c
         for r in feats.filter("b >= 0").groupBy("b").agg(

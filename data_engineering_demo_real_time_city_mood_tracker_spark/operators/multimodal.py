@@ -163,7 +163,15 @@ def _make_bmp(group: int, variant: int) -> bytes:
 def synthesize_bmp_media(
     df: DataFrame, id_col: str, group_col: str, variant_col: str
 ) -> DataFrame:
-    """(media_id, kind, payload) with REAL BMP bytes, Arrow-batched."""
+    """(media_id, kind, payload) with REAL BMP bytes, Arrow-batched.
+
+    Input is ``_spread`` first: the per-row Python synthesis (and the
+    decode stage that always follows it) is the expensive part, and a
+    single-split scan would otherwise pin it to one core — the same
+    guard the shingle pipelines use."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
+
+    df = _spread(df)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -227,7 +235,15 @@ def image_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
                 }
             )
 
-    hashed = media.mapInPandas(hash_batches, schema="media_id long, dhash long")
+    # materialize the (media_id, dhash) frame BEFORE the band self-join:
+    # both join sides otherwise re-run the whole upstream Python chain
+    # (payload synthesis + byte decode) — the decode is the dominant
+    # cost of the query and must run once. Reclaimable checkpoint, not
+    # persist: blocks back the returned lazy frame and are
+    # ContextCleaner-reclaimed when the caller drops it.
+    hashed = media.mapInPandas(
+        hash_batches, schema="media_id long, dhash long"
+    ).localCheckpoint(eager=False)
     bands = F.array(
         *[
             F.struct(
@@ -316,7 +332,11 @@ def _make_wav(group: int, variant: int) -> bytes:
 def synthesize_wav_media(
     df: DataFrame, id_col: str, group_col: str, variant_col: str
 ) -> DataFrame:
-    """(media_id, kind, payload) with REAL WAV bytes, Arrow-batched."""
+    """(media_id, kind, payload) with REAL WAV bytes, Arrow-batched.
+    ``_spread`` first — see :func:`synthesize_bmp_media`."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.dedup import _spread
+
+    df = _spread(df)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -372,7 +392,12 @@ def audio_near_dup_pairs(media: DataFrame, max_diff_windows: int = 1) -> DataFra
                 }
             )
 
-    fped = media.mapInPandas(fp_batches, schema="media_id long, fp array<int>")
+    # same discipline as image_near_dup_pairs: checkpoint the tiny
+    # fingerprint frame so the band self-join's two sides don't each
+    # re-run the payload synthesis + PCM decode Python chain.
+    fped = media.mapInPandas(
+        fp_batches, schema="media_id long, fp array<int>"
+    ).localCheckpoint(eager=False)
     bands = F.array(
         *[
             F.struct(

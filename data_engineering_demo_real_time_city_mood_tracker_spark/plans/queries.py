@@ -2480,29 +2480,48 @@ def q_minhash_estimate_accuracy(spark, sf_dir):
     oracle. Cost: candidate-bounded — signature join is id-keyed on
     the (small) candidate set, never all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, "text", "doc_id", k=3, num_hashes=8)
-    cand = dedup.minhash_lsh_candidates(
-        docs, "text", "doc_id", k=3, bands=4, rows_per_band=2
+    # ONE tokenize→shingle→minhash pass, checkpointed: the signature
+    # self-join, the band candidate join and the exact-Jaccard verify
+    # all read the same (id, sh, h0..h7) blocks. The previous form
+    # rebuilt the corpus chain per consumer side (5 full passes).
+    combo = (
+        dedup._shingle_arrays(docs, "text", "doc_id", 3)
+        .select("id", "sh", *dedup._sig_cols(8))
+        .localCheckpoint(eager=False)
     )
-    exact = dedup.minhash_dedup_pairs(
-        docs, "text", "doc_id", k=3, bands=4, rows_per_band=2, threshold=0.0
+    cand = dedup._lsh_candidates_from_signatures(combo, bands=4, rows_per_band=2)
+    a = combo.select(
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(8)],
     )
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
+    b = combo.select(
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(8)],
+    )
     matches = sum(
-        (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int") for i in range(8)
+        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(8)
     )
-    est = (
-        cand.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
-        .select("id_a", "id_b", (matches / F.lit(8)).alias("est_jaccard"))
-    )
-    return est.join(exact, ["id_a", "id_b"]).select(
-        "id_a",
-        "id_b",
-        "est_jaccard",
-        "jaccard",
-        F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches / F.lit(8)).alias("est_jaccard"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.0)
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            "jaccard",
+            F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
+        )
     )
 
 
@@ -6504,9 +6523,13 @@ def q_bpe_encode(spark, sf_dir):
     same delimiter encoding; segmentation correctness on known merges
     stays test-asserted."""
     docs = load_table(spark, sf_dir, "documents")
-    merges_df = bpe.train_bpe(docs.filter(F.col("doc_id") % 4 == 0), "text", 8)
+    # the trainer's merge list is already driver-side in rank order —
+    # no createDataFrame → orderBy → collect round-trip
     merges = [
-        (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
+        (left, right)
+        for _rank, left, right, _n in bpe.train_bpe_merge_list(
+            docs.filter(F.col("doc_id") % 4 == 0), "text", 8
+        )
     ]
     enc = bpe.encode_bpe(docs, "text", "doc_id", merges)
     return enc.select(
@@ -8345,9 +8368,11 @@ def q_tokenizer_fertility(spark, sf_dir):
     fixed-point ratio keeps the whole chain — trainer, segmentation,
     and the eval arithmetic — bitwise oracle-portable."""
     docs = load_table(spark, sf_dir, "documents")
-    merges_df = bpe.train_bpe(docs.filter(F.col("doc_id") % 4 == 0), "text", 8)
     merges = [
-        (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
+        (left, right)
+        for _rank, left, right, _n in bpe.train_bpe_merge_list(
+            docs.filter(F.col("doc_id") % 4 == 0), "text", 8
+        )
     ]
     return bpe.subword_counts(docs, "text", "doc_id", merges, "lang").select(
         F.col("grp").alias("lang"),
