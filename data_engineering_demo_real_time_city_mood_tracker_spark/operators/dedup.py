@@ -1234,8 +1234,9 @@ def _index_rows(
     indexed" — if an append dies partway, the replayed batch does NOT
     self-match (its fingerprints never landed) and re-appends
     everything; the resulting duplicate shingle/posting rows are
-    harmless because :func:`query_dedup_index` deduplicates its index
-    reads. Fingerprints-first would invert this: a replayed batch
+    harmless because :func:`query_dedup_index` collapses the duplicate
+    match rows they would produce (byte-identical rows → identical
+    matches → pair-level distinct). Fingerprints-first would invert this: a replayed batch
     would exact-match itself, skip the repair append, and silently
     lose its LSH postings forever."""
     from pyspark import StorageLevel
@@ -1278,9 +1279,11 @@ def query_dedup_index(
     feeds both the output and the near-branch anti-join), one (band,
     sig) postings join, and a shingle lookup for the LSH-bounded
     candidates — never a scan-wide verify. Index-side work is
-    proportional to matches, not corpus. Index reads are deduplicated
-    so a replayed partial append (see :func:`_index_rows`) cannot
-    produce duplicate match rows.
+    proportional to matches, not corpus. Duplicate index rows from a
+    replayed partial append (see :func:`_index_rows`) are byte-
+    identical, so they are collapsed on the MATCH-BOUNDED result side
+    (pair distincts) instead of shuffling the corpus-sized index
+    frames through dropDuplicates on every probe.
 
     The two shared frames are reclaimable localCheckpoints (not
     persists): their blocks back the returned lazy frame and are
@@ -1317,9 +1320,16 @@ def _query_dedup_index_with_cleanup(
         int(meta["bands"]),
         int(meta["rows_per_band"]),
     )
-    fp_idx = spark.read.parquet(f"{path}/fingerprints").dropDuplicates()
-    postings = spark.read.parquet(f"{path}/postings").dropDuplicates()
-    shingles = spark.read.parquet(f"{path}/shingles").dropDuplicates(["id"])
+    # Index reads are NOT deduplicated here: a replayed partial append
+    # (see _index_rows) re-writes byte-identical rows, so duplicates
+    # can only produce duplicate MATCH rows — removed on the
+    # match-bounded result side below (exact_pairs.distinct(), the
+    # candidate distinct, near.dropDuplicates). Deduplicating the index
+    # frames themselves cost three corpus-sized shuffles on every
+    # probe for the same guarantee.
+    fp_idx = spark.read.parquet(f"{path}/fingerprints")
+    postings = spark.read.parquet(f"{path}/postings")
+    shingles = spark.read.parquet(f"{path}/shingles")
 
     base = (
         batch.select(
@@ -1345,6 +1355,7 @@ def _query_dedup_index_with_cleanup(
             fp_idx, (base.fp == fp_idx.fp) & (base.doc_id != fp_idx.id)
         )
         .select("doc_id", F.col("id").alias("match_id"))
+        .distinct()  # replayed-append duplicate fp rows collapse here
         .localCheckpoint(eager=False)
     )
     exact = exact_pairs.select(
@@ -1377,6 +1388,10 @@ def _query_dedup_index_with_cleanup(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
+        # duplicate shingle rows from a replayed append are
+        # byte-identical, so they produce identical near rows —
+        # collapse them on the match-bounded frame
+        .dropDuplicates(["doc_id", "match_id"])
         .join(exact_pairs, ["doc_id", "match_id"], "left_anti")
     )
     return exact.unionByName(near), [base, exact_pairs]
