@@ -1392,6 +1392,10 @@ def _query_dedup_index_with_cleanup(
         # byte-identical, so they produce identical near rows —
         # collapse them on the match-bounded frame
         .dropDuplicates(["doc_id", "match_id"])
-        .join(exact_pairs, ["doc_id", "match_id"], "left_anti")
+        # exact_pairs is a checkpointed RDD (no stats → the planner
+        # falls back to sort-merge for the anti join, shuffling+sorting
+        # both match-bounded frames). It is batch×exact-match bounded —
+        # the same bound as the near frame itself — so broadcast it.
+        .join(F.broadcast(exact_pairs), ["doc_id", "match_id"], "left_anti")
     )
     return exact.unionByName(near), [base, exact_pairs]
