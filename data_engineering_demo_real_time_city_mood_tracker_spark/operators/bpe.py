@@ -93,34 +93,45 @@ def train_bpe_merge_list(
     trainer already holds — the apply-side callers (encode, fertility)
     need plan literals, so round-tripping the 8-row list through
     createDataFrame → orderBy → collect was two pure-overhead jobs."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import _no_aqe
+
     words = word_frequencies(docs, text_col).withColumn(
         "syms", F.split("word", "")
     )
     words = words.persist()
     merges: list[tuple[int, str, str, int]] = []
     live, prev = words, None
+    # _no_aqe (r9): after round 1 every round's job runs over the
+    # CACHED vocabulary frame — bounded by distinct words, tiny at any
+    # corpus scale — so AQE's per-exchange re-planning and the
+    # session's corpus-sized shuffle.partitions are pure scheduling
+    # overhead here (the same measured trade as the k-means trainer:
+    # rounds 2-8 ran ~0.5 s each at sf0.1, ~0.15 s scoped). Results
+    # are exact aggregations, unaffected by partitioning.
     try:
-        for rank in range(1, n_merges + 1):
-            # this collect is the round's ONLY job: it computes the pair
-            # counts AND populates `live`'s cache as a side effect, so
-            # no separate materialization pass is needed (a per-round
-            # nxt.count() cost ~2 s of pure job overhead at sf0.1)
-            top = (
-                _pair_counts(live)
-                .orderBy(F.col("n").desc(), "l", "r")
-                .limit(1)
-                .collect()
-            )
-            if prev is not None:
-                prev.unpersist()  # safe: `live` is materialized now
-            if not top:
-                break
-            left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
-            merges.append((rank, left, right, n))
-            nxt = live.select(
-                "word", "weight", _merge_pair(F.col("syms"), left, right).alias("syms")
-            ).persist()
-            live, prev = nxt, live
+        with _no_aqe(docs.sparkSession):
+            for rank in range(1, n_merges + 1):
+                # this collect is the round's ONLY job: it computes the pair
+                # counts AND populates `live`'s cache as a side effect, so
+                # no separate materialization pass is needed (a per-round
+                # nxt.count() cost ~2 s of pure job overhead at sf0.1)
+                top = (
+                    _pair_counts(live)
+                    .orderBy(F.col("n").desc(), "l", "r")
+                    .limit(1)
+                    .collect()
+                )
+                if prev is not None:
+                    prev.unpersist()  # safe: `live` is materialized now
+                if not top:
+                    break
+                left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+                merges.append((rank, left, right, n))
+                nxt = live.select(
+                    "word", "weight",
+                    _merge_pair(F.col("syms"), left, right).alias("syms"),
+                ).persist()
+                live, prev = nxt, live
     finally:
         for df in (live, prev, words):
             if df is not None:
@@ -163,32 +174,41 @@ def encode_bpe(
         F.col(id_col).alias("id"),
         F.filter(T.tokens(F.col(text_col)), lambda w: F.length(w) > 0).alias("_toks"),
     )
-    inst = toked.select("id", F.posexplode("_toks").alias("pos", "word"))
-    vocab = inst.select("word").distinct()
+    # posexplode_outer (r9): zero-word docs keep a (null, null) row, so
+    # the reassembly groupBy already covers EVERY doc — the old third
+    # corpus scan (ids) + left outer join existed only to re-attach
+    # empty docs and is gone (plan: 3 parquet scans + spread Exchanges
+    # → 2, one join removed). count("word") skips the null instance and
+    # the null rows drop out of collect_list via the when() guard, so
+    # every output value is unchanged.
+    inst = toked.select("id", F.posexplode_outer("_toks").alias("pos", "word"))
+    vocab = inst.select("word").where(F.col("word").isNotNull()).distinct()
     segd = vocab.select("word", seg(F.col("word")).alias("subs"))
-    per_doc = (
-        inst.join(segd, "word")
+    return (
+        inst.join(segd, "word", "left")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.count("word").cast("int").alias("n_words"),
             F.flatten(
                 F.transform(
                     F.sort_array(
-                        F.collect_list(F.struct(F.col("pos"), F.col("subs")))
+                        F.collect_list(
+                            F.when(
+                                F.col("word").isNotNull(),
+                                F.struct(F.col("pos"), F.col("subs")),
+                            )
+                        )
                     ),
                     lambda s: s["subs"],
                 )
             ).alias("subwords"),
         )
-    )
-    # docs with zero (non-empty) words still get a row
-    ids = toked.select("id")
-    empty = F.array().cast("array<string>")
-    return ids.join(per_doc, "id", "left").select(
-        "id",
-        F.coalesce("n_words", F.lit(0)).alias("n_words"),
-        F.size(F.coalesce("subwords", empty)).alias("n_subwords"),
-        F.coalesce("subwords", empty).alias("subwords"),
+        .select(
+            "id",
+            "n_words",
+            F.size("subwords").alias("n_subwords"),
+            "subwords",
+        )
     )
 
 

@@ -216,6 +216,76 @@ def _assign_clusters_np(base: DataFrame, centroids: list[list[float]]) -> DataFr
     )
 
 
+def within_cluster_cosine_pairs(assigned: DataFrame) -> DataFrame:
+    """(id_a, id_b, cos_sim) for every within-cluster pair with
+    id_a < id_b — the SemDeDup pairwise-scoring stage, computed as a
+    grouped fold-exact numpy pass instead of a cluster-keyed self-join
+    scored by interpreted zip_with/aggregate lambdas.
+
+    Input: (id, vec array<double>, cluster) — assign_clusters output.
+
+    Why this shape: the self-join shuffles the dim-wide double vectors
+    on BOTH join sides and then pays ~pairs × dim interpreted lambda
+    dispatches for the cosine folds (HOF expressions never enter
+    codegen). Here ONE exchange moves each vector once (grouped by
+    cluster) and the pair scoring runs vectorized per group; output is
+    3 narrow columns.
+
+    Why bitwise: norms accumulate x*x per-dim SEQUENTIALLY and dots
+    x*y likewise — ``acc = acc + a*b`` per dim is the same two
+    correctly-rounded IEEE ops in the same order as the 0.0-seeded
+    zip_with/aggregate fold (numpy elementwise ufuncs never fuse into
+    FMA); np.sqrt is correctly rounded like java.lang.Math.sqrt; and
+    cos = dot / (na * nb) multiplies before dividing exactly like the
+    Column expression. Parity is test-asserted against the JVM
+    expression on the real embeddings and the semantic_dedup oracle
+    hash re-checks every value downstream. Rows within a group are
+    sorted by id, so pair (i < j) positions ARE id_a < id_b; pair
+    temporaries are chunked to bound per-task memory on skewed
+    clusters."""
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        v = np.asarray(list(pdf["vec"]), dtype=np.float64)
+        dim = v.shape[1]
+        nacc = np.zeros(m, dtype=np.float64)
+        for t in range(dim):
+            x = v[:, t]
+            nacc = nacc + x * x
+        norms = np.sqrt(nacc)
+        ia, ib = np.triu_indices(m, 1)
+        out_a, out_b, out_c = [], [], []
+        chunk = 4_000_000
+        for s in range(0, ia.shape[0], chunk):
+            ca, cb = ia[s : s + chunk], ib[s : s + chunk]
+            acc = np.zeros(ca.shape[0], dtype=np.float64)
+            for t in range(dim):
+                x = v[:, t]
+                acc = acc + x[ca] * x[cb]
+            out_a.append(ids[ca])
+            out_b.append(ids[cb])
+            out_c.append(acc / (norms[ca] * norms[cb]))
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_c),
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        score, schema="id_a long, id_b long, cos_sim double"
+    )
+
+
 def assign_top_cells(
     df: DataFrame,
     vec_col: str,

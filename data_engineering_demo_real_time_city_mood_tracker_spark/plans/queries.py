@@ -5596,37 +5596,24 @@ def q_semantic_dedup(spark, sf_dir):
     (k enters only through the seed LIMIT) and the p99 cutoff is an
     exact interpolated percentile on both engines. Threshold/witness
     invariants stay asserted in tests/test_properties.py."""
-    from pyspark import StorageLevel
-
-    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import kmeans
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+        within_cluster_cosine_pairs,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_cells = min(256, max(16, emb.count() // 128))
-    assigned, _ = kmeans(emb, "embedding", "vec_id", k=n_cells, max_iter=2)
-    v = emb.select(
-        F.col("vec_id").alias("id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
-    ).join(assigned, "id")
-    a = v.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("va"), "cluster",
-        V.norm(F.col("vec")).alias("na"),
-    )
-    b = v.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "cluster",
-        V.norm(F.col("vec")).alias("nb"),
-    )
-    pairs = (
-        a.join(b, ["cluster"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            (
-                V.dot(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb"))
-            ).alias("cos_sim"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    _, cents = kmeans(emb, "embedding", "vec_id", k=n_cells, max_iter=2)
+    # r9 optimization: the assignment frame already carries the exact
+    # double vectors, so re-joining them onto a fresh embeddings scan
+    # by id (2 Exchanges) was redundant; and the cluster-keyed
+    # self-join scored ~n·128 pairs with interpreted zip_with/aggregate
+    # cosine folds. within_cluster_cosine_pairs moves each vector over
+    # ONE exchange and scores pairs with the fold-exact numpy pass —
+    # bitwise-identical cos_sim (parity test-asserted), same pair set.
+    av = assign_clusters(emb, "embedding", "vec_id", cents)
+    pairs = within_cluster_cosine_pairs(av).localCheckpoint(eager=False)
     thr = pairs.agg(F.percentile("cos_sim", 0.99)).first()[0]
     return (
         pairs.filter(F.col("cos_sim") >= thr)

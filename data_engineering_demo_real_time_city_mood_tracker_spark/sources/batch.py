@@ -18,6 +18,28 @@ from pyspark.sql import types as T
 from data_engineering_demo_real_time_city_mood_tracker_spark.schemas import TESTDATA_TABLES
 
 
+# Per-session parquet schema memo. The first read of a path infers the
+# schema from the file footer (a driver-side job at plan time); later
+# reads in the same session pass it explicitly, which skips the footer
+# fetch entirely. The registry builds >300 load_table frames per bench
+# pass, so the repeated inference is pure planning overhead — and at
+# real scale an explicit schema also avoids the multi-file footer
+# sampling/merge a big table pays on every read. Keyed by applicationId
+# so a fresh session (or a rewritten test dir in a new session) always
+# re-infers; no data or results are memoized, only the StructType.
+_SCHEMA_MEMO: dict[tuple[str, str], T.StructType] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    memo = _SCHEMA_MEMO.get(key)
+    if memo is not None:
+        return spark.read.schema(memo).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_MEMO[key] = df.schema
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -26,14 +48,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # micros, matching the DuckDB oracle's CAST) and as TIMESTAMP(US)
         # NTZ; normalize either to session-zone (UTC) TimestampType.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         if isinstance(ts_type, T.TimestampNTZType):
             return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
-    return spark.read.parquet(path)
+    return _read_parquet(spark, path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1409,3 +1409,56 @@ def test_ntile_boundary_refinement_still_exact(spark):
         df, [("v", "key", 4)], target_bucket_rows=3
     )["v"]
     assert plain == refined
+
+
+def test_within_cluster_cosine_pairs_bitwise_matches_jvm_fold(spark, sf_dir):
+    """r9 optimization gate: the grouped numpy pair scorer must be
+    BITWISE equal to the zip_with/aggregate Column expression it
+    replaced in semantic_dedup — same pair set, same cos_sim doubles
+    (the oracle hash depends on every bit)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.functions import vectors as V
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+        within_cluster_cosine_pairs,
+    )
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = min(256, max(16, emb.count() // 128))
+    _, cents = kmeans(emb, "embedding", "vec_id", k=n_cells, max_iter=2)
+    av = assign_clusters(emb, "embedding", "vec_id", cents)
+    new = within_cluster_cosine_pairs(av).orderBy("id_a", "id_b").collect()
+
+    vj = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    ).join(av.select("id", "cluster"), "id")
+    a = vj.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), "cluster",
+        V.norm(F.col("vec")).alias("na"),
+    )
+    b = vj.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "cluster",
+        V.norm(F.col("vec")).alias("nb"),
+    )
+    old = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+        .collect()
+    )
+    assert len(new) == len(old) and len(new) > 0
+    for rn, ro in zip(new, old):
+        assert (rn.id_a, rn.id_b) == (ro.id_a, ro.id_b)
+        assert struct.pack("<d", rn.cos_sim) == struct.pack("<d", ro.cos_sim)

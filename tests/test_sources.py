@@ -57,6 +57,26 @@ def test_read_csv_drops_malformed(spark, tmp_path):
     assert got[1].avg_speed == 19.5
 
 
+def test_load_table_schema_memo_identical(spark, sf_dir):
+    """The per-session parquet schema memo (r9 optimization) must hand
+    back reads identical to footer inference: same schema, same rows,
+    for the inferred first read and the memoized second read — incl.
+    the events ts normalization path."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources import batch
+
+    for name in ("events", "documents", "lineitem"):
+        batch._SCHEMA_MEMO.clear()
+        first = load_table(spark, sf_dir, name)
+        assert batch._SCHEMA_MEMO  # inference populated the memo
+        second = load_table(spark, sf_dir, name)
+        assert first.schema == second.schema
+        key = first.columns[0]
+        assert (
+            first.orderBy(key).limit(20).collect()
+            == second.orderBy(key).limit(20).collect()
+        )
+
+
 def test_csv_parquet_roundtrip(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
