@@ -95,22 +95,32 @@ def train_bpe_merge_list(
     createDataFrame → orderBy → collect was two pure-overhead jobs."""
     from data_engineering_demo_real_time_city_mood_tracker_spark.operators.clustering import _no_aqe
 
+    from contextlib import ExitStack
+
     words = word_frequencies(docs, text_col).withColumn(
         "syms", F.split("word", "")
     )
     words = words.persist()
     merges: list[tuple[int, str, str, int]] = []
     live, prev = words, None
-    # _no_aqe (r9): after round 1 every round's job runs over the
-    # CACHED vocabulary frame — bounded by distinct words, tiny at any
-    # corpus scale — so AQE's per-exchange re-planning and the
-    # session's corpus-sized shuffle.partitions are pure scheduling
-    # overhead here (the same measured trade as the k-means trainer:
-    # rounds 2-8 ran ~0.5 s each at sf0.1, ~0.15 s scoped). Results
-    # are exact aggregations, unaffected by partitioning.
+    # _no_aqe scoped to rounds 2+ (r10): from round 2 every round's job
+    # runs over the CACHED vocabulary frame — bounded by distinct
+    # words, tiny at any corpus scale — so AQE's per-exchange
+    # re-planning and the session's corpus-sized shuffle.partitions are
+    # pure scheduling overhead there (the same measured trade as the
+    # k-means trainer: rounds 2-8 ran ~0.5 s each at sf0.1, ~0.15 s
+    # scoped). Round 1 is DIFFERENT: its collect materializes the
+    # corpus-wide word_frequencies shuffle, whose reduce side is
+    # vocabulary-CARDINALITY-sized (O(10^8) keys at 100 TB of text,
+    # not k×dim-bounded) — that shuffle must run at the session's
+    # partitions with AQE skew handling on, so the scope is entered
+    # only after it. Results are exact aggregations, unaffected by
+    # partitioning.
     try:
-        with _no_aqe(docs.sparkSession):
+        with ExitStack() as scope:
             for rank in range(1, n_merges + 1):
+                if rank == 2:
+                    scope.enter_context(_no_aqe(docs.sparkSession))
                 # this collect is the round's ONLY job: it computes the pair
                 # counts AND populates `live`'s cache as a side effect, so
                 # no separate materialization pass is needed (a per-round

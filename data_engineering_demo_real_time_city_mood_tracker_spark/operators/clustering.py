@@ -20,8 +20,10 @@ the lowest centroid index (array_position finds the first minimum).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
 from contextlib import contextmanager
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -240,18 +242,22 @@ def within_cluster_cosine_pairs(assigned: DataFrame) -> DataFrame:
     Column expression. Parity is test-asserted against the JVM
     expression on the real embeddings and the semantic_dedup oracle
     hash re-checks every value downstream. Rows within a group are
-    sorted by id, so pair (i < j) positions ARE id_a < id_b; pair
-    temporaries are chunked to bound per-task memory on skewed
-    clusters."""
-    import numpy as np
-    import pandas as pd
+    sorted by id, so pair (i < j) positions ARE id_a < id_b.
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+    Memory on skewed clusters: pair indices are generated per
+    ANCHOR-ROW BLOCK (never one O(m²) ``triu_indices``
+    materialization) and every block is yielded as its own frame
+    through the iterator grouped-map form, so per-task peak memory is
+    the group's vectors plus ONE ~4M-pair block — a giant cluster
+    costs wall time (pair count is the algorithm's output size), not
+    tens of GB of simultaneous pair temporaries."""
+    import numpy as np
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
         m = len(pdf)
         if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
-            )
+            return
         pdf = pdf.sort_values("id")
         ids = pdf["id"].to_numpy()
         v = np.asarray(list(pdf["vec"]), dtype=np.float64)
@@ -261,25 +267,36 @@ def within_cluster_cosine_pairs(assigned: DataFrame) -> DataFrame:
             x = v[:, t]
             nacc = nacc + x * x
         norms = np.sqrt(nacc)
-        ia, ib = np.triu_indices(m, 1)
-        out_a, out_b, out_c = [], [], []
         chunk = 4_000_000
-        for s in range(0, ia.shape[0], chunk):
-            ca, cb = ia[s : s + chunk], ib[s : s + chunk]
+        s = 0
+        while s < m - 1:
+            # grow the anchor block until it holds ~chunk pairs (an
+            # anchor i owns the m-1-i pairs (i, j>i)); a single anchor
+            # over budget is taken whole — its pair count is < m
+            e, pairs = s, 0
+            while e < m - 1 and pairs + (m - 1 - e) <= chunk:
+                pairs += m - 1 - e
+                e += 1
+            if e == s:
+                e = s + 1
+            anchors = np.arange(s, e)
+            cnts = m - 1 - anchors
+            ca = np.repeat(anchors, cnts)
+            first = np.repeat(anchors + 1, cnts)
+            off = np.repeat(np.cumsum(cnts) - cnts, cnts)
+            cb = first + (np.arange(cnts.sum()) - off)
             acc = np.zeros(ca.shape[0], dtype=np.float64)
             for t in range(dim):
                 x = v[:, t]
                 acc = acc + x[ca] * x[cb]
-            out_a.append(ids[ca])
-            out_b.append(ids[cb])
-            out_c.append(acc / (norms[ca] * norms[cb]))
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cos_sim": np.concatenate(out_c),
-            }
-        )
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[ca],
+                    "id_b": ids[cb],
+                    "cos_sim": acc / (norms[ca] * norms[cb]),
+                }
+            )
+            s = e
 
     return assigned.groupBy("cluster").applyInPandas(
         score, schema="id_a long, id_b long, cos_sim double"

@@ -60,12 +60,11 @@ def ngram_jaccard_pairs(
     jaccard stays a true Jaccard over the discriminative-shingle
     universe (mirror the cap in any oracle).
 
-    The cap costs one extra map+tiny-agg job, NOT a window sort: hot
-    shingles are found with a shingle-keyed count (O(df) per shingle),
-    collected (bounded: #hot ≤ total-shingle-instances / max_df — a
-    few thousand at any corpus size with a proportionate cap), and
-    embedded as an ``array_except`` literal so the filtered arrays and
-    post-cap set sizes are computed map-side in one pass.
+    The cap is applied fully in-plan (anti-join against the hot-shingle
+    frame + an id-windowed post-cap size — see
+    :func:`_sized_shingle_rows`): nothing hot-list-sized ever lands on
+    the driver, so the cap scales with the corpus instead of with
+    driver memory.
     """
     sh = _sized_shingle_rows(df, text_col, id_col, k, max_df)
     a = sh.alias("a")
@@ -119,14 +118,18 @@ def _sized_shingle_rows(
     materialization (arrays are ~text-sized — strictly smaller than
     the exploded rows the old plan checkpointed).
 
-    The ``max_df`` hot-shingle cap costs one extra map+tiny-agg job
-    over the materialized arrays (the old separate tokenize persist is
-    gone — the array checkpoint IS the shared tokenization), collected
-    (bounded: #hot ≤ total-shingle-instances / max_df) and applied as
-    an ``array_except`` literal; when hot shingles exist the capped
-    arrays are re-materialized so the explode still reads a plain
-    column (array_except inside a Generate would re-eval per output
-    row — the same trap).
+    The ``max_df`` hot-shingle cap stays ENTIRELY in-plan (r10): the
+    exploded rows anti-join the hot-shingle frame (AQE broadcasts it
+    when it fits, degrades to a shuffle join when it does not) and the
+    post-cap set size ``n`` is an id-partitioned window count over the
+    survivors. The r9 shape collected the hot list to the driver and
+    re-embedded it as an ``array_except`` plan literal — at sf1 the
+    list is 27k shingles and the literal cost 13.7 s of py4j
+    expression building plus 16.5 s of per-row set rebuilds, and the
+    list grows as corpus/max_df, i.e. unboundedly with the corpus: a
+    driver-sized literal at 100 TB. The anti-join costs one exploded
+    exchange + the window; measured 27.7 → ~7 s construction at sf1
+    per consumer, at parity at sf0.1 where the hot list is tiny.
 
     Checkpoint, not persist: the frames back both sides of the
     caller's self-join but the caller's result is lazy and pair-sized,
@@ -134,6 +137,8 @@ def _sized_shingle_rows(
     ContextCleaner-reclaimed once the caller drops the frame, where a
     persist would sit in the CacheManager forever.
     """
+    from pyspark.sql import Window
+
     from data_engineering_demo_real_time_city_mood_tracker_spark.functions.text import shingles_from_tokens
 
     dsh = F.array_distinct(shingles_from_tokens(F.col("_toks"), k))
@@ -143,27 +148,27 @@ def _sized_shingle_rows(
         .localCheckpoint(eager=True)
     )
     if max_df is not None:
-        hot = [
-            r.shingle
-            for r in arrf.select(F.explode("arr").alias("shingle"))
-            .groupBy("shingle")
+        sh_ex = arrf.select("id", F.explode("arr").alias("shingle"))
+        hot = (
+            sh_ex.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
             .select("shingle")
-            .collect()
-        ]
-        if hot:
-            arrf = arrf.select(
-                "id",
-                F.array_except(
-                    F.col("arr"), F.array(*[F.lit(s) for s in hot])
-                ).alias("arr"),
-            ).localCheckpoint(eager=True)
+        )
+        kept = sh_ex.join(hot, "shingle", "left_anti")
+        # post-cap set size per doc: a window count needs no second
+        # scan and no size-lookup join; docs whose every shingle is
+        # hot simply have no surviving rows (same as the empty-array
+        # explode before)
+        n_capped = F.count(F.lit(1)).over(Window.partitionBy("id"))
+        return kept.select(
+            "id", n_capped.cast("int").alias("n"), "shingle"
+        ).localCheckpoint(eager=True)
     # Empty arrays simply explode to zero rows — no filter needed (a
     # Filter between Generate and the join would block collapsing).
     return arrf.select(
         "id", F.size("arr").alias("n"), F.explode("arr").alias("shingle")
-    ).localCheckpoint(eager=max_df is not None)
+    ).localCheckpoint(eager=False)
 
 
 def containment_pairs(
@@ -944,28 +949,46 @@ def prefix_filter_jaccard_pairs(
         + 1
     ).cast("int")
     pref = arr.select(
-        "id", "n", F.explode(F.slice(F.col("sh"), F.lit(1), plen)).alias("shingle")
+        "id",
+        "n",
+        F.posexplode(F.slice(F.col("sh"), F.lit(1), plen)).alias("pos", "shingle"),
     )
     a = pref.alias("a")
     b = pref.alias("b")
     # length filter (lossless): J(A,B) ≥ τ forces |A∩B| ≤ min sizes,
     # so τ·|B| ≤ |A| and τ·|A| ≤ |B| — prune size-mismatched pairs
     # INSIDE the candidate join, before the distinct and verify join.
-    # (PPJoin's positional ubound filter was measured and REJECTED:
-    # lossless and it halves sparse-corpus candidates, but on a near-
-    # dup-heavy corpus — where filtering would matter — surviving
-    # candidates are mostly TRUE pairs, so it prunes ~nothing while
-    # its per-row arithmetic inside the hot hash-join doubled the x10
-    # stress wall time. The verify join on md5-bounded candidates is
-    # cheaper than the filter that would protect it.)
     tau = F.lit(float(threshold))
+    # positional ubound (PPJoin's second filter, also lossless): both
+    # arrays share ONE global (md5, shingle) order, so the FIRST common
+    # element s* sits at the minimal positions (pa*, pb*) in both — any
+    # overlap beyond s* lives strictly after those positions, giving
+    # |A∩B| ≤ 1 + min(|A|−pa*−1, |B|−pb*−1). J ≥ τ needs overlap ≥
+    # τ·(|A|+|B|)/(1+τ); the bound is loosest at s*, so OR-ing the
+    # per-instance check through the pair distinct keeps a pair iff its
+    # s* instance passes — exactly PPJoin. The 1e-9 slack keeps the
+    # float comparison a SUPERSET of the integer-exact test (never
+    # tighter → never lossy). r9 rejected this filter from an A/B on a
+    # near-dup-heavy stress corpus (candidates ≈ true pairs, nothing to
+    # prune); re-measured at sf1, where candidates are small-vocabulary
+    # chance collisions, it halves them: 44.5M → 21.8M distinct pairs,
+    # and the verify stage — the query's dominant cost — with it
+    # (70.3 s → 34.7 s end-to-end). The stress shape stays guarded by a
+    # committed duplicate-heavy A/B (see OPTIMIZATION_r10.md).
+    ubound = F.lit(1.0) + F.least(
+        F.col("a.n") - F.col("a.pos") - 1, F.col("b.n") - F.col("b.pos") - 1
+    )
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.col("a.n") >= tau * F.col("b.n"))
-            & (F.col("b.n") >= tau * F.col("a.n")),
+            & (F.col("b.n") >= tau * F.col("a.n"))
+            & (
+                ubound * (F.lit(1.0) + tau)
+                >= tau * (F.col("a.n") + F.col("b.n")) - F.lit(1e-9)
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -1289,11 +1312,34 @@ def query_dedup_index(
     persists): their blocks back the returned lazy frame and are
     ContextCleaner-reclaimed once the caller drops it — no
     CacheManager leak in long registry/streaming runs.
+
+    Batch-size contract: probe batches are crawl-sized (not the
+    standing corpus), so the exact-pair frame — batch×exact-match
+    bounded — fits a broadcast. Callers probing a pathological batch
+    (bulk re-crawl of a heavily duplicated corpus) should set
+    ``spark.graft.dedup.broadcastExactPairs=false`` to keep the
+    sort-merge anti join; results are identical either way.
     """
     result, _ = _query_dedup_index_with_cleanup(
         spark, path, batch, text_col, id_col, threshold
     )
     return result
+
+
+def _maybe_broadcast_pairs(spark, pairs: DataFrame) -> DataFrame:
+    """Broadcast hint for the probe's exact-pair anti join, gated by
+    ``spark.graft.dedup.broadcastExactPairs`` (default true). The frame
+    is batch×exact-match bounded under the crawl-sized-batch contract;
+    the conf is the documented escape hatch for bulk re-crawls of
+    heavily duplicated corpora, where the bound degenerates to the
+    batch size and a forced broadcast would fail instead of falling
+    back to sort-merge."""
+    flag = "true"
+    try:
+        flag = spark.conf.get("spark.graft.dedup.broadcastExactPairs", "true")
+    except Exception:
+        pass
+    return F.broadcast(pairs) if str(flag).lower() != "false" else pairs
 
 
 def _query_dedup_index_with_cleanup(
@@ -1395,7 +1441,15 @@ def _query_dedup_index_with_cleanup(
         # exact_pairs is a checkpointed RDD (no stats → the planner
         # falls back to sort-merge for the anti join, shuffling+sorting
         # both match-bounded frames). It is batch×exact-match bounded —
-        # the same bound as the near frame itself — so broadcast it.
-        .join(F.broadcast(exact_pairs), ["doc_id", "match_id"], "left_anti")
+        # the same bound as the near frame itself — so broadcast it by
+        # default. The bound rests on the probe contract (crawl-sized
+        # batches); a pathological batch — a bulk re-crawl of a heavily
+        # duplicated corpus — makes exact_pairs grow with the batch and
+        # a FORCED broadcast would fail hard at broadcastTimeout /
+        # driver memory instead of degrading. Such callers set
+        # spark.graft.dedup.broadcastExactPairs=false to keep the
+        # sort-merge anti join (same rows, no broadcast build).
+        .join(_maybe_broadcast_pairs(spark, exact_pairs),
+              ["doc_id", "match_id"], "left_anti")
     )
     return exact.unionByName(near), [base, exact_pairs]

@@ -504,8 +504,16 @@ def triangle_counts(
         F.col("e1.dst").alias("y"),
         F.col("e2.dst").alias("z"),
     )
+    # shuffle_hash on the closing side (r10, guide §3.1): the closing
+    # join's stream side is the WEDGE set (O(m^{3/2}) rows — 210M at
+    # sf1), the build side the edge list (m rows). Sort-merge sorted
+    # the whole wedge stream for nothing; hashing the per-partition
+    # edge slice and streaming the wedges removes both sorts. (y, z)
+    # pair keys are near-unique, so no single-key build skew at any
+    # scale, and the build side is asymptotically smaller than the
+    # stream. Measured at sf1: closing+agg 24.4 s → 7.1 s.
     closing = dirx.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-    tri = wedge.join(closing, ["y", "z"])
+    tri = wedge.join(closing.hint("shuffle_hash"), ["y", "z"])
     return (
         tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
         .groupBy("id")
@@ -837,28 +845,43 @@ def common_neighbor_link_prediction(
     if max_center_degree is not None:
         small = deg.filter(F.col("d") <= max_center_degree).select("w")
         centers = sym.join(small, "w", "left_semi")
+    # carry each endpoint's degree THROUGH the wedge join (r10, guide
+    # §2.4 — the ngram family's carried-sizes idiom): the old plan
+    # re-shuffled the PAIR-sized candidate frame twice (by u, then by
+    # v) just to attach vertex-sized degrees after the agg — at sf1
+    # that was two extra exchanges of 61.8M rows. One vertex-keyed
+    # degree join on the edge-sized centers frame replaces both; the
+    # degree rides the wedge exchange as 16 bytes/row.
+    degx = deg.select(F.col("w").alias("x"), F.col("d").alias("dx"))
+    centers = centers.join(degx, "x").select("w", "x", "dx")
     a, b = centers.alias("a"), centers.alias("b")
+    # min(du)/min(dv) over a group where they are constant (degree is
+    # functionally determined by u/v) — grouping stays on (u, v) alone
+    # so the agg's hash partitioning is exactly what the anti-join
+    # needs and the exchange is reused (grouping by (u, v, du, dv)
+    # would partition on all four and force a re-shuffle).
     cand = (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.x") < F.col("b.x")))
         .groupBy(F.col("a.x").alias("u"), F.col("b.x").alias("v"))
-        .agg(F.count(F.lit(1)).alias("cn"))
-    )
-    nonadj = cand.join(e, ["u", "v"], "left_anti")
-    du = deg.select(F.col("w").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("w").alias("v"), F.col("d").alias("dv"))
-    scored = (
-        nonadj.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.col("u").alias("id_a"),
-            F.col("v").alias("id_b"),
-            F.col("cn").cast("long").alias("cn"),
-            (F.col("du") + F.col("dv") - F.col("cn")).cast("long").alias("union_deg"),
-            (
-                F.col("cn").cast("double")
-                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double")
-            ).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.min(F.col("a.dx")).alias("du"),
+            F.min(F.col("b.dx")).alias("dv"),
         )
+    )
+    # shuffle_hash on the edge side (guide §3.1): sort-merge would sort
+    # the pair-sized stream; the build side is the edge list, smaller
+    # at any scale, and (u, v) keys are unique on it — no build skew.
+    nonadj = cand.join(e.hint("shuffle_hash"), ["u", "v"], "left_anti")
+    scored = nonadj.select(
+        F.col("u").alias("id_a"),
+        F.col("v").alias("id_b"),
+        F.col("cn").cast("long").alias("cn"),
+        (F.col("du") + F.col("dv") - F.col("cn")).cast("long").alias("union_deg"),
+        (
+            F.col("cn").cast("double")
+            / (F.col("du") + F.col("dv") - F.col("cn")).cast("double")
+        ).alias("jaccard"),
     )
     out = scored.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(k)
     return release_after(out, e, deg)

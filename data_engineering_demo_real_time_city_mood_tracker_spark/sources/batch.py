@@ -27,16 +27,32 @@ from data_engineering_demo_real_time_city_mood_tracker_spark.schemas import TEST
 # sampling/merge a big table pays on every read. Keyed by applicationId
 # so a fresh session (or a rewritten test dir in a new session) always
 # re-infers; no data or results are memoized, only the StructType.
-_SCHEMA_MEMO: dict[tuple[str, str], T.StructType] = {}
+# The value carries a freshness token — (mtime_ns, size) of the local
+# path — because an explicit-schema parquet read does NOT fail on a
+# schema change (missing columns null-fill silently): overwriting a
+# path with a different schema inside one session would otherwise
+# serve the stale StructType. A changed token re-infers; non-local
+# paths (no os.stat) skip the memo rather than risk staleness.
+_SCHEMA_MEMO: dict[tuple[str, str], tuple[tuple[int, int], T.StructType]] = {}
+
+
+def _path_token(path: str) -> tuple[int, int] | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size)
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, path)
-    memo = _SCHEMA_MEMO.get(key)
-    if memo is not None:
-        return spark.read.schema(memo).parquet(path)
+    token = _path_token(path)
+    hit = _SCHEMA_MEMO.get(key)
+    if hit is not None and token is not None and hit[0] == token:
+        return spark.read.schema(hit[1]).parquet(path)
     df = spark.read.parquet(path)
-    _SCHEMA_MEMO[key] = df.schema
+    if token is not None:
+        _SCHEMA_MEMO[key] = (token, df.schema)
     return df
 
 

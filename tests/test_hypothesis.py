@@ -54,6 +54,7 @@ def py_shingles(s: str, k: int) -> list[str]:
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_text_primitives_match_python_model(spark, texts):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
@@ -122,6 +123,7 @@ def py_jaccard_pairs(texts: list[str], k: int, threshold: float, max_df=None):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_ngram_jaccard_matches_python_model(spark, texts, threshold, max_df):
     """exact Jaccard pairs — with and without the hot-shingle df cap —
     must agree with the brute-force Python model on arbitrary input
@@ -160,6 +162,7 @@ def test_ngram_jaccard_matches_python_model(spark, texts, threshold, max_df):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_sessionization_matches_python_model(spark, events, gap_sec):
     """gap sessionization must agree with a direct Python fold on
     arbitrary event sets (duplicates and unordered input included)."""
@@ -225,6 +228,7 @@ def py_containment_pairs(texts, k, threshold, max_df):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_containment_matches_python_model(spark, texts, threshold, max_df):
     """asymmetric containment pairs — with and without the df cap —
     must agree with the brute-force Python model (pair set AND
@@ -259,6 +263,7 @@ def test_containment_matches_python_model(spark, texts, threshold, max_df):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_portable_mean_matches_python_model(spark, values):
     """clustering._portable_mean == the pure-Python floor-quantized
     model (math.floor(x*1e10) exact-int sum → two float divisions),
@@ -319,6 +324,7 @@ def test_hll_registers_match_python_model(spark, keys):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_sq8_codes_match_python_model(spark, vec_a, vec_b):
     """pq.sq8_code_expr == the pure-Python IEEE model
     (clamp(floor((x - mn) * 255 / rg))) on arbitrary finite doubles —
@@ -365,6 +371,7 @@ def test_sq8_codes_match_python_model(spark, vec_a, vec_b):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_exact_substring_dedup_matches_python_model(spark, texts):
     """dedup_exact_substrings == a pure-Python replica (sliding
     min_len-gram hashing, keep the (doc_id, pos)-first occurrence,

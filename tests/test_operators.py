@@ -1,5 +1,8 @@
 
 
+import pytest
+
+
 def test_real_header_decode_bmp_wav(spark):
     """decode_media really parses BMP dimensions and WAV duration from
     raw bytes (stdlib header math — no image/audio libs), falling back
@@ -37,6 +40,7 @@ def test_real_header_decode_bmp_wav(spark):
     assert got[1].n_bytes == len(bmp(640, 480))
 
 
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_two_phase_cc_deep_and_random_graphs(spark):
     """large-star/small-star CC must label a deep chain correctly in
     O(log^2 n) rounds — where plain min propagation would need
@@ -106,6 +110,34 @@ def test_bpe_learns_expected_merges(spark):
     assert got[3] == (4, "lo", "w", 7)
 
 
+def test_bpe_trainer_round1_runs_with_aqe_on(spark, monkeypatch):
+    """_no_aqe must NOT cover round 1: the first collect materializes
+    the corpus-wide word_frequencies shuffle, whose reduce side is
+    vocabulary-cardinality-sized — it needs the session's shuffle
+    partitions and AQE skew handling. Rounds 2+ run over the cached
+    vocab frame and take the scoped settings (the r9 trainer trade)."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import bpe
+
+    seen = []
+    real = bpe._pair_counts
+
+    def probe(words):
+        # conf observed at plan-construction time == at that round's
+        # collect: the scope only transitions at loop tops
+        seen.append(spark.conf.get("spark.sql.adaptive.enabled"))
+        return real(words)
+
+    monkeypatch.setattr(bpe, "_pair_counts", probe)
+    text = " ".join(["low"] * 5 + ["newest"] * 6)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = bpe.train_bpe_merge_list(docs, "text", n_merges=3)
+    assert len(merges) == 3
+    assert seen[0] == "true"  # round 1: session settings, AQE on
+    assert set(seen[1:]) == {"false"}  # rounds 2+: _no_aqe scope
+    # scope restored after the trainer
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
 def test_bpe_merge_fold_is_greedy_nonoverlapping(spark):
     """'a a a a' under merge (a,a) becomes 'aa aa', never 'aaa a' —
     a just-merged symbol cannot re-match within the same pass."""
@@ -133,6 +165,7 @@ def test_bpe_charization_has_no_empty_symbols(spark):
     assert got == [["a", "b", "c"], ["x"]]
 
 
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_pagerank_invariants_and_known_graphs(spark):
     """PageRank: ranks sum to 1 (dangling mass redistributed), a ring
     is uniform, a star's center outranks its leaves, and reruns are
@@ -158,6 +191,7 @@ def test_pagerank_invariants_and_known_graphs(spark):
     assert sr == sr2, "pagerank must be deterministic"
 
 
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_pagerank_convergence_detection_stops_at_stationarity(spark):
     """converge_quantum (r6): on a graph whose uniform start IS the
     stationary distribution (a d-regular ring), the first round moves
@@ -830,6 +864,7 @@ def test_kcenter_rejects_overflow_coordinates(spark):
     assert [r.sel_rank for r in out] == [1, 2]
 
 
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_kcenter_paths_are_bitwise_identical(spark, sf_dir):
     """The incremental (localCheckpoint LEAST-maintenance) traversal
     equals the literal-matrix recompute traversal row-for-row on the

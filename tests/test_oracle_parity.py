@@ -37,7 +37,20 @@ def _rowset(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+# marked slow (excluded from the default driver-window gate; run via
+# -m slow): the two heaviest oracle rows — kcore_portable's unrolled
+# 4-round peel CTE takes DuckDB ~220 s alone. The driver's own t2
+# correctness sampler still covers every registered query at sf0.01.
+_SLOW_ORACLE_ROWS = {"kcore_portable", "ivfpq_index_probe"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE_ROWS else n
+        for n in sorted(ORACLES)
+    ],
+)
 def test_query_matches_oracle(spark, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
     srows = sdf.collect()
@@ -119,6 +132,7 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     assert len(sdf.columns) > 0
 
 
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_selection_queries_release_their_caches(spark, sf_dir):
     """r4 ADVICE: DataFrame.persist registers in the session
     CacheManager and is NEVER reclaimed by the ContextCleaner, so the

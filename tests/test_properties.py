@@ -5,6 +5,7 @@ Small synthetic frames — fast, deterministic.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_engineering_demo_real_time_city_mood_tracker_spark.operators import dedup, windows
@@ -795,6 +796,53 @@ def test_persistent_dedup_index_matches_direct_computation(spark, tmp_path):
     assert kinds2.get((200, 102)) == "exact"
 
 
+def test_dedup_index_probe_broadcast_escape_hatch(spark, tmp_path):
+    """A bulk re-crawl batch (every doc exact-duplicates the corpus —
+    the adversarial case where exact_pairs grows with the batch, so a
+    FORCED broadcast could fail at scale) must work with
+    spark.graft.dedup.broadcastExactPairs=false: the static plan keeps
+    the un-hinted anti join (no forced broadcast build) and the match
+    rows are identical to the default broadcast path."""
+    from data_engineering_demo_real_time_city_mood_tracker_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(i, f"shared body text for document {i} alpha beta gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # every batch doc is an exact dup of a corpus doc: exact_pairs is
+    # batch-sized, the worst case the contract warns about
+    batch = spark.createDataFrame(
+        [(1000 + i, f"shared body text for document {i} alpha beta gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "dedup_index")
+    D.build_dedup_index(corpus, "text", "doc_id", path, k=3, bands=4, rows_per_band=2)
+
+    def canon(df):
+        return sorted(
+            (r.doc_id, r.match_id, r.kind, round(r.jaccard, 12)) for r in df.collect()
+        )
+
+    rows_default = canon(
+        D.query_dedup_index(spark, path, batch, "text", "doc_id", threshold=0.2)
+    )
+    spark.conf.set("spark.graft.dedup.broadcastExactPairs", "false")
+    try:
+        got = D.query_dedup_index(spark, path, batch, "text", "doc_id", threshold=0.2)
+        # static plan (pre-AQE): the anti join must NOT carry a forced
+        # broadcast build — AQE may still pick one at runtime, but only
+        # size-aware, which is the safe degradation the conf buys
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin LeftAnti" not in plan
+        assert canon(got) == rows_default
+    finally:
+        spark.conf.unset("spark.graft.dedup.broadcastExactPairs")
+    exact = {(a, b) for a, b, kind, _ in rows_default if kind == "exact"}
+    # every batch doc found its exact corpus twin
+    assert exact == {(1000 + i, i) for i in range(30)}
+
+
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_dedup_index_append_crash_replay_repairs(spark, tmp_path):
     """A crash mid-append must be repairable by replaying the batch:
     with only shingles+postings landed (no fingerprints), or only
@@ -852,6 +900,7 @@ def test_dedup_index_append_crash_replay_repairs(spark, tmp_path):
         assert (rows[0]["doc_id"], rows[0]["match_id"]) == (200, 100)
 
 
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_text_index_append_merges_segments(spark, sf_dir, tmp_path):
     """BM25 through the persistent index: (a) build-once over the full
     corpus == the direct in-memory ranking; (b) build on half +

@@ -77,6 +77,31 @@ def test_load_table_schema_memo_identical(spark, sf_dir):
         )
 
 
+def test_schema_memo_refreshes_on_overwrite(spark, tmp_path):
+    """Overwriting a parquet path with a DIFFERENT schema inside one
+    session must not serve the stale memoized StructType (explicit-
+    schema reads null-fill missing columns silently, so staleness
+    would corrupt, not fail): the (mtime_ns, size) freshness token
+    forces re-inference."""
+    import os
+    import time
+
+    from data_engineering_demo_real_time_city_mood_tracker_spark.sources import batch
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(3).selectExpr("id", "id * 2 as a").toPandas().to_parquet(p)
+    first = batch._read_parquet(spark, p)
+    assert set(first.columns) == {"id", "a"}
+    # second read is served from the memo (same token)
+    assert set(batch._read_parquet(spark, p).columns) == {"id", "a"}
+    time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    spark.range(3).selectExpr("id", "id * 3 as b").toPandas().to_parquet(p)
+    refreshed = batch._read_parquet(spark, p)
+    assert set(refreshed.columns) == {"id", "b"}
+    assert [r.b for r in refreshed.orderBy("id").collect()] == [0, 3, 6]
+    os.remove(p)
+
+
 def test_csv_parquet_roundtrip(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"

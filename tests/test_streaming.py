@@ -151,6 +151,7 @@ def test_highcard_variant_matches_fanout_on_batch(spark, sf_dir):
     assert highcard == fanout
 
 
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_highcard_variant_streaming_append(spark, sf_dir, tmp_path):
     """the aggregate-then-join pipeline runs as a streaming query with
     chained stateful operators (3 windowed aggs + window-keyed joins);
@@ -980,6 +981,7 @@ def test_progress_recorder_captures_metrics(spark, sf_dir, tmp_path):
     assert len(lines) == len(rec.progress)
 
 
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     """left-outer stream-stream interval join: events with a reading
     in-window enrich exactly as the inner join; events with none emit
@@ -1078,6 +1080,7 @@ def test_document_sink_idempotent_batch_replay(spark, sf_dir, tmp_path):
     assert len(_read_recorded(str(out))) == 2 * n1
 
 
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_windowed_full_outer_join_matches_batch(spark, tmp_path):
     """full-outer windowed-agg stream-stream join (chained stateful
     operators): per-minute traffic/weather aggregates full-outer
@@ -1186,6 +1189,7 @@ def test_cms_sketch_streaming_merges_to_batch(spark, sf_dir, tmp_path):
     assert stream_cells == batch_cells
 
 
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_streaming_dedup_ingest_with_persistent_index(spark, tmp_path):
     """dedup_ingest_stream end-to-end: in-batch exact dups collapse,
     docs matching the standing index (exact or near) are dropped,
@@ -1246,6 +1250,7 @@ def test_streaming_dedup_ingest_with_persistent_index(spark, tmp_path):
     assert got2 == {102, 201}, f"after run 2: {got2}"
 
 
+@pytest.mark.slow  # excluded from the driver-window gate (pytest.ini); run via -m slow
 def test_streaming_text_index_ingest_builds_searchable_segments(spark, tmp_path):
     """text_index_ingest_stream: two micro-batches land as two index
     segments; a BM25 probe after the stream sees docs from BOTH and
